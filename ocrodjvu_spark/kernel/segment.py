@@ -1,0 +1,259 @@
+"""Word segmentation: simple space/non-space runs, and UAX #29 words.
+
+* ``simple_word_break_iterator`` yields a boundary offset at every
+  space<->non-space transition plus the final offset, matching the
+  reference iterator (ocrodjvu lib/unicode_support.py:27-38; golden
+  offsets in tests/test_unicode_support.py:31-35).
+
+* ``uax29_word_break_iterator`` is a from-scratch implementation of the
+  Unicode UAX #29 word-boundary rules (WB1-WB999), with Word_Break
+  character properties approximated from ``unicodedata`` general
+  categories plus the spec's explicit code-point lists. It reproduces
+  ICU's en/en-US-POSIX word segmentation for the Latin-script corpus the
+  golden tests cover (validated against the ICU offsets recorded in the
+  reference's tests/test_unicode_support.py:57).
+
+No PyICU dependency: the default segmentation is ``simple`` exactly as in
+the reference CLI (lib/cli/hocr2djvused.py:43), and ``uax29`` uses this
+pure-Python engine.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from typing import Iterator
+
+# --- Word_Break property values -------------------------------------------
+
+_OTHER = 0
+_CR = 1
+_LF = 2
+_NEWLINE = 3
+_EXTEND = 4
+_ZWJ = 5
+_RI = 6
+_FORMAT = 7
+_KATAKANA = 8
+_HEBREW_LETTER = 9
+_ALETTER = 10
+_SINGLE_QUOTE = 11
+_DOUBLE_QUOTE = 12
+_MIDNUMLET = 13
+_MIDLETTER = 14
+_MIDNUM = 15
+_NUMERIC = 16
+_EXTENDNUMLET = 17
+_WSEGSPACE = 18
+
+_MIDLETTER_SET = frozenset('\u003a\u00b7\u0387\u055f\u05f4\u2027\ufe13\ufe55\uff1a')
+_MIDNUM_SET = frozenset('\u002c\u003b\u037e\u0589\u060c\u060d\u066c\u07f8\u2044\ufe10\ufe14\ufe50\ufe54\uff0c\uff1b')
+# NB: U+2018 LEFT SINGLE QUOTATION MARK is *not* MidNumLet in the UCD; only
+# U+2019 (the apostrophe-like right quote) glues letters together.
+_MIDNUMLET_SET = frozenset('\u002e\u2018\u2019\u2024\ufe52\uff07\uff0e')
+_NEWLINE_SET = frozenset('\x0b\x0c\x85\u2028\u2029')
+_KATAKANA_RANGES = (
+    (0x3031, 0x3035), (0x309B, 0x309C), (0x30A0, 0x30FA), (0x30FC, 0x30FF),
+    (0x31F0, 0x31FF), (0x32D0, 0x32FE), (0x3300, 0x3357), (0xFF66, 0xFF9D),
+    (0x1B000, 0x1B000), (0x1B164, 0x1B167),
+)
+# scripts whose letters do NOT carry the ALetter property (UAX #29 excludes
+# ideographs, Hiragana, and the dictionary-segmented SE-Asian scripts).
+_NON_ALETTER_RANGES = (
+    (0x3040, 0x309F),    # Hiragana
+    (0x4E00, 0x9FFF),    # CJK Unified Ideographs
+    (0x3400, 0x4DBF),    # CJK ext A
+    (0xF900, 0xFAFF),    # CJK Compatibility Ideographs
+    (0x20000, 0x2FA1F),  # CJK ext B..F + compat supplement
+    (0x0E00, 0x0E7F),    # Thai
+    (0x0E80, 0x0EFF),    # Lao
+    (0x1000, 0x109F),    # Myanmar
+    (0x1780, 0x17FF),    # Khmer
+)
+
+
+def _in_ranges(cp: int, ranges) -> bool:
+    for lo, hi in ranges:
+        if lo <= cp <= hi:
+            return True
+    return False
+
+
+def _word_break_property(ch: str) -> int:
+    cp = ord(ch)
+    if ch == '\r':
+        return _CR
+    if ch == '\n':
+        return _LF
+    if ch in _NEWLINE_SET:
+        return _NEWLINE
+    if ch == '\u200d':  # ZWJ
+        return _ZWJ
+    if 0x1F1E6 <= cp <= 0x1F1FF:
+        return _RI
+    if ch == '"':
+        return _DOUBLE_QUOTE
+    if ch == "'":
+        return _SINGLE_QUOTE
+    if ch in _MIDNUMLET_SET:
+        return _MIDNUMLET
+    if ch in _MIDLETTER_SET:
+        return _MIDLETTER
+    if ch in _MIDNUM_SET:
+        return _MIDNUM
+    if ch == '\u202f':  # narrow no-break space
+        return _EXTENDNUMLET
+    cat = unicodedata.category(ch)
+    if cat in ('Mn', 'Mc', 'Me') or ch == '\u200c':  # incl. ZWNJ
+        return _EXTEND
+    if cat == 'Cf' and ch != '\u200b':  # ZWSP is not Format
+        return _FORMAT
+    if cat == 'Zs':
+        # WSegSpace excludes no-break spaces
+        if ch in ('\u00a0', '\u2007', '\u202f'):  # no-break spaces
+            return _OTHER
+        return _WSEGSPACE
+    if _in_ranges(cp, _KATAKANA_RANGES):
+        return _KATAKANA
+    if cat in ('Lu', 'Ll', 'Lt', 'Lm', 'Lo') or cat == 'Nl':
+        if _in_ranges(cp, _NON_ALETTER_RANGES):
+            return _OTHER
+        if 0x0591 <= cp <= 0x05F2 and cat == 'Lo':
+            return _HEBREW_LETTER
+        return _ALETTER
+    if cat == 'Nd':
+        return _NUMERIC
+    if cat == 'Pc':
+        return _EXTENDNUMLET
+    return _OTHER
+
+
+_AHLETTER = (_ALETTER, _HEBREW_LETTER)
+_MIDNUMLETQ = (_MIDNUMLET, _SINGLE_QUOTE)
+_IGNORABLE = (_EXTEND, _FORMAT, _ZWJ)
+
+
+def uax29_word_break_iterator(text: str) -> Iterator[int]:
+    """Yield UAX #29 word-boundary offsets (excluding 0, including len)."""
+    n = len(text)
+    if n == 0:
+        return
+    props = [_word_break_property(ch) for ch in text]
+
+    # collapsed view per WB4: positions whose property is Extend/Format/ZWJ
+    # attach to the previous character
+    def prev_base(i):
+        # property of the last non-ignorable char strictly before i, and its index
+        j = i - 1
+        while j >= 0 and props[j] in _IGNORABLE:
+            j -= 1
+        return (props[j] if j >= 0 else None), j
+
+    def next_base(i):
+        # property of the next non-ignorable char at/after i, and its index
+        j = i
+        while j < n and props[j] in _IGNORABLE:
+            j += 1
+        return (props[j] if j < n else None), j
+
+    for i in range(1, n):
+        left_raw = props[i - 1]
+        right_raw = props[i]
+        # WB3: CR x LF
+        if left_raw == _CR and right_raw == _LF:
+            continue
+        # WB3a / WB3b: break around newlines
+        if left_raw in (_CR, _LF, _NEWLINE) or right_raw in (_CR, _LF, _NEWLINE):
+            yield i
+            continue
+        # WB3d: WSegSpace x WSegSpace (keep space runs together)
+        if left_raw == _WSEGSPACE and right_raw == _WSEGSPACE:
+            continue
+        # WB4: X (Extend|Format|ZWJ)* -> treat ignorables as glue
+        if right_raw in _IGNORABLE:
+            continue
+        left, li = prev_base(i)
+        right = right_raw
+        if left is None:
+            yield i
+            continue
+        if left in _AHLETTER and right in _AHLETTER:
+            continue  # WB5
+        if left in _AHLETTER and right in (_MIDLETTER,) + _MIDNUMLETQ:
+            nxt, _ = next_base(i + 1)
+            if nxt in _AHLETTER:
+                continue  # WB6
+        if left in (_MIDLETTER,) + _MIDNUMLETQ and right in _AHLETTER:
+            prv, _ = prev_base(li)
+            if prv in _AHLETTER:
+                continue  # WB7
+        if left == _HEBREW_LETTER and right == _SINGLE_QUOTE:
+            continue  # WB7a
+        if left == _HEBREW_LETTER and right == _DOUBLE_QUOTE:
+            nxt, _ = next_base(i + 1)
+            if nxt == _HEBREW_LETTER:
+                continue  # WB7b
+        if left == _DOUBLE_QUOTE and right == _HEBREW_LETTER:
+            prv, _ = prev_base(li)
+            if prv == _HEBREW_LETTER:
+                continue  # WB7c
+        if left == _NUMERIC and right == _NUMERIC:
+            continue  # WB8
+        if left in _AHLETTER and right == _NUMERIC:
+            continue  # WB9
+        if left == _NUMERIC and right in _AHLETTER:
+            continue  # WB10
+        if left in (_MIDNUM,) + _MIDNUMLETQ and right == _NUMERIC:
+            prv, _ = prev_base(li)
+            if prv == _NUMERIC:
+                continue  # WB11
+        if left == _NUMERIC and right in (_MIDNUM,) + _MIDNUMLETQ:
+            nxt, _ = next_base(i + 1)
+            if nxt == _NUMERIC:
+                continue  # WB12
+        if left == _KATAKANA and right == _KATAKANA:
+            continue  # WB13
+        if left in (_ALETTER, _HEBREW_LETTER, _NUMERIC, _KATAKANA, _EXTENDNUMLET) \
+                and right == _EXTENDNUMLET:
+            continue  # WB13a
+        if left == _EXTENDNUMLET and right in (_ALETTER, _HEBREW_LETTER, _NUMERIC, _KATAKANA):
+            continue  # WB13b
+        if left == _RI and right == _RI:
+            # WB15/16: only pair up even runs of regional indicators
+            run = 0
+            j = li
+            while j >= 0:
+                p, j2 = prev_base(j)
+                if p == _RI:
+                    run += 1
+                    j = j2
+                else:
+                    break
+            if run % 2 == 0:
+                continue
+        yield i  # WB999
+    yield n
+
+
+def simple_word_break_iterator(text: str) -> Iterator[int]:
+    """Boundary at every space<->non-space transition, plus the end."""
+    if not text:
+        return
+    space = text[0].isspace()
+    for n, ch in enumerate(text):
+        if space != ch.isspace():
+            yield n
+            space = not space
+    yield len(text)
+
+
+def word_break_iterator(text: str, locale=None) -> Iterator[int]:
+    """simple segmentation when locale is None, else UAX #29.
+
+    ``locale`` is accepted for interface parity but the pure-Python UAX #29
+    engine is locale-independent (root rules), which matches ICU for the
+    locales the reference uses (en / en-US-POSIX have no word-break
+    tailorings).
+    """
+    if locale is None:
+        return simple_word_break_iterator(text)
+    return uax29_word_break_iterator(text)

@@ -1,0 +1,273 @@
+"""Zone tree model: typed, bbox-carrying hierarchical text zones.
+
+Semantics match the reference zone model (ocrodjvu lib/text_zones.py:38-224):
+
+* Zone types form a total order, coarser > finer
+  (page > column > region > para > line > word > char); comparisons like
+  ``details >= zone_type`` drive how deep extraction splits.
+* BBox is a None-tolerant (min,min,max,max) union monoid
+  (lib/text_zones.py:74-81).
+* On s-expression emission, inverted coordinates are swapped and degenerate
+  boxes widened by one so x0<x1 and y0<y1 strictly
+  (lib/text_zones.py:104-125).
+* ``group_words`` folds character zones into word zones between word-break
+  boundaries, splitting multi-char zones proportionally with integer
+  ``x0 + w*i//n`` arithmetic (lib/text_zones.py:180-224).
+* ``rotate`` mirrors hOCR top-left coordinates into DjVu bottom-left ones
+  and applies a k*90-degree page rotation (lib/text_zones.py:151-178),
+  reconstructed here in closed form (no djvulibre dependency).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Sequence, Union
+
+# --- zone types: total order, coarser is greater -------------------------
+
+ZONE_CHARACTER = 1
+ZONE_WORD = 2
+ZONE_LINE = 3
+ZONE_PARAGRAPH = 4
+ZONE_REGION = 5
+ZONE_COLUMN = 6
+ZONE_PAGE = 7
+
+TEXT_DETAILS_LINE = ZONE_LINE
+TEXT_DETAILS_WORD = ZONE_WORD
+TEXT_DETAILS_CHARACTER = ZONE_CHARACTER
+
+ZONE_NAME = {
+    ZONE_PAGE: 'page',
+    ZONE_COLUMN: 'column',
+    ZONE_REGION: 'region',
+    ZONE_PARAGRAPH: 'para',
+    ZONE_LINE: 'line',
+    ZONE_WORD: 'word',
+    ZONE_CHARACTER: 'char',
+}
+ZONE_BY_NAME = {v: k for k, v in ZONE_NAME.items()}
+
+
+class MalformedHocr(ValueError):
+    pass
+
+
+class MalformedOcrOutput(ValueError):
+    pass
+
+
+class BBox:
+    """None-tolerant bounding box with union-merge (a commutative monoid)."""
+
+    __slots__ = ('x0', 'y0', 'x1', 'y1')
+
+    def __init__(self, x0=None, y0=None, x1=None, y1=None):
+        self.x0 = x0
+        self.y0 = y0
+        self.x1 = x1
+        self.y1 = y1
+
+    def __getitem__(self, i):
+        return (self.x0, self.y0, self.x1, self.y1)[i]
+
+    def __iter__(self):
+        return iter((self.x0, self.y0, self.x1, self.y1))
+
+    def __bool__(self):
+        return (
+            self.x0 is not None and self.y0 is not None
+            and self.x1 is not None and self.y1 is not None
+        )
+
+    def __repr__(self):
+        return f'BBox({self.x0!r}, {self.y0!r}, {self.x1!r}, {self.y1!r})'
+
+    def __eq__(self, other):
+        return tuple(self) == tuple(other)
+
+    def update(self, other):
+        """Union-merge: min of x0,y0 / max of x1,y1, ignoring Nones."""
+        ox0, oy0, ox1, oy1 = other[0], other[1], other[2], other[3]
+        if ox0 is not None and (self.x0 is None or self.x0 > ox0):
+            self.x0 = ox0
+        if oy0 is not None and (self.y0 is None or self.y0 > oy0):
+            self.y0 = oy0
+        if ox1 is not None and (self.x1 is None or self.x1 < ox1):
+            self.x1 = ox1
+        if oy1 is not None and (self.y1 is None or self.y1 < oy1):
+            self.y1 = oy1
+
+
+ZoneChild = Union['Zone', str]
+
+
+class Zone:
+    """A typed zone with a bbox and children (sub-zones or string leaves)."""
+
+    __slots__ = ('type', '_bbox', 'children')
+
+    def __init__(self, type: int, bbox=None, children: Iterable[ZoneChild] = ()):
+        self.type = type
+        self.bbox = bbox
+        self.children: List[ZoneChild] = list(children)
+
+    @property
+    def bbox(self):
+        return self._bbox
+
+    @bbox.setter
+    def bbox(self, bbox):
+        self._bbox = None if bbox is None else tuple(bbox)
+
+    def __iter__(self):
+        return iter(self.children)
+
+    def __iadd__(self, new_children):
+        self.children += list(new_children)
+        return self
+
+    def __getitem__(self, n):
+        return self.children[n]
+
+    def __len__(self):
+        return len(self.children)
+
+    def __repr__(self):
+        return (
+            f'Zone(type={ZONE_NAME.get(self.type, self.type)}, '
+            f'bbox={self._bbox!r}, children={self.children!r})'
+        )
+
+    def sexpr(self):
+        """Emit the nested-list s-expression value for this zone.
+
+        Returns ``[type_name, x0, y0, x1, y1, child...]`` where children are
+        either nested lists or strings; an empty child list becomes one ""
+        leaf, inverted coordinates are swapped, and degenerate boxes are
+        widened by 1 (strict x0<x1, y0<y1).
+        """
+        children = [
+            child.sexpr() if isinstance(child, Zone) else child
+            for child in self.children
+        ] or ['']
+        x0, y0, x1, y1 = self._bbox
+        if x0 > x1:
+            x0, x1 = x1, x0
+        elif x0 == x1:
+            x1 += 1
+        if y0 > y1:
+            y0, y1 = y1, y0
+        elif y0 == y1:
+            y1 += 1
+        return [ZONE_NAME[self.type], x0, y0, x1, y1] + children
+
+    def rotate(self, rotation: int, xform=None):
+        """Transform hOCR top-left coords to DjVu bottom-left, rotated.
+
+        The exterior call must be on a page zone whose bbox starts at (0,0);
+        children reuse the page-level transform. ``rotation`` is a multiple
+        of 90 (degrees, counter-clockwise render rotation being undone).
+        """
+        if xform is None:
+            assert self.type == ZONE_PAGE, 'exterior zone must be a page'
+            assert self._bbox[:2] == (0, 0), 'page bbox must start at (0, 0)'
+            w, h = self._bbox[2:]
+            xform = _InverseRotation(rotation, w, h)
+        x0, y0 = xform(self._bbox[0], self._bbox[1])
+        x1, y1 = xform(self._bbox[2], self._bbox[3])
+        if x0 > x1:
+            x0, x1 = x1, x0
+        if y0 > y1:
+            y0, y1 = y1, y0
+        self.bbox = (x0, y0, x1, y1)
+        for child in self.children:
+            if isinstance(child, Zone):
+                child.rotate(rotation, xform)
+
+
+class _InverseRotation:
+    """Map hOCR top-left page coords back to DjVu bottom-left page coords.
+
+    The hOCR page of size (w, h) is the k*90-degree counter-clockwise
+    rendering of a DjVu page; for odd k the DjVu page has swapped
+    dimensions. For k == 0 this reduces to the y-mirror y' = h - y
+    (matching the reference's golden: input line ``bbox 10 10 50 40`` on a
+    100-high page emits ``(line 10 60 50 90 ...)``).
+    """
+
+    __slots__ = ('k', 'w', 'h')
+
+    def __init__(self, rotation: int, w: int, h: int):
+        if rotation % 90:
+            raise ValueError('rotation must be a multiple of 90')
+        self.k = (rotation // 90) & 3
+        self.w = w
+        self.h = h
+
+    def __call__(self, xh, yh):
+        w, h, k = self.w, self.h, self.k
+        # top-left -> bottom-left in the rendered frame
+        xr, yr = xh, h - yh
+        if k == 0:
+            return xr, yr
+        if k == 1:
+            # rendered = DjVu page (h, w) rotated 90 CCW: (xd,yd)->(Hd-yd, xd)
+            # with DjVu dims (Wd, Hd) = (h, w)
+            return yr, w - xr
+        if k == 2:
+            return w - xr, h - yr
+        # k == 3 (270 CCW): (xd,yd)->(yd, Wd-xd) with (Wd,Hd)=(h,w)
+        return h - yr, xr
+
+
+def group_words(zones: Sequence, details: int, word_break_iterator) -> list:
+    """Fold a run of character zones (plus whitespace strings) into words.
+
+    ``zones`` is a sequence of CHARACTER zones whose single child is a text
+    fragment, possibly interleaved with whitespace-only strings.
+    ``word_break_iterator`` is a callable text -> iterator of boundary
+    offsets. Multi-char zones are split into per-char boxes with integer
+    ``x0 + w*i//n`` interpolation before regrouping.
+    Returns word zones, or ``[text]`` if only line detail was requested.
+    """
+    # z[0] is the first character for plain strings and the first (text)
+    # child for zones — faithful to the reference's indexing semantics.
+    text = ''.join(z[0] for z in zones)
+    if details > TEXT_DETAILS_WORD:
+        return [text]
+    split_zones = []
+    for zone in zones:
+        zone_text = zone[0]
+        if len(zone_text) == 1:
+            split_zones.append(zone)
+            continue
+        x0, y0, x1, y1 = zone.bbox
+        w = x1 - x0
+        m = len(zone_text)
+        split_zones += [
+            Zone(zone.type, BBox(x0 + w * n // m, y0, x0 + w * (n + 1) // m, y1))
+            for n in range(m)
+        ]
+    zones = split_zones
+    assert len(text) == len(zones)
+    words = []
+    i = 0
+    for j in word_break_iterator(text):
+        subtext = text[i:j]
+        if subtext.isspace():
+            i = j
+            continue
+        bbox = BBox()
+        for k in range(i, j):
+            bbox.update(zones[k].bbox)
+        word = Zone(type=ZONE_WORD, bbox=bbox)
+        words.append(word)
+        if details > TEXT_DETAILS_CHARACTER:
+            word += [subtext]
+        else:
+            word += [
+                Zone(type=ZONE_CHARACTER, bbox=zones[k].bbox, children=[text[k]])
+                for k in range(i, j)
+            ]
+        i = j
+    return words

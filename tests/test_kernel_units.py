@@ -1,0 +1,202 @@
+"""Kernel unit vectors mirroring the reference's unit tests.
+
+Sources: ocrodjvu tests/test_unicode_support.py (exact break offsets),
+tests/test_text_zones.py (sexpr printing), tests/test_utils.py
+(page-number grammar, UTF-8 sanitation), lib/text_zones.py semantics.
+"""
+
+import pytest
+
+from ocrodjvu_spark.kernel import sexpr
+from ocrodjvu_spark.kernel.segment import (
+    simple_word_break_iterator,
+    uax29_word_break_iterator,
+    word_break_iterator,
+)
+from ocrodjvu_spark.kernel.utils import parse_page_numbers, sanitize_utf8
+from ocrodjvu_spark.kernel.zones import (
+    BBox,
+    Zone,
+    ZONE_CHARACTER,
+    ZONE_LINE,
+    ZONE_PAGE,
+    ZONE_WORD,
+    group_words,
+)
+
+TEXT = (
+    '“Jekyll,” cried Utterson, with a\xa0loud voice, '
+    '“I demand to see you.”'
+)
+
+
+class TestWordBreaks:
+    def test_simple(self):
+        expected = [9, 10, 15, 16, 25, 26, 30, 31, 32, 33, 37, 38, 44, 45,
+                    47, 48, 54, 55, 57, 58, 61, 62, 67]
+        assert list(simple_word_break_iterator(TEXT)) == expected
+        assert expected[-1] == len(TEXT)
+
+    def test_simple_empty(self):
+        assert list(simple_word_break_iterator('')) == []
+
+    def test_uax29_matches_icu_en(self):
+        # golden offsets recorded from ICU in the reference's
+        # tests/test_unicode_support.py:57
+        expected = [1, 7, 8, 9, 10, 15, 16, 24, 25, 26, 30, 31, 32, 33, 37,
+                    38, 43, 44, 45, 46, 47, 48, 54, 55, 57, 58, 61, 62, 65,
+                    66, 67]
+        assert list(uax29_word_break_iterator(TEXT)) == expected
+
+    def test_uax29_simple_word(self):
+        assert list(uax29_word_break_iterator('eggs')) == [4]
+
+    def test_uax29_empty(self):
+        assert list(uax29_word_break_iterator('')) == []
+
+    def test_dispatch(self):
+        assert list(word_break_iterator('a b')) == [1, 2, 3]
+        assert list(word_break_iterator('a b', locale='en')) == [1, 2, 3]
+
+
+class TestBBox:
+    def test_union(self):
+        b = BBox()
+        assert not b
+        b.update(BBox(10, 20, 30, 40))
+        assert tuple(b) == (10, 20, 30, 40)
+        b.update(BBox(5, 25, 50, 35))
+        assert tuple(b) == (5, 20, 50, 40)
+
+    def test_none_tolerant(self):
+        b = BBox(1, None, 3, None)
+        assert not b
+        b.update(BBox(None, 2, None, 4))
+        assert tuple(b) == (1, 2, 3, 4)
+        assert b
+
+
+class TestZoneSexpr:
+    def test_swap_inverted(self):
+        z = Zone(ZONE_LINE, bbox=(50, 90, 10, 60), children=['x'])
+        assert z.sexpr() == ['line', 10, 60, 50, 90, 'x']
+
+    def test_widen_degenerate(self):
+        z = Zone(ZONE_LINE, bbox=(10, 10, 10, 10), children=['x'])
+        assert z.sexpr() == ['line', 10, 10, 11, 11, 'x']
+
+    def test_empty_children(self):
+        z = Zone(ZONE_PAGE, bbox=(0, 0, 100, 100))
+        assert z.sexpr() == ['page', 0, 0, 100, 100, '']
+
+    def test_rotate_mirror(self):
+        # golden: bbox 10 10 50 40 on a 100-high page -> (line 10 60 50 90)
+        page = Zone(ZONE_PAGE, bbox=(0, 0, 100, 100), children=[
+            Zone(ZONE_LINE, bbox=(10, 10, 50, 40), children=['x']),
+        ])
+        page.rotate(0)
+        assert page.sexpr() == [
+            'page', 0, 0, 100, 100, ['line', 10, 60, 50, 90, 'x']]
+
+    @pytest.mark.parametrize('rotation', [90, 180, 270])
+    def test_rotate_dims(self, rotation):
+        page = Zone(ZONE_PAGE, bbox=(0, 0, 200, 100), children=[
+            Zone(ZONE_LINE, bbox=(10, 10, 50, 40), children=['x']),
+        ])
+        page.rotate(rotation)
+        s = page.sexpr()
+        if rotation in (90, 270):
+            assert (s[3], s[4]) == (100, 200)  # page dims swap for odd k
+        else:
+            assert (s[3], s[4]) == (200, 100)
+        line = s[5]
+        # child stays inside the rotated page
+        assert 0 <= line[1] <= line[3] <= s[3]
+        assert 0 <= line[2] <= line[4] <= s[4]
+
+    def test_rotate_roundtrip_180(self):
+        page = Zone(ZONE_PAGE, bbox=(0, 0, 200, 100), children=[
+            Zone(ZONE_LINE, bbox=(10, 10, 50, 40), children=['x']),
+        ])
+        page.rotate(180)
+        assert page.sexpr()[5] == ['line', 150, 10, 190, 40, 'x']
+
+
+class TestGroupWords:
+    def _chars(self, spec):
+        return [
+            Zone(ZONE_CHARACTER, bbox=bbox, children=[ch])
+            for ch, bbox in spec
+        ]
+
+    def test_line_details(self):
+        zones = self._chars([('a', (0, 0, 10, 10)), ('b', (10, 0, 20, 10))])
+        out = group_words(zones, ZONE_LINE, simple_word_break_iterator)
+        assert out == ['ab']
+
+    def test_word_grouping(self):
+        zones = self._chars([
+            ('a', (0, 0, 10, 10)), (' ', (10, 0, 20, 10)),
+            ('b', (20, 0, 30, 10)), ('c', (30, 0, 40, 10)),
+        ])
+        out = group_words(zones, ZONE_WORD, simple_word_break_iterator)
+        assert [z.sexpr() for z in out] == [
+            ['word', 0, 0, 10, 10, 'a'],
+            ['word', 20, 0, 40, 10, 'bc'],
+        ]
+
+    def test_proportional_split(self):
+        # multi-char zone: x0 + w*i//n integer interpolation
+        zones = [Zone(ZONE_CHARACTER, bbox=(0, 0, 30, 10), children=['abc'])]
+        out = group_words(zones, ZONE_CHARACTER, simple_word_break_iterator)
+        [word] = out
+        assert [c.sexpr() for c in word.children] == [
+            ['char', 0, 0, 10, 10, 'a'],
+            ['char', 10, 0, 20, 10, 'b'],
+            ['char', 20, 0, 30, 10, 'c'],
+        ]
+
+
+class TestSexprText:
+    def test_roundtrip_escapes(self):
+        text = '(page 0 0 100 100 "eggs\\007spam")'
+        value = sexpr.parse(text)
+        assert value == ['page', 0, 0, 100, 100, 'eggs\x07spam']
+        assert sexpr.parse(sexpr.print_compact(value)) == value
+
+    def test_unicode_unescaped(self):
+        value = ['word', 0, 0, 5, 5, 'jeż']
+        printed = sexpr.print_compact(value)
+        assert 'jeż' in printed
+        assert sexpr.parse(printed) == value
+
+    def test_quote_backslash(self):
+        value = ['word', 0, 0, 5, 5, 'a"b\\c']
+        assert sexpr.parse(sexpr.print_compact(value)) == value
+
+    def test_pretty_width(self):
+        value = ['page', 0, 0, 1000, 1000] + [
+            ['line', i, 0, i + 10, 10, 'x' * 30] for i in range(8)
+        ]
+        printed = sexpr.print_pretty(value, width=80)
+        assert all(len(line) <= 80 for line in printed.split('\n'))
+        assert sexpr.parse(printed) == value
+
+    def test_parse_many(self):
+        values = sexpr.parse_many('(a 1) (b 2)\n(c 3)')
+        assert values == [['a', 1], ['b', 2], ['c', 3]]
+
+
+class TestUtils:
+    def test_page_numbers(self):
+        assert parse_page_numbers(None) is None
+        assert parse_page_numbers('17') == [17]
+        assert parse_page_numbers('37-42') == [37, 38, 39, 40, 41, 42]
+        assert parse_page_numbers('17,37-42') == [17, 37, 38, 39, 40, 41, 42]
+        assert parse_page_numbers('42-37') == []
+        assert parse_page_numbers('17-17') == [17]
+
+    def test_sanitize_utf8(self):
+        assert sanitize_utf8(b'abc') == 'abc'
+        assert sanitize_utf8(b'a\xffb') == 'a�b'
+        assert sanitize_utf8(b'a\x01b\tc\nd\re') == 'a�b\tc\nd\re'
