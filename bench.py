@@ -1,0 +1,122 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Untimed prep: materialize the synthetic transcripts table to parquet once
+(models the stored Iceberg input; generation is not part of the measured
+pipeline). Timed: each headline query end-to-end into a noop sink (full
+materialization, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ocrodjvu_spark import pipeline  # noqa: E402
+from ocrodjvu_spark.session import get_spark  # noqa: E402
+from ocrodjvu_spark.sources import transcripts as T  # noqa: E402
+
+
+def materialize_transcripts(spark, sf_dir: str, cache_dir: str) -> str:
+    path = os.path.join(
+        cache_dir, 'transcripts_' + os.path.basename(sf_dir.rstrip('/')))
+    marker = os.path.join(path, '_SUCCESS')
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        (T.synthesize_transcripts(spark, sf_dir)
+         .repartition(32, 'conv_id')
+         .write.mode('overwrite').parquet(path))
+    return path
+
+
+def run_noop(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format('noop').mode('overwrite').save()
+    return time.perf_counter() - t0
+
+
+def main():
+    sf_dir = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')
+    cpus = int(os.environ.get('SPARK_GRAFT_CPUS', '32'))
+    cache_dir = os.environ.get(
+        'SPARK_GRAFT_BENCH_CACHE', '/tmp/spark_graft_bench')
+    os.makedirs(cache_dir, exist_ok=True)
+    sf = os.path.basename(sf_dir.rstrip('/')).replace('sf', '')
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = sf_dir
+
+    spark = get_spark(
+        'bench', cpus=cpus, shuffle_partitions=cpus,
+        extra_conf={
+            # size scan splits for a small-file local benchmark so the
+            # UDF stage gets ~1 task per core (on a real cluster the input
+            # is TB-scale and the default 128 MB splits already give
+            # thousands of tasks)
+            'spark.sql.files.maxPartitionBytes': str(1 << 20),
+            'spark.sql.files.openCostInBytes': str(64 << 10),
+        })
+    spark.sparkContext.setLogLevel('ERROR')
+
+    tpath = materialize_transcripts(spark, sf_dir, cache_dir)
+    transcripts = spark.read.parquet(tpath)
+    n_turns = transcripts.count()
+
+    # warmup: JVM codegen + Python worker pool + Arrow init (not timed)
+    run_noop(pipeline.extract_turns(transcripts.limit(512)))
+
+    timings = {}
+
+    # q1: flagship full extraction (words detail) into noop sink
+    extracted = pipeline.extract_turns(transcripts)
+    timings['extract_text'] = run_noop(
+        extracted.select('conv_id', 'turn_idx', 'dialect', 'error',
+                         'extracted_text', 'extracted_sexpr'))
+
+    # q2: word-span explode (spans fan-out path)
+    timings['extract_word_spans'] = run_noop(
+        pipeline.word_spans(pipeline.extract_turns(transcripts)))
+
+    # q3: extraction + stable conversation reassembly (the one shuffle)
+    timings['conversation_reassembly'] = run_noop(
+        pipeline.reassemble_conversations(pipeline.extract_turns(transcripts)))
+
+    # q4: uax29 segmentation variant of the kernel
+    timings['extract_text_uax29'] = run_noop(
+        pipeline.extract_turns(transcripts, uax29=True)
+        .select('conv_id', 'turn_idx', 'extracted_text'))
+
+    # q5: exact dedup over documents (hash groupBy)
+    docs = T.load_table(spark, sf_dir, 'documents')
+    norm = F.regexp_replace(F.trim('text'), r'\s+', ' ')
+    timings['dedup_exact'] = run_noop(
+        docs.groupBy(F.md5(norm).alias('text_hash')).agg(
+            F.min('doc_id').alias('rep_doc_id'),
+            F.count('*').alias('n_dupes')))
+
+    total = sum(timings.values())
+    result = {
+        'metric': 'headline_queries_total_sec',
+        'value': round(total, 3),
+        'unit': 'sec',
+        'queries': {k: round(v, 3) for k, v in timings.items()},
+        'sf': sf,
+        'n_turns': n_turns,
+        'turns_per_sec': round(n_turns / timings['extract_text'], 1),
+        'cpus': cpus,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,49 @@
+"""SparkSession factory tuned for the extraction workload.
+
+Local mode stands in for a multi-executor cluster; the knobs below are the
+ones that matter at 100 TB too (AQE for runtime re-planning and skew-join
+splitting, Arrow batching for the pandas-UDF kernel, shuffle-partition
+sizing relative to parallelism).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = 'ocrodjvu-spark',
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get('SPARK_GRAFT_CPUS', '0') or 0) or None
+    master = f'local[{cpus}]' if cpus else 'local[*]'
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus * 2 if cpus else 32
+    builder = (
+        SparkSession.builder
+        .appName(app_name)
+        .master(master)
+        # AQE: runtime coalescing + skew-join splitting; at cluster scale
+        # this is what absorbs conv_id skew after the salted repartition.
+        .config('spark.sql.adaptive.enabled', 'true')
+        .config('spark.sql.adaptive.coalescePartitions.enabled', 'true')
+        .config('spark.sql.adaptive.skewJoin.enabled', 'true')
+        .config('spark.sql.shuffle.partitions', str(shuffle_partitions))
+        # Arrow batching for the pandas-UDF extraction kernel.
+        .config('spark.sql.execution.arrow.pyspark.enabled', 'true')
+        .config('spark.sql.execution.arrow.maxRecordsPerBatch', '2048')
+        # keep scans wide enough to parallelize but small enough to fit
+        # executor memory at high SF (tune per deployment)
+        .config('spark.sql.files.maxPartitionBytes', '134217728')
+        .config('spark.ui.enabled', 'false')
+        .config('spark.driver.memory',
+                os.environ.get('SPARK_GRAFT_DRIVER_MEM', '8g'))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
