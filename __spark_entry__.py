@@ -65,6 +65,16 @@ def _q_turn_filter(spark, sf_dir):
         'conv_id', 'turn_idx', 'extracted_text')
 
 
+def _q_extract_roundtrip(spark, sf_dir):
+    # text-layer round trip: extract -> emit hOCR (djvu2hocr semantics)
+    # -> extract again; fixed point means the oracle is the same as
+    # extract_text
+    df = T.synthesize_transcripts(spark, sf_dir)
+    extracted = pipeline.extract_turns(df)
+    return pipeline.roundtrip_turns(extracted).select(
+        'conv_id', 'turn_idx', 'extracted_text')
+
+
 def _q_turns_per_conv(spark, sf_dir):
     # A4 per-document page count
     df = T.synthesize_transcripts(spark, sf_dir)
@@ -123,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'extract_text': _q_extract_text,
         'extract_word_spans': _q_extract_word_spans,
         'extract_sexpr': _q_extract_sexpr,
+        'extract_roundtrip': _q_extract_roundtrip,
         'turn_filter': _q_turn_filter,
         'turns_per_conv': _q_turns_per_conv,
         'conversation_reassembly': _q_conversation_reassembly,
@@ -190,6 +201,11 @@ def oracle_sql() -> dict[str, str]:
                         ) AS t
                    )
                    || '))' AS extracted_sexpr
+            FROM documents
+        ''',
+        'extract_roundtrip': f'''
+            SELECT {_CONV} AS conv_id, {_TIDX} AS turn_idx,
+                   {_NORM} AS extracted_text
             FROM documents
         ''',
         'turn_filter': f'''

@@ -131,6 +131,34 @@ def reassemble_conversations(extracted: DataFrame) -> DataFrame:
     )
 
 
+def roundtrip_turns(extracted: DataFrame, details: str = 'words',
+                    uax29=None) -> DataFrame:
+    """Text-layer round trip: extracted sexpr -> hOCR -> extract again.
+
+    Page dimensions come from the extracted page span (spans[0] is the
+    preorder root). A fixed-point check downstream asserts the re-extracted
+    text equals the original (north-star round-trip semantics).
+    """
+    from .functions.emit import make_emit_hocr_udf
+    emit = make_emit_hocr_udf(full_document=True)
+    page = F.element_at('spans', 1)
+    markup = extracted.where(F.col('extracted_sexpr').isNotNull()).select(
+        'conv_id', 'turn_idx',
+        emit(F.col('extracted_sexpr'), page.x1, page.y1).alias('text'),
+    )
+    extract = make_extract_udf(details=details, uax29=uax29)
+    result = markup.select(
+        'conv_id', 'turn_idx', extract(F.col('text')).alias('_r'))
+    return result.select(
+        'conv_id', 'turn_idx',
+        F.col('_r.error').alias('error'),
+        F.element_at('_r.pages', 1)['extracted_text']
+         .alias('extracted_text'),
+        F.element_at('_r.pages', 1)['extracted_sexpr']
+         .alias('extracted_sexpr'),
+    )
+
+
 def extraction_metrics(extracted: DataFrame) -> DataFrame:
     """Per-conversation extraction metrics (sidecar table content)."""
     return extracted.groupBy('conv_id').agg(

@@ -1,0 +1,146 @@
+"""End-to-end Spark pipeline tests.
+
+The decisive test feeds the reference's real hOCR fixtures through the
+*Spark* pipeline as a transcripts table — one turn per golden case — and
+asserts per-turn sexpr equality against the goldens (per-turn text
+equality under stable turn ordering, per BASELINE.json input_hint).
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ocrodjvu_spark import pipeline
+from ocrodjvu_spark.kernel import sexpr
+from ocrodjvu_spark.schema import TRANSCRIPTS_COLUMNS
+
+TRANSCRIPTS_DDL = ('conv_id string, turn_idx int, role string, '
+                   'text string, tool string, ts timestamp')
+
+from tests.corpus import golden_cases
+
+
+def _corpus_transcripts(spark, details='words', uax29=None):
+    """One conversation per fixture config; turns = golden cases."""
+    rows = []
+    expected = {}
+    i = 0
+    for case_id, html_bytes, kwargs, expected_pages in golden_cases():
+        if kwargs['details'] != (
+                {'lines': 3, 'words': 2, 'chars': 1}[details]):
+            continue
+        if bool(kwargs['uax29']) != bool(uax29):
+            continue
+        if kwargs.get('page_size') is not None:
+            continue  # page-size configs tested at kernel level
+        conv_id = f'conv-{i % 4}'
+        turn_idx = i // 4 + 1
+        rows.append(Row(
+            conv_id=conv_id,
+            turn_idx=turn_idx,
+            role='assistant',
+            text=html_bytes.decode('UTF-8', 'replace'),
+            tool=None,
+            ts=datetime.datetime(2025, 1, 1) + datetime.timedelta(seconds=i),
+        ))
+        expected[(conv_id, turn_idx)] = [
+            sexpr.parse(p) for p in expected_pages]
+        i += 1
+    df = spark.createDataFrame(rows, schema=','.join([
+        'conv_id string', 'turn_idx int', 'role string', 'text string',
+        'tool string', 'ts timestamp']))
+    return df, expected
+
+
+@pytest.mark.parametrize('details,uax29', [
+    ('words', None), ('lines', None), ('chars', None),
+    ('words', True), ('chars', True),
+])
+def test_golden_corpus_through_spark(spark, details, uax29):
+    df, expected = _corpus_transcripts(spark, details, uax29)
+    out = pipeline.extract_turns(
+        df, details=details, uax29=uax29, salt_buckets=4)
+    got = out.select(
+        'conv_id', 'turn_idx', 'page_idx', 'extracted_sexpr', 'error',
+    ).collect()
+    by_turn = {}
+    for r in got:
+        assert r.error is None, (r.conv_id, r.turn_idx, r.error)
+        by_turn.setdefault((r.conv_id, r.turn_idx), {})[r.page_idx] = (
+            r.extracted_sexpr)
+    assert set(by_turn) == set(expected)
+    for key, pages in expected.items():
+        got_pages = [by_turn[key][i] for i in sorted(by_turn[key])]
+        assert len(got_pages) == len(pages)
+        for got_page, want in zip(got_pages, pages):
+            assert sexpr.parse(got_page) == want, key
+
+
+def test_error_channel_resume(spark):
+    """--on-error resume semantics: bad rows keep error, good rows flow."""
+    rows = [
+        ('c1', 1, 'user',
+         '<html><head><meta name="ocr-capabilities" content="x"/></head>'
+         '<body><div class="ocr_page" title="bbox 0 0 100 100">'
+         '<span class="ocr_line" title="bbox 1 1 9 9">hi</span>'
+         '</div></body></html>', None, datetime.datetime(2025, 1, 1)),
+        ('c1', 2, 'user',
+         '<html><head><meta name="ocr-capabilities" content="x"/></head>'
+         '<body><div class="ocr_page">'
+         'no bbox</div></body></html>', None, datetime.datetime(2025, 1, 1)),
+        ('c1', 3, 'user', None, None, datetime.datetime(2025, 1, 1)),
+    ]
+    df = spark.createDataFrame(rows, schema=TRANSCRIPTS_DDL)
+    out = pipeline.extract_turns(df).orderBy('turn_idx').collect()
+    assert out[0].error is None
+    assert out[0].extracted_text == 'hi'
+    assert 'MalformedHocr' in out[1].error
+    assert out[1].extracted_text is None
+    assert out[2].error == 'null input'
+    assert len(out) == 3  # no rows dropped
+
+
+def test_reassembly_order(spark):
+    rows = []
+    # deliberately shuffled turn order
+    for turn_idx in (3, 1, 2):
+        rows.append((
+            'c9', turn_idx, 'user',
+            '<html><head><meta name="ocr-capabilities" content="x"/></head>'
+            '<body><div class="ocr_page" title="bbox 0 0 100 100">'
+            f'<span class="ocr_line" title="bbox 1 1 9 9">t{turn_idx}</span>'
+            '</div></body></html>', None, datetime.datetime(2025, 1, 1)))
+    df = spark.createDataFrame(rows, schema=TRANSCRIPTS_DDL)
+    out = pipeline.reassemble_conversations(
+        pipeline.extract_turns(df)).collect()
+    assert len(out) == 1
+    assert out[0].conversation_text == 't1\nt2\nt3'
+    assert out[0].n_turns == 3
+
+
+def test_word_spans_order(spark):
+    rows = [(
+        'c1', 1, 'user',
+        '<html><head><meta name="ocr-capabilities" content="x"/></head>'
+        '<body><div class="ocr_page" title="bbox 0 0 300 100">'
+        '<span class="ocr_line">'
+        '<span class="ocr_word" title="bbox 10 10 90 60">aa</span> '
+        '<span class="ocr_word" title="bbox 110 10 190 60">bb</span>'
+        '</span></div></body></html>', None, datetime.datetime(2025, 1, 1))]
+    df = spark.createDataFrame(rows, schema=TRANSCRIPTS_DDL)
+    out = pipeline.word_spans(pipeline.extract_turns(df)) \
+        .orderBy('word_idx').collect()
+    assert [(r.word, r.x0, r.y0, r.x1, r.y1) for r in out] == [
+        ('aa', 10, 40, 90, 90), ('bb', 110, 40, 190, 90)]
+
+
+def test_extract_stage_has_no_shuffle(spark):
+    """The extract projection must pipeline into the scan stage."""
+    rows = [('c1', 1, 'user', '<html/>', None,
+             datetime.datetime(2025, 1, 1))]
+    df = spark.createDataFrame(rows, schema=TRANSCRIPTS_DDL)
+    plan = pipeline.extract_turns(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert 'Exchange' not in plan
