@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocrodjvu_spark import pipeline
+from ocrodjvu_spark.functions import similarity, textops
 from ocrodjvu_spark.sources import transcripts as T
 
 SF0001 = '/root/testdata/sf0.001'
@@ -128,6 +129,60 @@ def _q_token_stats(spark, sf_dir):
     )
 
 
+def _docs_with_near_dups(spark, sf_dir):
+    """documents + deterministic near-duplicate rows (dedup positives)."""
+    docs = T.load_table(spark, sf_dir, 'documents').select('doc_id', 'text')
+    dups = docs.where(F.col('doc_id') % 17 == 0).select(
+        (F.col('doc_id') + 1000000).alias('doc_id'),
+        F.concat(F.col('text'), F.lit(' near duplicate tail')).alias('text'),
+    )
+    return docs.unionByName(dups)
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    # MinHash signatures -> LSH bands -> candidate pairs -> exact-Jaccard
+    # verification (the scale path for near-dup detection)
+    docs = _docs_with_near_dups(spark, sf_dir)
+    return textops.minhash_dedup_pairs(docs, threshold=0.5)
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    # exact shingle-join Jaccard baseline
+    docs = _docs_with_near_dups(spark, sf_dir)
+    return textops.jaccard_pairs(docs, threshold=0.5)
+
+
+def _q_simhash(spark, sf_dir):
+    docs = T.load_table(spark, sf_dir, 'documents')
+    return docs.select(
+        'doc_id', textops.simhash32(textops.tokens('text')).alias('simhash'))
+
+
+def _q_language_id(spark, sf_dir):
+    docs = T.load_table(spark, sf_dir, 'documents')
+    return textops.language_id(docs)
+
+
+def _q_quality_score(spark, sf_dir):
+    docs = T.load_table(spark, sf_dir, 'documents')
+    return textops.quality_score(docs)
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    docs = T.load_table(spark, sf_dir, 'documents')
+    return textops.doc_fingerprint(docs)
+
+
+def _q_ann_cosine_topk(spark, sf_dir):
+    emb = T.load_table(spark, sf_dir, 'embeddings')
+    return similarity.cosine_topk(emb, n_queries=10, k=5)
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    emb = T.load_table(spark, sf_dir, 'embeddings')
+    return similarity.lsh_topk(emb, n_queries=10, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         'extract_text': _q_extract_text,
@@ -140,6 +195,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'extraction_metrics': _q_extraction_metrics,
         'dedup_exact': _q_dedup_exact,
         'token_stats': _q_token_stats,
+        'dedup_minhash_lsh': _q_dedup_minhash_lsh,
+        'dedup_ngram_jaccard': _q_dedup_ngram_jaccard,
+        'simhash': _q_simhash,
+        'language_id': _q_language_id,
+        'quality_score': _q_quality_score,
+        'doc_fingerprint': _q_doc_fingerprint,
+        'ann_cosine_topk': _q_ann_cosine_topk,
+        'ann_lsh_topk': _q_ann_lsh_topk,
     }
 
 
@@ -165,6 +228,99 @@ WITH words AS (
                    generate_subscripts({_TOKS}, 1) AS i
          ) AS t
 )
+'''
+
+
+# portable rolling hash of a string expression {s}
+def _SQL_HASH(s):
+    return (
+        'list_reduce(list_prepend(CAST(0 AS BIGINT), '
+        f'list_transform(string_split({s}, \'\'), '
+        'c -> CAST(ascii(c) AS BIGINT))), '
+        '(acc, x) -> (acc * 31 + x) % 2147483647)'
+    )
+
+
+_SQL_SHINGLES = (
+    'CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform('
+    "range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' "
+    '|| toks[i+2])) '
+    "ELSE [array_to_string(toks, ' ')] END"
+)
+
+_SQL_DOCS_DUPS = f'''
+docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           text || ' near duplicate tail' AS text
+    FROM documents WHERE doc_id % 17 = 0
+),
+tok AS (SELECT doc_id, {_TOKS} AS toks FROM docs),
+sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform({_SQL_SHINGLES},
+                                 s -> {_SQL_HASH('s')})) AS shingle
+    FROM tok
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM sh a JOIN sh b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT doc_a, doc_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+)
+'''
+
+from ocrodjvu_spark.functions.textops import (  # noqa: E402
+    HASH_MOD, LANG_ORDER, MINHASH_PARAMS, STOPWORDS)
+
+_SQL_MINHASH_SIG = ', '.join(
+    f'list_aggregate(list_transform(shingles, h -> (h * {a} + {b}) '
+    f'% {HASH_MOD}), \'min\') AS mh{k}'
+    for k, (a, b) in enumerate(MINHASH_PARAMS)
+)
+_SQL_BANDS = ', '.join(
+    "('{b}:' || CAST(mh{h0} AS VARCHAR) || '-' || CAST(mh{h1} AS VARCHAR)"
+    " || '-' || CAST(mh{h2} AS VARCHAR) || '-' || CAST(mh{h3} AS VARCHAR))"
+    .format(b=b, h0=4 * b, h1=4 * b + 1, h2=4 * b + 2, h3=4 * b + 3)
+    for b in range(4)
+)
+
+
+def _sql_stop_hits(lang):
+    words = ', '.join(f"'{w}'" for w in STOPWORDS[lang])
+    return (f'len(list_filter(toks, t -> list_contains([{words}], t)))')
+
+
+_SQL_EMB = '''
+e AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+n AS (
+    SELECT vec_id, v,
+           sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+    FROM e
+)
+'''
+
+_SQL_TOPK_TAIL = '''
+SELECT query_id, rank, neighbor_id, cos_sim
+FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+    ) AS INTEGER) AS rank
+    FROM scored
+) WHERE rank <= 5
 '''
 
 
@@ -253,5 +409,158 @@ def oracle_sql() -> dict[str, str]:
                               AS DOUBLE) / len({_TOKS}), 4)
                        AS avg_token_len
             FROM documents
+        ''',
+        'dedup_ngram_jaccard': f'''
+            WITH {_SQL_DOCS_DUPS}
+            SELECT doc_a, doc_b, jaccard FROM jac
+            WHERE jaccard >= 0.5
+        ''',
+        'dedup_minhash_lsh': f'''
+            WITH {_SQL_DOCS_DUPS},
+            shing AS (
+                SELECT doc_id,
+                       list_transform({_SQL_SHINGLES},
+                                      s -> {_SQL_HASH('s')}) AS shingles
+                FROM tok
+            ),
+            sig AS (SELECT doc_id, {_SQL_MINHASH_SIG} FROM shing),
+            bands AS (
+                SELECT doc_id, unnest([{_SQL_BANDS}]) AS band FROM sig
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.doc_id < b.doc_id
+            )
+            SELECT j.doc_a, j.doc_b, j.jaccard
+            FROM cand JOIN jac j
+              ON j.doc_a = cand.doc_a AND j.doc_b = cand.doc_b
+            WHERE j.jaccard >= 0.5
+        ''',
+        'simhash': f'''
+            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            th AS (
+                SELECT doc_id,
+                       list_transform(toks, t -> {_SQL_HASH('t')}) AS hs
+                FROM tok
+            )
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(range(0, 32), j ->
+                       CASE WHEN list_sum(list_transform(hs, h ->
+                           CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END
+                       )) > 0
+                       THEN (CAST(1 AS BIGINT) << j)
+                       ELSE CAST(0 AS BIGINT) END
+                   )) AS BIGINT) AS simhash
+            FROM th
+        ''',
+        'language_id': f'''
+            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            hits AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS INTEGER) AS n_tokens,
+                       {', '.join(
+                           f'CAST({_sql_stop_hits(lang)} AS INTEGER) '
+                           f'AS hits_{lang}'
+                           for lang in LANG_ORDER)}
+                FROM tok
+            )
+            SELECT doc_id, n_tokens, hits_en, hits_de, hits_fr, hits_es,
+                   CASE
+                     WHEN greatest(hits_en, hits_de, hits_fr, hits_es) <= 0
+                       THEN 'und'
+                     {' '.join(
+                         f"WHEN hits_{lang} = greatest(hits_en, hits_de, "
+                         f"hits_fr, hits_es) THEN '{lang}'"
+                         for lang in LANG_ORDER)}
+                   END AS lang_pred,
+                   round(greatest(hits_en, hits_de, hits_fr, hits_es) * 1.0
+                         / greatest(n_tokens, 1), 6) AS stopword_ratio
+            FROM hits
+        ''',
+        'quality_score': f'''
+            WITH base AS (
+                SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks
+                FROM documents
+            ),
+            feat AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS INTEGER) AS n_tokens,
+                       length(norm) AS n_chars,
+                       length(regexp_replace(norm, '[^a-zA-Z]', '', 'g'))
+                           AS alpha_chars,
+                       length(regexp_replace(norm, '[^.,;:!?]', '', 'g'))
+                           AS punct_chars,
+                       {_sql_stop_hits('en')} AS stop_hits
+                FROM base
+            )
+            SELECT doc_id, n_tokens,
+                   round((n_chars - (n_tokens - 1)) * 1.0
+                         / greatest(n_tokens, 1), 6) AS mean_token_len,
+                   round(alpha_chars * 1.0 / greatest(n_chars, 1), 6)
+                       AS alpha_ratio,
+                   round(punct_chars * 1.0 / greatest(n_chars, 1), 6)
+                       AS punct_ratio,
+                   round(stop_hits * 1.0 / greatest(n_tokens, 1), 6)
+                       AS stopword_ratio,
+                   round(
+                     least(n_tokens / 100.0, 1.0) * 0.25
+                     + (alpha_chars * 1.0 / greatest(n_chars, 1)) * 0.25
+                     + (1.0 - punct_chars * 1.0 / greatest(n_chars, 1))
+                       * 0.25
+                     + least(stop_hits * 5.0 / greatest(n_tokens, 1), 1.0)
+                       * 0.25, 6) AS quality_score
+            FROM feat
+        ''',
+        'doc_fingerprint': f'''
+            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            h AS (
+                SELECT doc_id,
+                       list_distinct(list_transform({_SQL_SHINGLES},
+                                     s -> {_SQL_HASH('s')})) AS hashes
+                FROM tok
+            )
+            SELECT doc_id,
+                   array_to_string(list_transform(
+                       list_sort(hashes)[1:4], x -> CAST(x AS VARCHAR)),
+                       '-') AS fingerprint,
+                   list_aggregate(hashes, 'min') AS fp_min,
+                   CAST(len(hashes) AS INTEGER) AS n_shingles
+            FROM h
+        ''',
+        'ann_cosine_topk': f'''
+            WITH {_SQL_EMB},
+            scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_sum(list_transform(range(1, len(q.v) + 1),
+                                 i -> q.v[i] * c.v[i]))
+                             / (q.nrm * c.nrm), 6) AS cos_sim
+                FROM n q JOIN n c
+                  ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+            )
+            {_SQL_TOPK_TAIL}
+        ''',
+        'ann_lsh_topk': f'''
+            WITH {_SQL_EMB},
+            b AS (
+                SELECT vec_id, v, nrm,
+                       array_to_string(list_transform(range(0, 8), j ->
+                           CASE WHEN list_sum(list_transform(
+                               range(1, len(v) + 1),
+                               i -> v[i] * CAST(((i - 1) * 37 + j * 101)
+                                               % 19 - 9 AS DOUBLE)
+                           )) >= 0 THEN '1' ELSE '0' END), '') AS bucket
+                FROM n
+            ),
+            scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_sum(list_transform(range(1, len(q.v) + 1),
+                                 i -> q.v[i] * c.v[i]))
+                             / (q.nrm * c.nrm), 6) AS cos_sim
+                FROM b q JOIN b c
+                  ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+                 AND q.bucket = c.bucket
+            )
+            {_SQL_TOPK_TAIL}
         ''',
     }

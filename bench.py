@@ -104,6 +104,17 @@ def main():
             F.min('doc_id').alias('rep_doc_id'),
             F.count('*').alias('n_dupes')))
 
+    # q6: MinHash+LSH near-dup pairs (shingle -> sig -> band join -> verify)
+    from ocrodjvu_spark.functions import similarity, textops
+    timings['dedup_minhash_lsh'] = run_noop(
+        textops.minhash_dedup_pairs(docs.select('doc_id', 'text'),
+                                    threshold=0.5))
+
+    # q7: brute-force cosine top-k over embeddings
+    emb = T.load_table(spark, sf_dir, 'embeddings')
+    timings['ann_cosine_topk'] = run_noop(
+        similarity.cosine_topk(emb, n_queries=10, k=5))
+
     total = sum(timings.values())
     result = {
         'metric': 'headline_queries_total_sec',

@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — brute-force cosine top-k: broadcast the (small) query
+  set against the corpus; dot products via ``zip_with``+``aggregate``
+  (JVM-side, whole-stage codegen). The baseline ANN path.
+* ``lsh_bucket`` / ``lsh_topk`` — random-hyperplane (sign) LSH: each
+  vector maps to a bit-string bucket from deterministic hyperplanes; the
+  candidate join touches only same-bucket pairs. The scale path: at 10^12
+  rows the bucket join replaces the full cross product, trading recall
+  for a ~2^bits fan-in reduction.
+
+Floats are cast to double before arithmetic and similarities rounded to 6
+decimals with vec_id tie-breaks, so results are engine-portable (DuckDB
+oracle computes the same fold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_HYPERPLANES = 8
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast('double'))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def hyperplane(j: int, dim: int = 64) -> Column:
+    """Deterministic pseudo-random hyperplane: ((i*37 + j*101) % 19) - 9."""
+    return F.array(*[
+        F.lit(float((i * 37 + j * 101) % 19 - 9)) for i in range(dim)
+    ])
+
+
+def lsh_bucket(vec: Column, n_planes: int = N_HYPERPLANES,
+               dim: int = 64) -> Column:
+    """Sign-LSH bucket id as a bit string, e.g. '10011010'."""
+    bits = [
+        F.when(dot(vec, hyperplane(j, dim)) >= 0, F.lit('1'))
+         .otherwise(F.lit('0'))
+        for j in range(n_planes)
+    ]
+    return F.concat(*bits)
+
+
+def _prep(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    v = as_double(F.col(vec_col))
+    return embeddings.select(
+        F.col(id_col), v.alias('vec'), norm(v).alias('nrm'))
+
+
+def cosine_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
+                id_col: str = 'vec_id',
+                vec_col: str = 'embedding') -> DataFrame:
+    """Brute-force cosine top-k of the first ``n_queries`` vectors.
+
+    Output: (query_id, rank, neighbor_id, cos_sim) with rank 1..k by
+    (cos_sim desc, neighbor_id) after rounding to 6 decimals.
+    """
+    corpus = _prep(embeddings, id_col, vec_col)
+    queries = corpus.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias('query_id'),
+        F.col('vec').alias('qvec'),
+        F.col('nrm').alias('qnrm'),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(F.col(id_col) != F.col('query_id'))
+        .select(
+            'query_id',
+            F.col(id_col).alias('neighbor_id'),
+            F.round(
+                dot(F.col('vec'), F.col('qvec'))
+                / (F.col('nrm') * F.col('qnrm')), 6).alias('cos_sim'),
+        )
+    )
+    w = Window.partitionBy('query_id').orderBy(
+        F.col('cos_sim').desc(), F.col('neighbor_id'))
+    return (
+        scored.withColumn('rank', F.row_number().over(w))
+        .where(F.col('rank') <= k)
+        .select('query_id', 'rank', 'neighbor_id', 'cos_sim')
+    )
+
+
+def lsh_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
+             id_col: str = 'vec_id', vec_col: str = 'embedding',
+             n_planes: int = N_HYPERPLANES, dim: int = 64) -> DataFrame:
+    """Approximate cosine top-k restricted to same-LSH-bucket candidates."""
+    corpus = _prep(embeddings, id_col, vec_col).withColumn(
+        'bucket', lsh_bucket(F.col('vec'), n_planes, dim))
+    queries = corpus.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias('query_id'),
+        F.col('vec').alias('qvec'),
+        F.col('nrm').alias('qnrm'),
+        F.col('bucket').alias('qbucket'),
+    )
+    scored = (
+        corpus.join(F.broadcast(queries),
+                    F.col('bucket') == F.col('qbucket'))
+        .where(F.col(id_col) != F.col('query_id'))
+        .select(
+            'query_id',
+            F.col(id_col).alias('neighbor_id'),
+            F.round(
+                dot(F.col('vec'), F.col('qvec'))
+                / (F.col('nrm') * F.col('qnrm')), 6).alias('cos_sim'),
+        )
+    )
+    w = Window.partitionBy('query_id').orderBy(
+        F.col('cos_sim').desc(), F.col('neighbor_id'))
+    return (
+        scored.withColumn('rank', F.row_number().over(w))
+        .where(F.col('rank') <= k)
+        .select('query_id', 'rank', 'neighbor_id', 'cos_sim')
+    )

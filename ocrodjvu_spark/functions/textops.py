@@ -1,0 +1,330 @@
+"""Training-data-pipeline text operators, all JVM-side Catalyst expressions.
+
+Everything here is built from ``pyspark.sql.functions`` only — no Python
+UDFs — so the operators stay inside whole-stage codegen and scale linearly
+with executors. Hashes are engine-portable (character-fold rolling hash,
+md5) so every operator has an exact DuckDB oracle.
+
+Operators:
+* word shingles + rolling hash (the shared primitive)
+* MinHash signatures + LSH banding -> candidate pairs -> exact-Jaccard
+  verification (near-duplicate detection at scale)
+* SimHash (32-bit) fingerprints
+* n-gram Jaccard similarity pairs (exact, shingle-join)
+* bottom-k document fingerprint
+* language ID (stopword-hit heuristic)
+* quality scoring (length / token / stopword / non-alpha ratios)
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_MOD = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+# MinHash permutation parameters: h_k(x) = (a_k * x + b_k) mod HASH_MOD.
+# Fixed, deterministic, coprime with the modulus.
+MINHASH_PARAMS = [
+    (1 + 2 * k, 10007 * (k + 1) % HASH_MOD) for k in range(16)
+]
+LSH_BAND_SIZE = 4  # 16 hashes -> 4 bands of 4
+
+
+def norm_text(col='text') -> Column:
+    return F.regexp_replace(F.trim(col), r'\s+', ' ')
+
+
+def tokens(col='text') -> Column:
+    return F.split(norm_text(col), ' ')
+
+
+def rolling_hash(str_col: Column) -> Column:
+    """Portable string hash: fold (acc*31 + ascii(ch)) % (2^31-1).
+
+    Identical to DuckDB's
+    ``list_reduce(list_prepend(0, list_transform(string_split(s, ''),
+    c -> ascii(c))), (acc, x) -> (acc * 31 + x) % 2147483647)``.
+    """
+    return F.aggregate(
+        F.split(str_col, ''),
+        F.lit(0).cast('long'),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % HASH_MOD,
+    )
+
+
+def word_shingles(tokens_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingle strings."""
+    joined = F.transform(
+        F.sequence(F.lit(0), F.size(tokens_col) - n),
+        lambda i: F.concat_ws(
+            ' ', *[F.element_at(tokens_col, (i + j + 1).cast('int'))
+                   for j in range(n)]),
+    )
+    # short docs (< n tokens): fall back to the whole text as one shingle
+    return F.array_distinct(
+        F.when(F.size(tokens_col) >= n, joined)
+        .otherwise(F.array(F.concat_ws(' ', tokens_col)))
+    )
+
+
+def shingle_hashes(tokens_col: Column, n: int = 3) -> Column:
+    return F.transform(word_shingles(tokens_col, n),
+                       lambda s: rolling_hash(s))
+
+
+def minhash_signature(hashes_col: Column) -> Column:
+    """Array of K minhash values over a shingle-hash array column.
+
+    NOTE: column-expression form, for per-row use on *small* arrays.
+    The scalable path is ``minhash_signature_table`` — Catalyst inlines
+    duplicated array expressions on projection collapse, so referencing
+    this array K times would recompute the shingle fold K*K times;
+    the explode+groupBy form computes each hash exactly once and gets
+    whole-stage codegen + map-side combine.
+    """
+    return F.array(*[
+        F.array_min(F.transform(
+            hashes_col, lambda h: (h * a + b) % HASH_MOD))
+        for a, b in MINHASH_PARAMS
+    ])
+
+
+def minhash_signature_table(docs: DataFrame, id_col='doc_id',
+                            text_col='text', n: int = 3) -> DataFrame:
+    """(id, mh0..mhK-1): minhash signature via explode + aggregate."""
+    sh = doc_shingle_table(docs, id_col, text_col, n)
+    return sh.groupBy(id_col).agg(*[
+        F.min((F.col('shingle') * a + b) % HASH_MOD).alias(f'mh{k}')
+        for k, (a, b) in enumerate(MINHASH_PARAMS)
+    ])
+
+
+def minhash_band_table(sig: DataFrame, id_col='doc_id',
+                       band_size: int = LSH_BAND_SIZE) -> DataFrame:
+    """(id, band): one row per LSH band key 'band_idx:h1-h2-...'."""
+    n_bands = len(MINHASH_PARAMS) // band_size
+    bands = F.array(*[
+        F.concat_ws(
+            ':', F.lit(str(b)),
+            F.concat_ws('-', *[
+                F.col(f'mh{b * band_size + j}').cast('string')
+                for j in range(band_size)
+            ]))
+        for b in range(n_bands)
+    ])
+    return sig.select(id_col, F.explode(bands).alias('band'))
+
+
+def simhash32(tokens_col: Column) -> Column:
+    """32-bit SimHash over token rolling hashes (+1/-1 bit votes)."""
+    token_hashes = F.transform(tokens_col, lambda t: rolling_hash(t))
+    votes = F.aggregate(
+        token_hashes,
+        F.array_repeat(F.lit(0).cast('long'), 32),
+        lambda acc, h: _zip_votes(acc, h),
+    )
+    out = F.lit(0).cast('long')
+    for j in range(32):
+        out = out + F.when(F.element_at(votes, j + 1) > 0,
+                           F.lit(1 << j).cast('long')) \
+                     .otherwise(F.lit(0).cast('long'))
+    return out
+
+
+def _zip_votes(acc: Column, h: Column) -> Column:
+    bits = F.array(*[
+        F.when(F.shiftright(h, j) % 2 == 1, F.lit(1).cast('long'))
+         .otherwise(F.lit(-1).cast('long'))
+        for j in range(32)
+    ])
+    return F.zip_with(acc, bits, lambda a, b: a + b)
+
+
+def doc_shingle_table(docs: DataFrame, id_col='doc_id', text_col='text',
+                      n: int = 3) -> DataFrame:
+    """Exploded distinct (doc_id, shingle_hash) pairs."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(shingle_hashes(tokens(text_col), n)).alias('shingle'),
+    ).distinct()
+
+
+def jaccard_pairs(docs: DataFrame, id_col='doc_id', text_col='text',
+                  n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs via shingle self-join.
+
+    Shuffle pattern: one exchange on shingle (the join), one on the pair
+    key (the count); sizes broadcast back. Candidate generation never
+    materializes the full cross product.
+    """
+    sh = doc_shingle_table(docs, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count('*').alias('n_shingles'))
+    a = sh.alias('a')
+    b = sh.alias('b')
+    inter = (
+        a.join(b, (F.col('a.shingle') == F.col('b.shingle'))
+               & (F.col(f'a.{id_col}') < F.col(f'b.{id_col}')))
+        .groupBy(F.col(f'a.{id_col}').alias('doc_a'),
+                 F.col(f'b.{id_col}').alias('doc_b'))
+        .agg(F.count('*').alias('n_common'))
+    )
+    sa = sizes.select(F.col(id_col).alias('doc_a'),
+                      F.col('n_shingles').alias('size_a'))
+    sb = sizes.select(F.col(id_col).alias('doc_b'),
+                      F.col('n_shingles').alias('size_b'))
+    return (
+        inter.join(sa, 'doc_a').join(sb, 'doc_b')
+        .withColumn(
+            'jaccard',
+            F.round(F.col('n_common')
+                    / (F.col('size_a') + F.col('size_b')
+                       - F.col('n_common')), 6))
+        .where(F.col('jaccard') >= threshold)
+        .select('doc_a', 'doc_b', 'jaccard')
+    )
+
+
+def minhash_dedup_pairs(docs: DataFrame, id_col='doc_id', text_col='text',
+                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard.
+
+    shingle -> minhash signature -> band -> bucket self-join (candidates)
+    -> exact-Jaccard verification. At scale the band join touches only
+    colliding buckets; the verification join is on the (small) candidate
+    set. This is the scale path; ``jaccard_pairs`` is the exact baseline.
+    """
+    sig = minhash_signature_table(docs, id_col, text_col, n)
+    bands = minhash_band_table(sig, id_col)
+    a = bands.alias('a')
+    b = bands.alias('b')
+    candidates = (
+        a.join(b, (F.col('a.band') == F.col('b.band'))
+               & (F.col(f'a.{id_col}') < F.col(f'b.{id_col}')))
+        .select(F.col(f'a.{id_col}').alias('doc_a'),
+                F.col(f'b.{id_col}').alias('doc_b'))
+        .distinct()
+    )
+    # exact-Jaccard verification restricted to the candidate set: the
+    # shingle join fans out per *candidate pair*, never per hot shingle,
+    # so cost scales with |candidates|, not sum(df^2) over shingles.
+    sh = doc_shingle_table(docs, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count('*').alias('n_shingles'))
+    sa = sh.select(F.col(id_col).alias('doc_a'),
+                   F.col('shingle').alias('sh_a'))
+    sb = sh.select(F.col(id_col).alias('_doc_b'),
+                   F.col('shingle').alias('sh_b'))
+    inter = (
+        candidates
+        .join(sa, 'doc_a')
+        .join(sb, (F.col('doc_b') == F.col('_doc_b'))
+              & (F.col('sh_a') == F.col('sh_b')))
+        .groupBy('doc_a', 'doc_b')
+        .agg(F.count('*').alias('n_common'))
+    )
+    za = sizes.select(F.col(id_col).alias('doc_a'),
+                      F.col('n_shingles').alias('size_a'))
+    zb = sizes.select(F.col(id_col).alias('doc_b'),
+                      F.col('n_shingles').alias('size_b'))
+    return (
+        inter.join(za, 'doc_a').join(zb, 'doc_b')
+        .withColumn(
+            'jaccard',
+            F.round(F.col('n_common')
+                    / (F.col('size_a') + F.col('size_b')
+                       - F.col('n_common')), 6))
+        .where(F.col('jaccard') >= threshold)
+        .select('doc_a', 'doc_b', 'jaccard')
+    )
+
+
+# --- language ID + quality -------------------------------------------------
+
+STOPWORDS = {
+    'en': ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'it', 'that', 'for'),
+    'de': ('der', 'die', 'das', 'und', 'ist', 'von', 'mit', 'den', 'im',
+           'ein'),
+    'fr': ('le', 'la', 'les', 'et', 'de', 'un', 'une', 'est', 'dans',
+           'pour'),
+    'es': ('el', 'la', 'los', 'y', 'de', 'un', 'una', 'es', 'en', 'por'),
+}
+LANG_ORDER = ('en', 'de', 'fr', 'es')
+
+
+def stopword_hits(tokens_col: Column, lang: str) -> Column:
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens_col,
+                           lambda t: F.array_contains(words, t)))
+
+
+def language_id(docs: DataFrame, id_col='doc_id',
+                text_col='text') -> DataFrame:
+    """Stopword-hit language classifier with deterministic tie-break.
+
+    argmax over LANG_ORDER; 'und' (undetermined) when no stopword hits.
+    """
+    toks = tokens(text_col)
+    hits = [stopword_hits(toks, lang).alias(f'hits_{lang}')
+            for lang in LANG_ORDER]
+    scored = docs.select(F.col(id_col), F.size(toks).alias('n_tokens'),
+                         *hits)
+    best = F.greatest(*[F.col(f'hits_{lang}') for lang in LANG_ORDER])
+    pred = F.when(best <= 0, F.lit('und'))
+    for lang in LANG_ORDER:
+        pred = pred.when(F.col(f'hits_{lang}') == best, F.lit(lang))
+    return scored.select(
+        id_col, 'n_tokens',
+        *[f'hits_{lang}' for lang in LANG_ORDER],
+        pred.alias('lang_pred'),
+        F.round(best / F.greatest(F.col('n_tokens'), F.lit(1)), 6)
+         .alias('stopword_ratio'),
+    )
+
+
+def quality_score(docs: DataFrame, id_col='doc_id',
+                  text_col='text') -> DataFrame:
+    """Heuristic document quality features + a combined score."""
+    norm = norm_text(text_col)
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(norm)
+    alpha_chars = F.length(F.regexp_replace(norm, r'[^a-zA-Z]', ''))
+    punct_chars = F.length(F.regexp_replace(norm, r'[^.,;:!?]', ''))
+    en_words = F.array(*[F.lit(w) for w in STOPWORDS['en']])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(en_words,
+                                                                 t)))
+    mean_tok = (n_chars - (n_tokens - 1)) / F.greatest(n_tokens, F.lit(1))
+    alpha_ratio = alpha_chars / F.greatest(n_chars, F.lit(1))
+    punct_ratio = punct_chars / F.greatest(n_chars, F.lit(1))
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.25
+        + alpha_ratio * 0.25
+        + (F.lit(1.0) - punct_ratio) * 0.25
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.25
+    )
+    return docs.select(
+        id_col,
+        n_tokens.alias('n_tokens'),
+        F.round(mean_tok, 6).alias('mean_token_len'),
+        F.round(alpha_ratio, 6).alias('alpha_ratio'),
+        F.round(punct_ratio, 6).alias('punct_ratio'),
+        F.round(stop_ratio, 6).alias('stopword_ratio'),
+        F.round(score, 6).alias('quality_score'),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, id_col='doc_id', text_col='text',
+                    n: int = 3, k: int = 4) -> DataFrame:
+    """Bottom-k sketch fingerprint over shingle hashes (string-joined)."""
+    hashes = F.array_distinct(shingle_hashes(tokens(text_col), n))
+    bottom = F.slice(F.array_sort(hashes), 1, k)
+    return docs.select(
+        id_col,
+        F.array_join(F.transform(bottom, lambda h: h.cast('string')), '-')
+         .alias('fingerprint'),
+        F.array_min(hashes).alias('fp_min'),
+        F.size(hashes).alias('n_shingles'),
+    )

@@ -1,0 +1,64 @@
+"""Resumable extraction: sidecar lineage, idempotent bucket overwrite."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocrodjvu_spark.plans import checkpoint
+from ocrodjvu_spark.sources import transcripts as T
+
+SF_DIR = '/root/testdata/sf0.001'
+N_BUCKETS = 8
+
+
+@pytest.fixture()
+def paths(tmp_path):
+    return str(tmp_path / 'out'), str(tmp_path / 'sidecar')
+
+
+def test_resume_after_partial_run(spark, paths):
+    out, side = paths
+    df = T.synthesize_transcripts(spark, SF_DIR)
+    total = df.count()
+
+    # first run: only 3 buckets (simulates a crash partway)
+    first = checkpoint.run_extraction(
+        spark, df, out, side, n_buckets=N_BUCKETS, max_buckets=3)
+    assert len(first) == 3
+    assert checkpoint.completed_buckets(spark, side) == sorted(first)
+
+    # resume: processes exactly the remaining buckets
+    second = checkpoint.run_extraction(
+        spark, df, out, side, n_buckets=N_BUCKETS)
+    assert sorted(first + second) == list(range(N_BUCKETS))
+
+    # third run: nothing pending -> no-op
+    assert checkpoint.run_extraction(
+        spark, df, out, side, n_buckets=N_BUCKETS) == []
+
+    # output is complete and keyed correctly
+    result = spark.read.parquet(out)
+    assert result.count() == total
+    assert result.select('conv_id', 'turn_idx').distinct().count() == total
+
+    # sidecar metrics add up
+    metrics = spark.read.parquet(side)
+    agg = metrics.agg(F.sum('n_turns'), F.sum('n_errors')).first()
+    assert agg[0] == total
+    assert agg[1] == 0
+
+
+def test_rerun_bucket_is_idempotent(spark, paths):
+    out, side = paths
+    df = T.synthesize_transcripts(spark, SF_DIR)
+    checkpoint.run_extraction(spark, df, out, side, n_buckets=4)
+    before = spark.read.parquet(out).count()
+
+    # wipe the sidecar -> everything looks pending -> full reprocess;
+    # dynamic partition overwrite must not duplicate rows
+    import shutil
+    shutil.rmtree(side)
+    checkpoint.run_extraction(spark, df, out, side, n_buckets=4)
+    after = spark.read.parquet(out).count()
+    assert before == after

@@ -1,0 +1,80 @@
+"""Multimodal plumbing (stubbed decode) + streaming extraction tests."""
+
+import time
+
+from pyspark.sql import functions as F
+
+from ocrodjvu_spark.functions import multimodal
+from ocrodjvu_spark.sources import transcripts as T
+from ocrodjvu_spark.streaming import extract_stream as ES
+
+SF_DIR = '/root/testdata/sf0.001'
+
+
+class TestMultimodal:
+    def test_features_deterministic(self, spark):
+        media = multimodal.synthesize_media(spark, SF_DIR)
+        feats = multimodal.extract_features(media)
+        rows = {r.media_id: r for r in feats.collect()}
+        again = {r.media_id: r for r in
+                 multimodal.extract_features(media).collect()}
+        assert rows.keys() == again.keys()
+        sample = next(iter(rows))
+        assert rows[sample].checksum == again[sample].checksum
+        assert rows[sample].decoder == 'stub'
+        assert rows[sample].n_bytes > 0
+
+    def test_resize_truncates_images_only(self, spark):
+        media = multimodal.synthesize_media(spark, SF_DIR)
+        resized = multimodal.resize_images(media, max_bytes=64)
+        out = resized.select('kind', F.length('payload').alias('n')).collect()
+        assert out
+        assert all(r.kind == 'image' and r.n <= 64 for r in out)
+
+    def test_frame_sampling_shape(self, spark):
+        media = multimodal.synthesize_media(spark, SF_DIR)
+        frames = multimodal.sample_frames(media, frame_bytes=128, every_n=2)
+        out = frames.limit(50).collect()
+        assert out
+        assert all(r.frame_idx % 2 == 0 for r in out)
+        assert all(len(r.frame) <= 128 for r in out)
+
+
+class TestStreaming:
+    def test_stream_extracts_all_turns(self, spark, tmp_path):
+        inp = str(tmp_path / 'in')
+        out = str(tmp_path / 'out')
+        chk = str(tmp_path / 'chk')
+        # stage the input in two file batches (simulates arrival)
+        df = T.synthesize_transcripts(spark, SF_DIR)
+        total = df.count()
+        df.where(F.col('turn_idx') % 2 == 0).write.parquet(
+            inp, mode='overwrite')
+        df.where(F.col('turn_idx') % 2 == 1).write.parquet(
+            inp, mode='append')
+
+        stream = ES.read_transcripts_stream(spark, inp,
+                                            max_files_per_trigger=2)
+        extracted = ES.extract_stream(stream)
+        q = ES.run_to_parquet(extracted, out, chk, available_now=True)
+        q.awaitTermination(300)
+
+        result = spark.read.parquet(out)
+        assert result.count() == total
+        assert result.where(F.col('error').isNotNull()).count() == 0
+        # per-turn parity with the batch path on a sample
+        batch = {(r.conv_id, r.turn_idx): r.extracted_text
+                 for r in __import__('ocrodjvu_spark.pipeline',
+                                     fromlist=['pipeline'])
+                 .extract_turns(df).collect()}
+        stream_rows = {(r.conv_id, r.turn_idx): r.extracted_text
+                       for r in result.collect()}
+        assert stream_rows == batch
+
+    def test_windowed_metrics_plan_is_streaming(self, spark, tmp_path):
+        inp = str(tmp_path / 'in2')
+        T.synthesize_transcripts(spark, SF_DIR).limit(50).write.parquet(inp)
+        stream = ES.read_transcripts_stream(spark, inp)
+        metrics = ES.live_conversation_metrics(ES.extract_stream(stream))
+        assert metrics.isStreaming
+        assert 'window' in metrics.columns

@@ -1,0 +1,120 @@
+"""Scaling-efficiency evidence: the same extraction job at two
+parallelism levels (local[N] and local[4N] stand in for N / 4N executor
+clusters in this sandbox, per BASELINE.md).
+
+Writes BENCH/BASELINE.md with throughput at both levels and the
+efficiency ratio (target >= 0.8).
+
+Usage: python tools/bench_scaling.py [sf_dir] [N] [reps]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ocrodjvu_spark import pipeline  # noqa: E402
+from ocrodjvu_spark.session import get_spark  # noqa: E402
+
+
+def measure(cpus: int, tpath: str, reps: int) -> dict:
+    spark = get_spark(
+        f'scaling-{cpus}', cpus=cpus, shuffle_partitions=cpus,
+        extra_conf={
+            'spark.sql.files.maxPartitionBytes': str(1 << 20),
+            'spark.sql.files.openCostInBytes': str(64 << 10),
+        })
+    spark.sparkContext.setLogLevel('ERROR')
+    transcripts = spark.read.parquet(tpath)
+    n_turns = transcripts.count()
+    extracted = pipeline.extract_turns(transcripts).select(
+        'conv_id', 'turn_idx', 'dialect', 'error',
+        'extracted_text', 'extracted_sexpr')
+    # warmup (JVM codegen + python worker pool)
+    pipeline.extract_turns(transcripts.limit(256)) \
+        .write.format('noop').mode('overwrite').save()
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        extracted.write.format('noop').mode('overwrite').save()
+        times.append(time.perf_counter() - t0)
+    spark.stop()
+    best = min(times)
+    return {
+        'cpus': cpus,
+        'n_turns': n_turns,
+        'times_sec': [round(t, 3) for t in times],
+        'median_sec': round(statistics.median(times), 3),
+        'best_sec': round(best, 3),
+        'turns_per_sec_best': round(n_turns / best, 1),
+        'turns_per_sec_median': round(
+            n_turns / statistics.median(times), 1),
+    }
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.1'
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+    # materialize the input once (untimed prep), shared by both levels
+    import bench
+    prep = get_spark('scaling-prep', cpus=8, shuffle_partitions=8)
+    prep.sparkContext.setLogLevel('ERROR')
+    tpath = bench.materialize_transcripts(
+        prep, sf_dir, '/tmp/spark_graft_bench')
+    prep.stop()
+
+    low = measure(n, tpath, reps)
+    high = measure(4 * n, tpath, reps)
+    ratio = high['turns_per_sec_median'] / low['turns_per_sec_median']
+    efficiency = ratio / 4.0
+    result = {
+        'sf_dir': sf_dir,
+        'low': low,
+        'high': high,
+        'throughput_ratio': round(ratio, 3),
+        'scaling_efficiency': round(efficiency, 3),
+        'target': 0.8,
+        'pass': efficiency >= 0.8,
+    }
+    print(json.dumps(result))
+
+    os.makedirs('BENCH', exist_ok=True)
+    with open('BENCH/BASELINE.md', 'w') as f:
+        f.write(f'''# BENCH/BASELINE — measured numbers
+
+## Scaling efficiency (north rule: >= 0.8 from N -> 4N)
+
+Sandbox stand-in for two cluster sizes: the same extraction job
+(full hOCR extraction, words detail, noop sink) over the same input
+({low['n_turns']} turns, {sf_dir}) at two local parallelism levels.
+
+| parallelism | median sec | best sec | turns/sec (median) |
+|---|---|---|---|
+| local[{n}] (N) | {low['median_sec']} | {low['best_sec']} | {low['turns_per_sec_median']} |
+| local[{4 * n}] (4N) | {high['median_sec']} | {high['best_sec']} | {high['turns_per_sec_median']} |
+
+- throughput ratio (4N / N): **{ratio:.3f}x**
+- scaling efficiency (ratio / 4): **{efficiency:.3f}** (target >= 0.8) -> {"PASS" if efficiency >= 0.8 else "FAIL"}
+
+Raw repetitions: N={low['times_sec']}, 4N={high['times_sec']}.
+
+Reproduce: `python tools/bench_scaling.py {sf_dir} {n} {reps}`
+
+## Reference baseline
+
+ocrodjvu publishes no benchmark numbers (BASELINE.md); the comparison
+target is the BASELINE.json metric: extracted turns/sec + per-turn
+exact-match rate (CORRECTNESS_r*.json tracks the match rate; bench.py
+reports turns/sec per round in BENCH_r*.json).
+''')
+
+
+if __name__ == '__main__':
+    main()
