@@ -40,20 +40,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _q_extract_text(spark, sf_dir):
     df = T.synthesize_transcripts(spark, sf_dir)
-    return pipeline.extract_turns(df).select(
+    return pipeline.extract_turns(
+        df, emit_spans=False, emit_sexpr=False).select(
         'conv_id', 'turn_idx', 'extracted_text')
 
 
 def _q_extract_word_spans(spark, sf_dir):
     df = T.synthesize_transcripts(spark, sf_dir)
-    extracted = pipeline.extract_turns(df)
+    extracted = pipeline.extract_turns(df, emit_sexpr=False)
     return pipeline.word_spans(extracted).select(
         'conv_id', 'turn_idx', 'word_idx', 'word', 'x0', 'y0', 'x1', 'y1')
 
 
 def _q_extract_sexpr(spark, sf_dir):
     df = T.synthesize_transcripts(spark, sf_dir)
-    return pipeline.extract_turns(df).select(
+    return pipeline.extract_turns(df, emit_spans=False).select(
         'conv_id', 'turn_idx', 'extracted_sexpr')
 
 
@@ -62,7 +63,8 @@ def _q_turn_filter(spark, sf_dir):
     # push into the scan (partition pruning on a real Iceberg table).
     df = T.synthesize_transcripts(spark, sf_dir)
     df = df.where((F.col('turn_idx') >= 2) & (F.col('turn_idx') <= 5))
-    return pipeline.extract_turns(df).select(
+    return pipeline.extract_turns(
+        df, emit_spans=False, emit_sexpr=False).select(
         'conv_id', 'turn_idx', 'extracted_text')
 
 
@@ -88,7 +90,8 @@ def _q_turns_per_conv(spark, sf_dir):
 def _q_conversation_reassembly(spark, sf_dir):
     # W3 stable (conv_id, turn_idx) ordering -> per-conversation document
     df = T.synthesize_transcripts(spark, sf_dir)
-    extracted = pipeline.extract_turns(df)
+    extracted = pipeline.extract_turns(df, emit_spans=False,
+                                       emit_sexpr=False)
     return pipeline.reassemble_conversations(extracted).select(
         'conv_id', 'conversation_text', 'n_turns')
 

@@ -26,7 +26,8 @@ from ocrodjvu_spark.session import get_spark  # noqa: E402
 from ocrodjvu_spark.sources import transcripts as T  # noqa: E402
 
 
-def materialize_transcripts(spark, sf_dir: str, cache_dir: str) -> str:
+def materialize_transcripts(spark, sf_dir: str, cache_dir: str,
+                            replicate: int = 1) -> str:
     path = os.path.join(
         cache_dir, 'transcripts_' + os.path.basename(sf_dir.rstrip('/')))
     marker = os.path.join(path, '_SUCCESS')
@@ -35,7 +36,27 @@ def materialize_transcripts(spark, sf_dir: str, cache_dir: str) -> str:
         (T.synthesize_transcripts(spark, sf_dir)
          .repartition(32, 'conv_id')
          .write.mode('overwrite').parquet(path))
+    if replicate > 1:
+        path = replicate_transcripts(spark, path, replicate)
     return path
+
+
+def replicate_transcripts(spark, tpath: str, factor: int) -> str:
+    """Deterministically replicate the input so each timed query runs
+    long enough to amortize fixed scheduling/worker-pool costs (the
+    sandbox analogue of a real-size table scan)."""
+    rpath = f'{tpath}_x{factor}'
+    if not os.path.exists(os.path.join(rpath, '_SUCCESS')):
+        reps = spark.range(factor).select(
+            F.col('id').cast('int').alias('rep'))
+        (spark.read.parquet(tpath)
+         .crossJoin(reps)
+         .withColumn('conv_id', F.concat_ws('-r', 'conv_id',
+                                            F.col('rep').cast('string')))
+         .drop('rep')
+         .repartition(128, 'conv_id')
+         .write.mode('overwrite').parquet(rpath))
+    return rpath
 
 
 def run_noop(df) -> float:
@@ -68,7 +89,9 @@ def main():
         })
     spark.sparkContext.setLogLevel('ERROR')
 
-    tpath = materialize_transcripts(spark, sf_dir, cache_dir)
+    replicate = int(os.environ.get('SPARK_GRAFT_BENCH_REPLICATE', '8'))
+    tpath = materialize_transcripts(spark, sf_dir, cache_dir,
+                                    replicate=replicate)
     transcripts = spark.read.parquet(tpath)
     n_turns = transcripts.count()
 
@@ -85,15 +108,19 @@ def main():
 
     # q2: word-span explode (spans fan-out path)
     timings['extract_word_spans'] = run_noop(
-        pipeline.word_spans(pipeline.extract_turns(transcripts)))
+        pipeline.word_spans(
+            pipeline.extract_turns(transcripts, emit_sexpr=False)))
 
     # q3: extraction + stable conversation reassembly (the one shuffle)
     timings['conversation_reassembly'] = run_noop(
-        pipeline.reassemble_conversations(pipeline.extract_turns(transcripts)))
+        pipeline.reassemble_conversations(
+            pipeline.extract_turns(transcripts, emit_spans=False,
+                                   emit_sexpr=False)))
 
-    # q4: uax29 segmentation variant of the kernel
+    # q4: uax29 segmentation variant of the kernel (text only)
     timings['extract_text_uax29'] = run_noop(
-        pipeline.extract_turns(transcripts, uax29=True)
+        pipeline.extract_turns(transcripts, uax29=True, emit_spans=False,
+                               emit_sexpr=False)
         .select('conv_id', 'turn_idx', 'extracted_text'))
 
     # q5: exact dedup over documents (hash groupBy)

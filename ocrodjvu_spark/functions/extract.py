@@ -79,8 +79,14 @@ def extract_one(
     rotation: int = 0,
     page_size=None,
     fix_utf8: bool = False,
+    emit_spans: bool = True,
+    emit_sexpr: bool = True,
 ):
-    """Extract one turn; returns the EXTRACT_RESULT-shaped dict."""
+    """Extract one turn; returns the EXTRACT_RESULT-shaped dict.
+
+    ``emit_spans`` / ``emit_sexpr`` skip building those payloads (they
+    dominate the Arrow transfer cost when a query only needs text).
+    """
     if markup is None:
         return {'pages': None, 'dialect': None, 'error': 'null input'}
     settings = hocr.ExtractSettings(
@@ -110,11 +116,11 @@ def extract_one(
         }
     pages = []
     for zone in zones:
-        value = zone.sexpr()
         pages.append({
-            'spans': flatten_zone(zone),
+            'spans': flatten_zone(zone) if emit_spans else None,
             'extracted_text': zone_text(zone),
-            'extracted_sexpr': sexpr.print_compact(value),
+            'extracted_sexpr': (
+                sexpr.print_compact(zone.sexpr()) if emit_sexpr else None),
         })
     return {
         'pages': pages,
@@ -137,12 +143,17 @@ def make_extract_udf(
     rotation: int = 0,
     page_size=None,
     fix_utf8: bool = False,
+    emit_spans: bool = True,
+    emit_sexpr: bool = True,
 ):
     """Build the Arrow-batched extraction UDF for a fixed config.
 
     The config is captured in the closure (broadcast with the task
     binary), so Catalyst sees a deterministic scalar pandas UDF it can
     pipeline inside a single stage — no shuffle is introduced.
+    ``emit_spans``/``emit_sexpr`` elide the heavy payloads when a query
+    only consumes ``extracted_text`` (Catalyst cannot prune *inside* a
+    UDF result struct, so the pruning knob lives here).
     """
     details_level = hocr.DETAILS_BY_NAME[details]
 
@@ -152,6 +163,7 @@ def make_extract_udf(
             extract_one(
                 t, details=details_level, uax29=uax29, rotation=rotation,
                 page_size=page_size, fix_utf8=fix_utf8,
+                emit_spans=emit_spans, emit_sexpr=emit_sexpr,
             )
             for t in texts
         ]

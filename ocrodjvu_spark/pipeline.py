@@ -54,19 +54,25 @@ def extract_turns(
     keep_columns: Sequence[str] = META_COLUMNS,
     salt_buckets: Optional[int] = None,
     num_partitions: Optional[int] = None,
+    emit_spans: bool = True,
+    emit_sexpr: bool = True,
 ) -> DataFrame:
     """transcripts -> per-page extraction results.
 
     Output columns: conv_id, turn_idx, *keep_columns, dialect, error,
     page_idx, spans, extracted_text, extracted_sexpr. Failed turns keep
     their row with error set and null payload ("--on-error resume"
-    semantics, reference lib/cli/ocrodjvu.py:494-501).
+    semantics, reference lib/cli/ocrodjvu.py:494-501). Pass
+    ``emit_spans=False`` / ``emit_sexpr=False`` to elide the heavy
+    payloads for text-only consumers (the columns stay in the schema
+    but are null — Catalyst cannot prune inside the UDF struct).
     """
     if salt_buckets:
         df = salted_repartition(df, num_partitions, salt_buckets)
     extract = make_extract_udf(
         details=details, uax29=uax29, rotation=rotation,
-        page_size=page_size, fix_utf8=fix_utf8)
+        page_size=page_size, fix_utf8=fix_utf8,
+        emit_spans=emit_spans, emit_sexpr=emit_sexpr)
     keep = [c for c in keep_columns if c in df.columns]
     result = df.select(
         *KEY_COLUMNS, *keep, extract(F.col('text')).alias('_r'))
@@ -85,7 +91,11 @@ def extract_turns(
 
 
 def word_spans(extracted: DataFrame) -> DataFrame:
-    """Explode word-level spans: one row per extracted word, in order."""
+    """Explode word-level spans: one row per extracted word, in order.
+
+    Requires an extraction run with ``emit_spans=True`` (the default) —
+    spans elided upstream explode to zero rows.
+    """
     words = F.filter(F.col('spans'), lambda s: s.zone_type == F.lit('word'))
     return (
         extracted

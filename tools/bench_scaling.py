@@ -26,8 +26,10 @@ def measure(cpus: int, tpath: str, reps: int) -> dict:
     spark = get_spark(
         f'scaling-{cpus}', cpus=cpus, shuffle_partitions=cpus,
         extra_conf={
-            'spark.sql.files.maxPartitionBytes': str(1 << 20),
-            'spark.sql.files.openCostInBytes': str(64 << 10),
+            # 1 file = 1 task: the replicated input is written as 128
+            # small files so both parallelism levels get full waves
+            'spark.sql.files.maxPartitionBytes': str(256 << 10),
+            'spark.sql.files.openCostInBytes': str(16 << 10),
         })
     spark.sparkContext.setLogLevel('ERROR')
     transcripts = spark.read.parquet(tpath)
@@ -35,9 +37,10 @@ def measure(cpus: int, tpath: str, reps: int) -> dict:
     extracted = pipeline.extract_turns(transcripts).select(
         'conv_id', 'turn_idx', 'dialect', 'error',
         'extracted_text', 'extracted_sexpr')
-    # warmup (JVM codegen + python worker pool)
-    pipeline.extract_turns(transcripts.limit(256)) \
-        .write.format('noop').mode('overwrite').save()
+    # warmup: one full untimed run — spins up every python worker (AQE
+    # would coalesce a tiny warmup to one task), JIT-compiles codegen,
+    # and loads the kernel module on each worker
+    extracted.write.format('noop').mode('overwrite').save()
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -61,13 +64,14 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.1'
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    factor = int(sys.argv[4]) if len(sys.argv) > 4 else 16
 
-    # materialize the input once (untimed prep), shared by both levels
+    # materialize the (replicated) input once, shared by both levels
     import bench
-    prep = get_spark('scaling-prep', cpus=8, shuffle_partitions=8)
+    prep = get_spark('scaling-prep', cpus=16, shuffle_partitions=16)
     prep.sparkContext.setLogLevel('ERROR')
     tpath = bench.materialize_transcripts(
-        prep, sf_dir, '/tmp/spark_graft_bench')
+        prep, sf_dir, '/tmp/spark_graft_bench', replicate=factor)
     prep.stop()
 
     low = measure(n, tpath, reps)
