@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ocrodjvu_spark import pipeline
 from ocrodjvu_spark.functions import similarity, textops
+from ocrodjvu_spark.sources import engine_synth as ES
 from ocrodjvu_spark.sources import transcripts as T
 
 SF0001 = '/root/testdata/sf0.001'
@@ -76,6 +77,115 @@ def _q_extract_roundtrip(spark, sf_dir):
     extracted = pipeline.extract_turns(df)
     return pipeline.roundtrip_turns(extracted).select(
         'conv_id', 'turn_idx', 'extracted_text')
+
+
+def _q_extract_lines(spark, sf_dir):
+    # details=lines: line zones keep their text leaf, no word split
+    df = T.synthesize_transcripts(spark, sf_dir)
+    return pipeline.extract_turns(
+        df, details='lines', emit_spans=False).select(
+        'conv_id', 'turn_idx', 'extracted_sexpr')
+
+
+def _q_extract_uax29(spark, sf_dir):
+    # UAX#29 word segmentation (pure-Python engine; on this corpus the
+    # token boundaries coincide with simple segmentation)
+    df = T.synthesize_transcripts(spark, sf_dir)
+    return pipeline.extract_turns(
+        df, uax29=True, emit_spans=False, emit_sexpr=False).select(
+        'conv_id', 'turn_idx', 'extracted_text')
+
+
+def _q_extract_rotated180(spark, sf_dir):
+    # T6 rotation: 180-degree page rotation of every word bbox
+    df = T.synthesize_transcripts(spark, sf_dir)
+    extracted = pipeline.extract_turns(df, rotation=180, emit_sexpr=False)
+    return pipeline.word_spans(extracted).select(
+        'conv_id', 'turn_idx', 'word_idx', 'word', 'x0', 'y0', 'x1', 'y1')
+
+
+def _q_events_window_agg(spark, sf_dir):
+    # tumbling-window aggregation over the events stream table (batch
+    # face of the streaming metrics operator)
+    events = T.load_table(spark, sf_dir, 'events')
+    return (
+        events
+        .groupBy(F.window('ts', '1 hour').alias('w'),
+                 F.col('event_type'))
+        .agg(F.count('*').alias('n_events'),
+             F.round(F.avg('value'), 6).alias('avg_value'))
+        .select(F.col('w.start').alias('window_start'), 'event_type',
+                'n_events', 'avg_value')
+    )
+
+
+def _q_embedding_neardup_pairs(spark, sf_dir):
+    # embedding-cosine near-duplicate pairs (threshold), brute force over
+    # the broadcast smaller side
+    emb = T.load_table(spark, sf_dir, 'embeddings')
+    corpus = emb.select(
+        'vec_id',
+        similarity.as_double(F.col('embedding')).alias('vec'))
+    corpus = corpus.select(
+        'vec_id', 'vec', similarity.norm(F.col('vec')).alias('nrm'))
+    b = corpus.select(F.col('vec_id').alias('vec_b'),
+                      F.col('vec').alias('vec2'),
+                      F.col('nrm').alias('nrm2'))
+    pairs = (
+        corpus.crossJoin(F.broadcast(b))
+        .where(F.col('vec_id') < F.col('vec_b'))
+        .select(
+            F.col('vec_id').alias('vec_a'), 'vec_b',
+            F.round(similarity.dot(F.col('vec'), F.col('vec2'))
+                    / (F.col('nrm') * F.col('nrm2')), 6).alias('cos_sim'))
+        .where(F.col('cos_sim') >= 0.4)
+    )
+    return pairs
+
+
+def _engine_word_spans(df, udf):
+    res = df.select('doc_id', udf(F.col('text')).alias('_r'))
+    page = res.select(
+        'doc_id', F.element_at('_r.pages', 1)['spans'].alias('spans'))
+    words = F.filter(F.col('spans'), lambda s: s.zone_type == F.lit('word'))
+    return (
+        page.select('doc_id', F.posexplode(words).alias('word_idx', 'span'))
+        .select(
+            'doc_id', 'word_idx',
+            F.col('span.text').alias('word'),
+            F.col('span.x0').alias('x0'), F.col('span.y0').alias('y0'),
+            F.col('span.x1').alias('x1'), F.col('span.y1').alias('y1'))
+    )
+
+
+def _q_extract_orf(spark, sf_dir):
+    # E3: ocrad ORF adapter end-to-end (synthesized ORF payloads)
+    from ocrodjvu_spark.functions.emit import make_orf_extract_udf
+    df = ES.synthesize_orf(spark, sf_dir)
+    return _engine_word_spans(
+        df, make_orf_extract_udf(page_size=(ES.PAGE_W, ES.PAGE_H)))
+
+
+def _q_extract_gocr(spark, sf_dir):
+    # E4: gocr XML adapter end-to-end (synthesized XML payloads)
+    from ocrodjvu_spark.functions.emit import make_gocr_extract_udf
+    df = ES.synthesize_gocr(spark, sf_dir)
+    return _engine_word_spans(
+        df, make_gocr_extract_udf(page_size=(ES.PAGE_W, ES.PAGE_H)))
+
+
+def _q_djvused_script(spark, sf_dir):
+    # S7 sink: the literal djvused script block per turn
+    # (select N / remove-txt / set-txt / <sexpr> / .)
+    df = T.synthesize_transcripts(spark, sf_dir)
+    extracted = pipeline.extract_turns(df, emit_spans=False)
+    return extracted.select(
+        'conv_id', 'turn_idx',
+        F.concat(
+            F.lit('select '), F.col('turn_idx').cast('string'),
+            F.lit('\nremove-txt\nset-txt\n'),
+            F.col('extracted_sexpr'), F.lit('\n.\n'),
+        ).alias('djvused_script'))
 
 
 def _q_turns_per_conv(spark, sf_dir):
@@ -206,6 +316,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_fingerprint': _q_doc_fingerprint,
         'ann_cosine_topk': _q_ann_cosine_topk,
         'ann_lsh_topk': _q_ann_lsh_topk,
+        'extract_lines': _q_extract_lines,
+        'extract_uax29': _q_extract_uax29,
+        'extract_rotated180': _q_extract_rotated180,
+        'events_window_agg': _q_events_window_agg,
+        'embedding_neardup_pairs': _q_embedding_neardup_pairs,
+        'extract_orf': _q_extract_orf,
+        'extract_gocr': _q_extract_gocr,
+        'djvused_script': _q_djvused_script,
     }
 
 
@@ -543,6 +661,72 @@ def oracle_sql() -> dict[str, str]:
             )
             {_SQL_TOPK_TAIL}
         ''',
+        'extract_lines': f'''
+            SELECT {_CONV} AS conv_id, {_TIDX} AS turn_idx,
+                   '(page 0 0 ' || CAST(len({_TOKS}) * 100 + 100 AS VARCHAR)
+                   || ' 1000 (line 10 940 '
+                   || CAST(len({_TOKS}) * 100 AS VARCHAR) || ' 990 "'
+                   || {_NORM} || '"))' AS extracted_sexpr
+            FROM documents
+        ''',
+        'extract_uax29': f'''
+            SELECT {_CONV} AS conv_id, {_TIDX} AS turn_idx,
+                   {_NORM} AS extracted_text
+            FROM documents
+        ''',
+        'extract_rotated180': _WORDS_CTE + '''
+            SELECT conv_id, turn_idx, word_idx, word,
+                   CAST(n_words * 100 + 100 - (100 + 100 * word_idx)
+                        AS INTEGER) AS x0,
+                   CAST(10 AS INTEGER) AS y0,
+                   CAST(n_words * 100 + 100 - (10 + 100 * word_idx)
+                        AS INTEGER) AS x1,
+                   CAST(60 AS INTEGER) AS y1
+            FROM words
+        ''',
+        'events_window_agg': '''
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events,
+                   round(avg(value), 6) AS avg_value
+            FROM events
+            GROUP BY 1, 2
+        ''',
+        'embedding_neardup_pairs': f'''
+            WITH {_SQL_EMB},
+            pairs AS (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       round(list_sum(list_transform(range(1, len(a.v) + 1),
+                                 i -> a.v[i] * b.v[i]))
+                             / (a.nrm * b.nrm), 6) AS cos_sim
+                FROM n a JOIN n b ON a.vec_id < b.vec_id
+            )
+            SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.4
+        ''',
+        'djvused_script': f'''
+            SELECT {_CONV} AS conv_id, {_TIDX} AS turn_idx,
+                   'select ' || CAST({_TIDX} AS VARCHAR)
+                   || chr(10) || 'remove-txt' || chr(10) || 'set-txt'
+                   || chr(10)
+                   || '(page 0 0 ' || CAST(len({_TOKS}) * 100 + 100 AS VARCHAR)
+                   || ' 1000 (line 10 940 '
+                   || CAST(len({_TOKS}) * 100 AS VARCHAR) || ' 990 '
+                   || (
+                        SELECT string_agg(
+                            '(word ' || CAST(10 + 100 * (t.i - 1) AS VARCHAR)
+                            || ' 940 '
+                            || CAST(100 + 100 * (t.i - 1) AS VARCHAR)
+                            || ' 990 "' || t.tok || '")', ' '
+                            ORDER BY t.i)
+                        FROM (
+                            SELECT UNNEST({_TOKS}) AS tok,
+                                   generate_subscripts({_TOKS}, 1) AS i
+                        ) AS t
+                   )
+                   || '))' || chr(10) || '.' || chr(10) AS djvused_script
+            FROM documents
+        ''',
+        'extract_orf': ES.SQL_ENGINE_WORDS,
+        'extract_gocr': ES.SQL_ENGINE_WORDS,
         'ann_lsh_topk': f'''
             WITH {_SQL_EMB},
             b AS (

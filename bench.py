@@ -95,8 +95,10 @@ def main():
     transcripts = spark.read.parquet(tpath)
     n_turns = transcripts.count()
 
-    # warmup: JVM codegen + Python worker pool + Arrow init (not timed)
-    run_noop(pipeline.extract_turns(transcripts.limit(512)))
+    # warmup: one full untimed extraction — spins up the whole python
+    # worker pool (AQE coalesces tiny warmups to one task) + JVM codegen
+    run_noop(pipeline.extract_turns(transcripts, emit_spans=False,
+                                    emit_sexpr=False))
 
     timings = {}
 

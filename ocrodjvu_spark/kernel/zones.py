@@ -235,21 +235,24 @@ def group_words(zones: Sequence, details: int, word_break_iterator) -> list:
     text = ''.join(z[0] for z in zones)
     if details > TEXT_DETAILS_WORD:
         return [text]
-    split_zones = []
+    # flat per-char bbox tuples (multi-char zones split proportionally
+    # with the reference's x0 + w*i//m integer arithmetic); whitespace
+    # string "zones" keep a placeholder that is never dereferenced,
+    # because space-only segments are skipped below
+    boxes: list = []
     for zone in zones:
         zone_text = zone[0]
-        if len(zone_text) == 1:
-            split_zones.append(zone)
+        m = len(zone_text)
+        if m == 1:
+            boxes.append(None if isinstance(zone, str) else zone.bbox)
             continue
         x0, y0, x1, y1 = zone.bbox
         w = x1 - x0
-        m = len(zone_text)
-        split_zones += [
-            Zone(zone.type, BBox(x0 + w * n // m, y0, x0 + w * (n + 1) // m, y1))
+        boxes.extend(
+            (x0 + w * n // m, y0, x0 + w * (n + 1) // m, y1)
             for n in range(m)
-        ]
-    zones = split_zones
-    assert len(text) == len(zones)
+        )
+    assert len(text) == len(boxes)
     words = []
     i = 0
     for j in word_break_iterator(text):
@@ -257,16 +260,25 @@ def group_words(zones: Sequence, details: int, word_break_iterator) -> list:
         if subtext.isspace():
             i = j
             continue
-        bbox = BBox()
+        # None-tolerant union (BBox.update semantics) without allocations
+        bx0 = by0 = bx1 = by1 = None
         for k in range(i, j):
-            bbox.update(zones[k].bbox)
-        word = Zone(type=ZONE_WORD, bbox=bbox)
+            cx0, cy0, cx1, cy1 = boxes[k]
+            if cx0 is not None and (bx0 is None or bx0 > cx0):
+                bx0 = cx0
+            if cy0 is not None and (by0 is None or by0 > cy0):
+                by0 = cy0
+            if cx1 is not None and (bx1 is None or bx1 < cx1):
+                bx1 = cx1
+            if cy1 is not None and (by1 is None or by1 < cy1):
+                by1 = cy1
+        word = Zone(type=ZONE_WORD, bbox=(bx0, by0, bx1, by1))
         words.append(word)
         if details > TEXT_DETAILS_CHARACTER:
             word += [subtext]
         else:
             word += [
-                Zone(type=ZONE_CHARACTER, bbox=zones[k].bbox, children=[text[k]])
+                Zone(type=ZONE_CHARACTER, bbox=boxes[k], children=[text[k]])
                 for k in range(i, j)
             ]
         i = j

@@ -200,3 +200,25 @@ class TestUtils:
         assert sanitize_utf8(b'abc') == 'abc'
         assert sanitize_utf8(b'a\xffb') == 'a�b'
         assert sanitize_utf8(b'a\x01b\tc\nd\re') == 'a�b\tc\nd\re'
+
+
+class TestIso639:
+    def test_b_to_t(self):
+        from ocrodjvu_spark.kernel.iso639 import normalize_language
+        assert normalize_language('fre') == 'fra'
+        assert normalize_language('ger') == 'deu'
+        assert normalize_language('eng') == 'eng'
+
+    def test_engine_aliases(self):
+        from ocrodjvu_spark.kernel.iso639 import normalize_language
+        assert normalize_language('ruseng') == 'rus+eng'
+        assert normalize_language('RUS+ENG') == 'rus+eng'
+
+    def test_invalid(self):
+        import pytest as _pytest
+        from ocrodjvu_spark.kernel.iso639 import (
+            is_language_id, normalize_language)
+        with _pytest.raises(ValueError):
+            normalize_language('e')
+        assert not is_language_id('english')
+        assert is_language_id('slo')
