@@ -236,7 +236,8 @@ def _scan(node, settings, page_size=None):
     if m is None:
         bbox = BBox()
     else:
-        bbox = BBox(*(int(m.group(k)) for k in ('x0', 'y0', 'x1', 'y1')))
+        gx0, gy0, gx1, gy1 = m.groups()
+        bbox = BBox(int(gx0), int(gy0), int(gx1), int(gy1))
 
     if settings.cuneiform and settings.cuneiform <= (0, 8):
         # Cuneiform <= 0.8 doesn't mark OCR elements the hOCR way.

@@ -205,19 +205,20 @@ def _fast_feed(builder: '_TreeBuilder', text: str) -> None:
         if lt > pos:
             chunk = text[pos:lt]
             builder.handle_data(unescape(chunk) if '&' in chunk else chunk)
-        if text.startswith('<!--', lt):
-            end = text.find('-->', lt + 4)
-            if end < 0:
-                builder.handle_comment(text[lt + 4:])
-                break
-            builder.handle_comment(text[lt + 4:end])
-            pos = end + 3
-            continue
-        if text.startswith('<!', lt) or text.startswith('<?', lt):
+        nxt = text[lt + 1] if lt + 1 < n else ''
+        if nxt == '!' or nxt == '?':
+            if text.startswith('<!--', lt):
+                end = text.find('-->', lt + 4)
+                if end < 0:
+                    builder.handle_comment(text[lt + 4:])
+                    break
+                builder.handle_comment(text[lt + 4:end])
+                pos = end + 3
+                continue
             end = text.find('>', lt)
             pos = n if end < 0 else end + 1
             continue
-        if text.startswith('</', lt):
+        if nxt == '/':
             m = _NAME_RE.match(text, lt + 2)
             end = text.find('>', lt)
             if m and end >= 0:

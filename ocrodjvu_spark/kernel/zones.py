@@ -235,50 +235,82 @@ def group_words(zones: Sequence, details: int, word_break_iterator) -> list:
     text = ''.join(z[0] for z in zones)
     if details > TEXT_DETAILS_WORD:
         return [text]
-    # flat per-char bbox tuples (multi-char zones split proportionally
-    # with the reference's x0 + w*i//m integer arithmetic); whitespace
-    # string "zones" keep a placeholder that is never dereferenced,
-    # because space-only segments are skipped below
-    boxes: list = []
+    # zone ranges over the concatenated text; per-char boxes come from
+    # the reference's x0 + w*i//m proportional split, but we only
+    # materialize them lazily per segment (and skip even that when a
+    # word segment covers exactly one zone: the union of a full
+    # proportional split is the zone's own bbox)
+    ranges = []  # (start, end, bbox-or-None)
+    start = 0
     for zone in zones:
-        zone_text = zone[0]
-        m = len(zone_text)
+        m = len(zone[0])
+        ranges.append(
+            (start, start + m, None if isinstance(zone, str) else zone.bbox))
+        start += m
+    assert start == len(text)
+
+    def char_box(k):
+        # proportional sub-box of character k within its owning zone
+        lo, hi = 0, len(ranges)
+        while lo < hi - 1:
+            mid = (lo + hi) // 2
+            if ranges[mid][0] <= k:
+                lo = mid
+            else:
+                hi = mid
+        s, e, bbox = ranges[lo]
+        m = e - s
         if m == 1:
-            boxes.append(None if isinstance(zone, str) else zone.bbox)
-            continue
-        x0, y0, x1, y1 = zone.bbox
+            return bbox
+        x0, y0, x1, y1 = bbox
         w = x1 - x0
-        boxes.extend(
-            (x0 + w * n // m, y0, x0 + w * (n + 1) // m, y1)
-            for n in range(m)
-        )
-    assert len(text) == len(boxes)
+        n = k - s
+        return (x0 + w * n // m, y0, x0 + w * (n + 1) // m, y1)
+
     words = []
     i = 0
+    r = 0  # range cursor (segments are visited in order)
+    n_ranges = len(ranges)
     for j in word_break_iterator(text):
         subtext = text[i:j]
         if subtext.isspace():
             i = j
             continue
-        # None-tolerant union (BBox.update semantics) without allocations
-        bx0 = by0 = bx1 = by1 = None
-        for k in range(i, j):
-            cx0, cy0, cx1, cy1 = boxes[k]
-            if cx0 is not None and (bx0 is None or bx0 > cx0):
-                bx0 = cx0
-            if cy0 is not None and (by0 is None or by0 > cy0):
-                by0 = cy0
-            if cx1 is not None and (bx1 is None or bx1 < cx1):
-                bx1 = cx1
-            if cy1 is not None and (by1 is None or by1 < cy1):
-                by1 = cy1
-        word = Zone(type=ZONE_WORD, bbox=(bx0, by0, bx1, by1))
+        while r < n_ranges - 1 and ranges[r][1] <= i:
+            r += 1
+        seg_start, seg_end, seg_bbox = ranges[r]
+        if seg_start == i and seg_end == j and (
+                seg_end - seg_start == 1
+                or (seg_bbox is not None
+                    and seg_bbox[0] is not None and seg_bbox[2] is not None
+                    and seg_bbox[0] <= seg_bbox[2])):
+            # fast path: the segment is exactly one zone, and the union
+            # of its full proportional split is the zone bbox itself
+            # (guarded against inverted/partial boxes, where the split
+            # union differs)
+            bbox = seg_bbox
+        else:
+            # None-tolerant union (BBox.update semantics)
+            bx0 = by0 = bx1 = by1 = None
+            for k in range(i, j):
+                cx0, cy0, cx1, cy1 = char_box(k)
+                if cx0 is not None and (bx0 is None or bx0 > cx0):
+                    bx0 = cx0
+                if cy0 is not None and (by0 is None or by0 > cy0):
+                    by0 = cy0
+                if cx1 is not None and (bx1 is None or bx1 < cx1):
+                    bx1 = cx1
+                if cy1 is not None and (by1 is None or by1 < cy1):
+                    by1 = cy1
+            bbox = (bx0, by0, bx1, by1)
+        word = Zone(type=ZONE_WORD, bbox=bbox)
         words.append(word)
         if details > TEXT_DETAILS_CHARACTER:
             word += [subtext]
         else:
             word += [
-                Zone(type=ZONE_CHARACTER, bbox=boxes[k], children=[text[k]])
+                Zone(type=ZONE_CHARACTER, bbox=char_box(k),
+                     children=[text[k]])
                 for k in range(i, j)
             ]
         i = j

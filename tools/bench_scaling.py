@@ -2,8 +2,9 @@
 parallelism levels (local[N] and local[4N] stand in for N / 4N executor
 clusters in this sandbox, per BASELINE.md).
 
-Writes BENCH/BASELINE.md with throughput at both levels and the
-efficiency ratio (target >= 0.8).
+Writes BENCH/scaling_last.md with throughput at both levels and the
+efficiency ratio (target >= 0.8); BENCH/BASELINE.md carries the curated
+analysis across runs.
 
 Usage: python tools/bench_scaling.py [sf_dir] [N] [reps]
 """
@@ -90,7 +91,7 @@ def main():
     print(json.dumps(result))
 
     os.makedirs('BENCH', exist_ok=True)
-    with open('BENCH/BASELINE.md', 'w') as f:
+    with open('BENCH/scaling_last.md', 'w') as f:
         f.write(f'''# BENCH/BASELINE — measured numbers
 
 ## Scaling efficiency (north rule: >= 0.8 from N -> 4N)
