@@ -291,9 +291,51 @@ def _q_ann_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(emb, n_queries=10, k=5)
 
 
+def _q_ann_ivf_topk(spark, sf_dir):
+    emb = T.load_table(spark, sf_dir, 'embeddings')
+    return similarity.ivf_topk(emb, n_queries=10, k=5)
+
+
 def _q_ann_lsh_topk(spark, sf_dir):
     emb = T.load_table(spark, sf_dir, 'embeddings')
     return similarity.lsh_topk(emb, n_queries=10, k=5)
+
+
+def _q_lineitem_pricing_summary(spark, sf_dir):
+    # relational-shell sanity: TPC-H-Q1-style pricing summary (pure
+    # Catalyst aggregation with map-side partials)
+    li = T.load_table(spark, sf_dir, 'lineitem')
+    return (
+        li.where(F.col('l_shipdate') <= F.lit('1998-09-02'))
+        .groupBy('l_returnflag', 'l_linestatus')
+        .agg(
+            F.round(F.sum('l_quantity'), 4).alias('sum_qty'),
+            F.round(F.sum('l_extendedprice'), 4).alias('sum_base_price'),
+            F.round(F.sum(F.col('l_extendedprice')
+                          * (1 - F.col('l_discount'))), 4)
+             .alias('sum_disc_price'),
+            F.round(F.avg('l_quantity'), 6).alias('avg_qty'),
+            F.count('*').alias('count_order'),
+        )
+    )
+
+
+def _q_orders_per_nation(spark, sf_dir):
+    # broadcast-join chain: orders -> customer -> nation (small dims
+    # broadcast; only the fact table scans at scale)
+    orders = T.load_table(spark, sf_dir, 'orders')
+    customer = T.load_table(spark, sf_dir, 'customer')
+    nation = T.load_table(spark, sf_dir, 'nation')
+    return (
+        orders
+        .join(F.broadcast(customer),
+              orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation),
+              customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col('n_name').alias('nation'))
+        .agg(F.count('*').alias('n_orders'),
+             F.round(F.sum('o_totalprice'), 4).alias('total_price'))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -316,6 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_fingerprint': _q_doc_fingerprint,
         'ann_cosine_topk': _q_ann_cosine_topk,
         'ann_lsh_topk': _q_ann_lsh_topk,
+        'ann_ivf_topk': _q_ann_ivf_topk,
         'extract_lines': _q_extract_lines,
         'extract_uax29': _q_extract_uax29,
         'extract_rotated180': _q_extract_rotated180,
@@ -324,6 +367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'extract_orf': _q_extract_orf,
         'extract_gocr': _q_extract_gocr,
         'djvused_script': _q_djvused_script,
+        'lineitem_pricing_summary': _q_lineitem_pricing_summary,
+        'orders_per_nation': _q_orders_per_nation,
     }
 
 
@@ -725,8 +770,76 @@ def oracle_sql() -> dict[str, str]:
                    || '))' || chr(10) || '.' || chr(10) AS djvused_script
             FROM documents
         ''',
+        'lineitem_pricing_summary': '''
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2
+        ''',
+        'orders_per_nation': '''
+            SELECT n.n_name AS nation,
+                   count(*) AS n_orders,
+                   round(sum(o.o_totalprice), 4) AS total_price
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1
+        ''',
         'extract_orf': ES.SQL_ENGINE_WORDS,
         'extract_gocr': ES.SQL_ENGINE_WORDS,
+        'ann_ivf_topk': f'''
+            WITH {_SQL_EMB},
+            corpus AS (
+                SELECT e2.vec_id, e2.label AS list_id, n.v, n.nrm
+                FROM embeddings e2 JOIN n ON n.vec_id = e2.vec_id
+            ),
+            dims AS (
+                SELECT list_id, t.i,
+                       avg(v[t.i]) AS c
+                FROM corpus,
+                     LATERAL (SELECT UNNEST(range(1, len(v) + 1)) AS i) t
+                GROUP BY 1, 2
+            ),
+            centroids AS (
+                SELECT list_id,
+                       list(c ORDER BY i) AS cvec,
+                       sqrt(sum(c * c)) AS cnrm
+                FROM dims GROUP BY 1
+            ),
+            probes AS (
+                SELECT query_id, probe_list FROM (
+                    SELECT q.vec_id AS query_id, c.list_id AS probe_list,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY round(
+                                   list_sum(list_transform(
+                                       range(1, len(q.v) + 1),
+                                       i -> q.v[i] * c.cvec[i]))
+                                   / (q.nrm * c.cnrm), 6) DESC,
+                               c.list_id) AS c_rank
+                    FROM corpus q, centroids c
+                    WHERE q.vec_id < 10
+                ) WHERE c_rank = 1
+            ),
+            scored AS (
+                SELECT p.query_id, c.vec_id AS neighbor_id,
+                       round(list_sum(list_transform(
+                                 range(1, len(c.v) + 1),
+                                 i -> c.v[i] * q.v[i]))
+                             / (c.nrm * q.nrm), 6) AS cos_sim
+                FROM probes p
+                JOIN corpus q ON q.vec_id = p.query_id
+                JOIN corpus c ON c.list_id = p.probe_list
+                 AND c.vec_id <> p.query_id
+            )
+            {_SQL_TOPK_TAIL}
+        ''',
         'ann_lsh_topk': f'''
             WITH {_SQL_EMB},
             b AS (

@@ -96,6 +96,68 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
     )
 
 
+def ivf_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
+             id_col: str = 'vec_id', vec_col: str = 'embedding',
+             label_col: str = 'label', dim: int = 64) -> DataFrame:
+    """IVF-style ANN: coarse quantizer = per-label mean centroids.
+
+    Each query probes its single nearest centroid (by cosine) and runs
+    exact top-k only inside that inverted list. At 10^12 scale the
+    centroid table stays broadcast-small while the candidate scan
+    touches ~1/n_lists of the corpus; lists are the natural partition
+    key for the stored table.
+    """
+    corpus = embeddings.select(
+        F.col(id_col), F.col(label_col).alias('list_id'),
+        as_double(F.col(vec_col)).alias('vec'))
+    corpus = corpus.select(
+        id_col, 'list_id', 'vec', norm(F.col('vec')).alias('nrm'))
+    centroids = corpus.groupBy('list_id').agg(
+        F.array(*[
+            F.avg(F.element_at('vec', i + 1)) for i in range(dim)
+        ]).alias('cvec'))
+    centroids = centroids.select(
+        F.col('list_id').alias('c_list'), 'cvec',
+        norm(F.col('cvec')).alias('cnrm'))
+    queries = corpus.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias('query_id'),
+        F.col('vec').alias('qvec'),
+        F.col('nrm').alias('qnrm'),
+    )
+    probe_w = Window.partitionBy('query_id').orderBy(
+        F.col('c_sim').desc(), F.col('c_list'))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            'c_sim',
+            F.round(dot(F.col('qvec'), F.col('cvec'))
+                    / (F.col('qnrm') * F.col('cnrm')), 6))
+        .withColumn('c_rank', F.row_number().over(probe_w))
+        .where(F.col('c_rank') == 1)
+        .select('query_id', 'qvec', 'qnrm',
+                F.col('c_list').alias('probe_list'))
+    )
+    scored = (
+        corpus.join(F.broadcast(probes),
+                    F.col('list_id') == F.col('probe_list'))
+        .where(F.col(id_col) != F.col('query_id'))
+        .select(
+            'query_id',
+            F.col(id_col).alias('neighbor_id'),
+            F.round(
+                dot(F.col('vec'), F.col('qvec'))
+                / (F.col('nrm') * F.col('qnrm')), 6).alias('cos_sim'),
+        )
+    )
+    w = Window.partitionBy('query_id').orderBy(
+        F.col('cos_sim').desc(), F.col('neighbor_id'))
+    return (
+        scored.withColumn('rank', F.row_number().over(w))
+        .where(F.col('rank') <= k)
+        .select('query_id', 'rank', 'neighbor_id', 'cos_sim')
+    )
+
+
 def lsh_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
              id_col: str = 'vec_id', vec_col: str = 'embedding',
              n_planes: int = N_HYPERPLANES, dim: int = 64) -> DataFrame:

@@ -78,3 +78,50 @@ class TestStreaming:
         metrics = ES.live_conversation_metrics(ES.extract_stream(stream))
         assert metrics.isStreaming
         assert 'window' in metrics.columns
+
+
+class TestStatefulStreaming:
+    def test_running_conversation_state(self, spark, tmp_path):
+        from ocrodjvu_spark.streaming.stateful import (
+            running_conversation_state)
+        inp = str(tmp_path / 'sin')
+        chk = str(tmp_path / 'chk')
+        df = T.synthesize_transcripts(spark, SF_DIR)
+        # two file batches -> at least two micro-batches with
+        # maxFilesPerTrigger=1, so state must carry across batches
+        df.where(F.col('turn_idx') % 2 == 0).write.parquet(
+            inp, mode='overwrite')
+        df.where(F.col('turn_idx') % 2 == 1).write.parquet(
+            inp, mode='append')
+
+        stream = ES.read_transcripts_stream(spark, inp,
+                                            max_files_per_trigger=1)
+        extracted = ES.extract_stream(stream, emit_spans=False,
+                                      emit_sexpr=False)
+        stateful = running_conversation_state(extracted)
+        q = (stateful.writeStream.format('memory')
+             .queryName('conv_state').outputMode('update')
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        assert q.lastProgress['batchId'] >= 1  # multiple micro-batches
+
+        # last update per conv must equal the batch ground truth
+        updates = spark.sql(
+            'SELECT * FROM conv_state').toPandas()
+        final = (updates.groupby('conv_id')
+                 .agg({'n_turns': 'max', 'n_chars': 'max',
+                       'max_turn_idx': 'max'}))
+        from ocrodjvu_spark import pipeline
+        truth = (pipeline.extract_turns(df, emit_spans=False,
+                                        emit_sexpr=False)
+                 .groupBy('conv_id')
+                 .agg(F.count('*').alias('n_turns'),
+                      F.sum(F.length('extracted_text')).alias('n_chars'),
+                      F.max('turn_idx').alias('max_turn_idx'))
+                 .toPandas().set_index('conv_id'))
+        assert len(final) == len(truth)
+        for conv_id, row in truth.iterrows():
+            got = final.loc[conv_id]
+            assert got['n_turns'] == row['n_turns'], conv_id
+            assert got['n_chars'] == row['n_chars'], conv_id
+            assert got['max_turn_idx'] == row['max_turn_idx'], conv_id
