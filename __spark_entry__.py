@@ -301,6 +301,20 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, n_queries=10, k=5)
 
 
+def _q_events_json_props(spark, sf_dir):
+    # semi-structured path: JSON property extraction + agg, JVM-side
+    events = T.load_table(spark, sf_dir, 'events')
+    k = F.get_json_object('props', '$.k').cast('long')
+    return (
+        events
+        .select('event_type', k.alias('k'))
+        .groupBy('event_type')
+        .agg(F.count('*').alias('n_events'),
+             F.sum('k').alias('sum_k'),
+             F.max('k').alias('max_k'))
+    )
+
+
 def _q_lineitem_pricing_summary(spark, sf_dir):
     # relational-shell sanity: TPC-H-Q1-style pricing summary (pure
     # Catalyst aggregation with map-side partials)
@@ -367,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'extract_orf': _q_extract_orf,
         'extract_gocr': _q_extract_gocr,
         'djvused_script': _q_djvused_script,
+        'events_json_props': _q_events_json_props,
         'lineitem_pricing_summary': _q_lineitem_pricing_summary,
         'orders_per_nation': _q_orders_per_nation,
     }
@@ -769,6 +784,16 @@ def oracle_sql() -> dict[str, str]:
                    )
                    || '))' || chr(10) || '.' || chr(10) AS djvused_script
             FROM documents
+        ''',
+        'events_json_props': '''
+            SELECT event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   CAST(max(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS max_k
+            FROM events
+            GROUP BY 1
         ''',
         'lineitem_pricing_summary': '''
             SELECT l_returnflag, l_linestatus,

@@ -153,15 +153,41 @@ def doc_shingle_table(docs: DataFrame, id_col='doc_id', text_col='text',
 
 
 def jaccard_pairs(docs: DataFrame, id_col='doc_id', text_col='text',
-                  n: int = 3, threshold: float = 0.5) -> DataFrame:
+                  n: int = 3, threshold: float = 0.5,
+                  max_df: Optional[int] = None) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs via shingle self-join.
 
     Shuffle pattern: one exchange on shingle (the join), one on the pair
     key (the count); sizes broadcast back. Candidate generation never
     materializes the full cross product.
+
+    ``max_df`` (scale knob): drop shingles shared by more than max_df
+    documents from *candidate generation* — a shingle with document
+    frequency f contributes O(f^2) join rows, and ultra-frequent
+    shingles are the least informative. Jaccard values are still
+    computed over the full shingle sets, so pairs that remain are
+    scored exactly; pairs whose only common shingles are ultra-frequent
+    are missed (the standard web-dedup approximation). Default None =
+    exact (what the oracle checks).
     """
     sh = doc_shingle_table(docs, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count('*').alias('n_shingles'))
+    if max_df is not None:
+        rare = (sh.groupBy('shingle')
+                .agg(F.count('*').alias('df'))
+                .where(F.col('df') <= max_df)
+                .select('shingle'))
+        sh_cand = sh.join(rare, 'shingle')
+        a = sh_cand.alias('a')
+        b = sh_cand.alias('b')
+        candidates = (
+            a.join(b, (F.col('a.shingle') == F.col('b.shingle'))
+                   & (F.col(f'a.{id_col}') < F.col(f'b.{id_col}')))
+            .select(F.col(f'a.{id_col}').alias('doc_a'),
+                    F.col(f'b.{id_col}').alias('doc_b'))
+            .distinct()
+        )
+        return _verify_pairs(candidates, sh, sizes, id_col, threshold)
     a = sh.alias('a')
     b = sh.alias('b')
     inter = (
@@ -171,6 +197,11 @@ def jaccard_pairs(docs: DataFrame, id_col='doc_id', text_col='text',
                  F.col(f'b.{id_col}').alias('doc_b'))
         .agg(F.count('*').alias('n_common'))
     )
+    return _score_pairs(inter, sizes, id_col, threshold)
+
+
+def _score_pairs(inter: DataFrame, sizes: DataFrame, id_col: str,
+                 threshold: float) -> DataFrame:
     sa = sizes.select(F.col(id_col).alias('doc_a'),
                       F.col('n_shingles').alias('size_a'))
     sb = sizes.select(F.col(id_col).alias('doc_b'),
@@ -185,6 +216,24 @@ def jaccard_pairs(docs: DataFrame, id_col='doc_id', text_col='text',
         .where(F.col('jaccard') >= threshold)
         .select('doc_a', 'doc_b', 'jaccard')
     )
+
+
+def _verify_pairs(candidates: DataFrame, sh: DataFrame, sizes: DataFrame,
+                  id_col: str, threshold: float) -> DataFrame:
+    """Exact Jaccard over *full* shingle sets, restricted to candidates."""
+    sa = sh.select(F.col(id_col).alias('doc_a'),
+                   F.col('shingle').alias('sh_a'))
+    sb = sh.select(F.col(id_col).alias('_doc_b'),
+                   F.col('shingle').alias('sh_b'))
+    inter = (
+        candidates
+        .join(sa, 'doc_a')
+        .join(sb, (F.col('doc_b') == F.col('_doc_b'))
+              & (F.col('sh_a') == F.col('sh_b')))
+        .groupBy('doc_a', 'doc_b')
+        .agg(F.count('*').alias('n_common'))
+    )
+    return _score_pairs(inter, sizes, id_col, threshold)
 
 
 def minhash_dedup_pairs(docs: DataFrame, id_col='doc_id', text_col='text',
@@ -212,32 +261,7 @@ def minhash_dedup_pairs(docs: DataFrame, id_col='doc_id', text_col='text',
     # so cost scales with |candidates|, not sum(df^2) over shingles.
     sh = doc_shingle_table(docs, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count('*').alias('n_shingles'))
-    sa = sh.select(F.col(id_col).alias('doc_a'),
-                   F.col('shingle').alias('sh_a'))
-    sb = sh.select(F.col(id_col).alias('_doc_b'),
-                   F.col('shingle').alias('sh_b'))
-    inter = (
-        candidates
-        .join(sa, 'doc_a')
-        .join(sb, (F.col('doc_b') == F.col('_doc_b'))
-              & (F.col('sh_a') == F.col('sh_b')))
-        .groupBy('doc_a', 'doc_b')
-        .agg(F.count('*').alias('n_common'))
-    )
-    za = sizes.select(F.col(id_col).alias('doc_a'),
-                      F.col('n_shingles').alias('size_a'))
-    zb = sizes.select(F.col(id_col).alias('doc_b'),
-                      F.col('n_shingles').alias('size_b'))
-    return (
-        inter.join(za, 'doc_a').join(zb, 'doc_b')
-        .withColumn(
-            'jaccard',
-            F.round(F.col('n_common')
-                    / (F.col('size_a') + F.col('size_b')
-                       - F.col('n_common')), 6))
-        .where(F.col('jaccard') >= threshold)
-        .select('doc_a', 'doc_b', 'jaccard')
-    )
+    return _verify_pairs(candidates, sh, sizes, id_col, threshold)
 
 
 # --- language ID + quality -------------------------------------------------

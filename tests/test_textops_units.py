@@ -1,0 +1,73 @@
+"""Direct unit checks on the text operators (beyond the SQL oracles)."""
+
+from pyspark.sql import functions as F
+
+from ocrodjvu_spark.functions import textops
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], 'doc_id long, text string')
+
+
+def test_jaccard_max_df_keeps_exact_scores(spark):
+    base = 'alpha beta gamma delta epsilon zeta eta theta'
+    docs = _docs(spark, [
+        base,
+        base + ' iota',          # near dup of 0
+        'one two three four five six seven eight',
+        base,                    # exact dup of 0
+    ])
+    exact = {(r.doc_a, r.doc_b): r.jaccard
+             for r in textops.jaccard_pairs(docs, threshold=0.3).collect()}
+    capped = {(r.doc_a, r.doc_b): r.jaccard
+              for r in textops.jaccard_pairs(
+                  docs, threshold=0.3, max_df=10).collect()}
+    assert exact == capped  # cap above every df: identical results
+    assert exact[(0, 3)] == 1.0
+    assert 0.3 <= exact[(0, 1)] < 1.0
+    # jaccard values stay full-set even when the cap drops shingles
+    capped2 = {(r.doc_a, r.doc_b): r.jaccard
+               for r in textops.jaccard_pairs(
+                   docs, threshold=0.3, max_df=2).collect()}
+    for pair, j in capped2.items():
+        assert j == exact[pair]
+
+
+def test_minhash_superset_of_high_jaccard(spark):
+    base = 'alpha beta gamma delta epsilon zeta eta theta iota kappa'
+    docs = _docs(spark, [
+        base,
+        base + ' tail',
+        'unrelated words entirely different from the others here now',
+    ])
+    pairs = {(r.doc_a, r.doc_b)
+             for r in textops.minhash_dedup_pairs(
+                 docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs)
+
+
+def test_simhash_similar_docs_close(spark):
+    docs = _docs(spark, [
+        'alpha beta gamma delta epsilon',
+        'alpha beta gamma delta zeta',
+        'qqq www eee rrr ttt',
+    ])
+    rows = {r.doc_id: r.simhash for r in docs.select(
+        'doc_id',
+        textops.simhash32(textops.tokens('text')).alias('simhash'),
+    ).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count('1')
+
+    assert hamming(rows[0], rows[1]) < hamming(rows[0], rows[2])
+
+
+def test_language_id_und_for_no_stopwords(spark):
+    docs = _docs(spark, ['zzz qqq xxx', 'the cat and the hat'])
+    rows = {r.doc_id: r.lang_pred
+            for r in textops.language_id(docs).collect()}
+    assert rows[0] == 'und'
+    assert rows[1] == 'en'
