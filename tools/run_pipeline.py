@@ -1,0 +1,86 @@
+"""spark-submit entrypoint for the extraction pipeline.
+
+Deploy (north rule: two cluster sizes, resumable, lineage sidecar):
+
+    zip -r ocrodjvu_spark.zip ocrodjvu_spark
+    spark-submit --py-files ocrodjvu_spark.zip tools/run_pipeline.py \\
+        --input <transcripts parquet/iceberg path> \\
+        --output <extracted table path> \\
+        --sidecar <lineage table path> \\
+        [--details words] [--uax29] [--rotation 0] \\
+        [--buckets 64] [--max-buckets N] [--salt 16] [--pages 17,37-42]
+
+On a cluster, master/executors come from spark-submit flags
+(--num-executors etc.); rerunning after a failure resumes from the
+sidecar (only pending buckets are processed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument('--input', required=True)
+    parser.add_argument('--output', required=True)
+    parser.add_argument('--sidecar', required=True)
+    parser.add_argument('--details', default='words',
+                        choices=('lines', 'words', 'chars'))
+    parser.add_argument('--word-segmentation', default='simple',
+                        choices=('simple', 'uax29'), dest='segmentation')
+    parser.add_argument('--language', default='eng')
+    parser.add_argument('--rotation', type=int, default=0)
+    parser.add_argument('--fix-utf8', action='store_true')
+    parser.add_argument('--buckets', type=int, default=64)
+    parser.add_argument('--max-buckets', type=int, default=None)
+    parser.add_argument('--pages', default=None,
+                        help="turn ranges, e.g. '17,37-42'")
+    args = parser.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from ocrodjvu_spark.kernel.iso639 import normalize_language
+    from ocrodjvu_spark.kernel.utils import parse_page_numbers
+    from ocrodjvu_spark.plans import checkpoint
+
+    normalize_language(args.language)  # validate config early
+
+    spark = SparkSession.builder.appName('ocrodjvu-spark-extract') \
+        .getOrCreate()
+    transcripts = spark.read.parquet(args.input)
+    pages = parse_page_numbers(args.pages)
+    if pages is not None:
+        transcripts = transcripts.where(F.col('turn_idx').isin(pages))
+
+    t0 = time.time()
+    processed = checkpoint.run_extraction(
+        spark, transcripts, args.output, args.sidecar,
+        n_buckets=args.buckets, max_buckets=args.max_buckets,
+        details=args.details,
+        uax29=(args.language if args.segmentation == 'uax29' else None),
+        rotation=args.rotation, fix_utf8=args.fix_utf8,
+    )
+    elapsed = time.time() - t0
+    metrics = spark.read.parquet(args.sidecar) if processed else None
+    summary = {
+        'buckets_processed': len(processed),
+        'elapsed_sec': round(elapsed, 2),
+    }
+    if metrics is not None:
+        agg = metrics.agg(
+            F.sum('n_turns'), F.sum('n_errors')).first()
+        summary['total_turns'] = agg[0]
+        summary['total_errors'] = agg[1]
+        if elapsed > 0 and processed:
+            summary['turns_per_sec'] = round((agg[0] or 0) / elapsed, 1)
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == '__main__':
+    main()
