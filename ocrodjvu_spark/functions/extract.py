@@ -13,7 +13,7 @@ Reference parity: the per-turn result matches ocrodjvu's
 
 from __future__ import annotations
 
-from typing import Iterable, List, Optional, Tuple
+from typing import List, Tuple
 
 import pandas as pd
 

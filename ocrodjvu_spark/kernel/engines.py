@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import re
 import xml.etree.ElementTree as ET
-from typing import Iterator, List, Optional
+from typing import Iterator, List
 
 from .segment import word_break_iterator
 from .zones import (

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import functools
 import re
-from typing import Iterable, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 from . import htmldom
 from .segment import word_break_iterator

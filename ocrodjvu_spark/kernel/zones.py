@@ -20,7 +20,7 @@ Semantics match the reference zone model (ocrodjvu lib/text_zones.py:38-224):
 
 from __future__ import annotations
 
-from typing import Iterable, List, Optional, Sequence, Union
+from typing import Iterable, List, Sequence, Union
 
 # --- zone types: total order, coarser is greater -------------------------
 

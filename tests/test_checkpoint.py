@@ -1,7 +1,5 @@
 """Resumable extraction: sidecar lineage, idempotent bucket overwrite."""
 
-import os
-
 import pytest
 from pyspark.sql import functions as F
 

@@ -10,7 +10,6 @@
    round-trip per the north star).
 """
 
-import glob
 import os
 
 import pytest

@@ -1,7 +1,5 @@
 """Multimodal plumbing (stubbed decode) + streaming extraction tests."""
 
-import time
-
 from pyspark.sql import functions as F
 
 from ocrodjvu_spark.functions import multimodal

@@ -10,12 +10,9 @@ import datetime
 
 import pytest
 from pyspark.sql import Row
-from pyspark.sql import functions as F
 
 from ocrodjvu_spark import pipeline
 from ocrodjvu_spark.kernel import sexpr
-from ocrodjvu_spark.schema import TRANSCRIPTS_COLUMNS
-
 TRANSCRIPTS_DDL = ('conv_id string, turn_idx int, role string, '
                    'text string, tool string, ts timestamp')
 

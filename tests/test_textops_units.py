@@ -1,7 +1,5 @@
 """Direct unit checks on the text operators (beyond the SQL oracles)."""
 
-from pyspark.sql import functions as F
-
 from ocrodjvu_spark.functions import textops
 
 
