@@ -87,6 +87,15 @@ def _q_extract_lines(spark, sf_dir):
         'conv_id', 'turn_idx', 'extracted_sexpr')
 
 
+def _q_extract_chars(spark, sf_dir):
+    # details=chars: word zones carry per-char children with the
+    # reference's x0 + w*i//n integer proportional split (T5)
+    df = T.synthesize_transcripts(spark, sf_dir)
+    return pipeline.extract_turns(
+        df, details='chars', emit_spans=False).select(
+        'conv_id', 'turn_idx', 'extracted_sexpr')
+
+
 def _q_extract_uax29(spark, sf_dir):
     # UAX#29 word segmentation (pure-Python engine; on this corpus the
     # token boundaries coincide with simple segmentation)
@@ -374,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ann_lsh_topk': _q_ann_lsh_topk,
         'ann_ivf_topk': _q_ann_ivf_topk,
         'extract_lines': _q_extract_lines,
+        'extract_chars': _q_extract_chars,
         'extract_uax29': _q_extract_uax29,
         'extract_rotated180': _q_extract_rotated180,
         'events_window_agg': _q_events_window_agg,
@@ -727,6 +737,45 @@ def oracle_sql() -> dict[str, str]:
                    || ' 1000 (line 10 940 '
                    || CAST(len({_TOKS}) * 100 AS VARCHAR) || ' 990 "'
                    || {_NORM} || '"))' AS extracted_sexpr
+            FROM documents
+        ''',
+        'extract_chars': f'''
+            SELECT {_CONV} AS conv_id, {_TIDX} AS turn_idx,
+                   '(page 0 0 ' || CAST(len({_TOKS}) * 100 + 100 AS VARCHAR)
+                   || ' 1000 (line 10 940 '
+                   || CAST(len({_TOKS}) * 100 AS VARCHAR) || ' 990 '
+                   || (
+                        SELECT string_agg(
+                            '(word ' || CAST(10 + 100 * (t.i - 1) AS VARCHAR)
+                            || ' 940 '
+                            || CAST(100 + 100 * (t.i - 1) AS VARCHAR)
+                            || ' 990 '
+                            || (
+                                SELECT string_agg(
+                                    '(char '
+                                    || CAST(10 + 100 * (t.i - 1)
+                                         + (90 * (ci.i - 1))
+                                           // length(t.tok) AS VARCHAR)
+                                    || ' 940 '
+                                    || CAST(10 + 100 * (t.i - 1)
+                                         + (90 * ci.i)
+                                           // length(t.tok) AS VARCHAR)
+                                    || ' 990 "'
+                                    || substr(t.tok, ci.i, 1) || '")', ' '
+                                    ORDER BY ci.i)
+                                FROM (
+                                    SELECT UNNEST(range(1,
+                                        length(t.tok) + 1)) AS i
+                                ) AS ci
+                            )
+                            || ')', ' '
+                            ORDER BY t.i)
+                        FROM (
+                            SELECT UNNEST({_TOKS}) AS tok,
+                                   generate_subscripts({_TOKS}, 1) AS i
+                        ) AS t
+                   )
+                   || '))' AS extracted_sexpr
             FROM documents
         ''',
         'extract_uax29': f'''
