@@ -197,6 +197,33 @@ def _q_djvused_script(spark, sf_dir):
         ).alias('djvused_script'))
 
 
+def _q_error_channel(spark, sf_dir):
+    # on-error resume: rows with doc_id %% 31 == 0 get their page bbox
+    # stripped (a MalformedHocr in the reference); the pipeline keeps
+    # them with a typed error instead of aborting
+    df = T.synthesize_transcripts(spark, sf_dir)
+    root = F.floor(F.sqrt(F.col('doc_id'))).cast('long')
+    docs = T.load_table(spark, sf_dir, 'documents').select('doc_id')
+    broken = F.col('doc_id') % 31 == 0
+    df = (T.load_table(spark, sf_dir, 'documents').select('doc_id', 'text')
+          .withColumn('text2', F.when(
+              broken,
+              F.lit('<html><head><meta name="ocr-capabilities" '
+                    'content="x"/></head><body>'
+                    '<div class="ocr_page">no bbox</div></body></html>'))
+           .otherwise(T.hocr_markup_col(T.tokens_col('text')))))
+    transcripts = df.select(
+        F.concat(F.lit('conv-'), root.cast('string')).alias('conv_id'),
+        (F.col('doc_id') - root * root + 1).cast('int').alias('turn_idx'),
+        F.col('text2').alias('text'))
+    extracted = pipeline.extract_turns(
+        transcripts, keep_columns=(), emit_spans=False, emit_sexpr=False)
+    return extracted.select(
+        'conv_id', 'turn_idx',
+        F.col('error').isNotNull().alias('failed'),
+        F.coalesce('extracted_text', F.lit('')).alias('extracted_text'))
+
+
 def _q_turns_per_conv(spark, sf_dir):
     # A4 per-document page count
     df = T.synthesize_transcripts(spark, sf_dir)
@@ -368,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'extract_sexpr': _q_extract_sexpr,
         'extract_roundtrip': _q_extract_roundtrip,
         'turn_filter': _q_turn_filter,
+        'error_channel': _q_error_channel,
         'turns_per_conv': _q_turns_per_conv,
         'conversation_reassembly': _q_conversation_reassembly,
         'extraction_metrics': _q_extraction_metrics,
@@ -553,6 +581,13 @@ def oracle_sql() -> dict[str, str]:
         'extract_roundtrip': f'''
             SELECT {_CONV} AS conv_id, {_TIDX} AS turn_idx,
                    {_NORM} AS extracted_text
+            FROM documents
+        ''',
+        'error_channel': f'''
+            SELECT {_CONV} AS conv_id, {_TIDX} AS turn_idx,
+                   (doc_id % 31 = 0) AS failed,
+                   CASE WHEN doc_id % 31 = 0 THEN ''
+                        ELSE {_NORM} END AS extracted_text
             FROM documents
         ''',
         'turn_filter': f'''
