@@ -250,6 +250,20 @@ def _q_extraction_metrics(spark, sf_dir):
         'conv_id', 'n_turns', 'n_errors', 'n_spans', 'n_chars')
 
 
+def _q_dedup_conversations(spark, sf_dir):
+    # full-pipeline composition: extract -> stable reassembly -> exact
+    # conversation-level dedup (what a 10^12-turn corpus actually runs)
+    df = T.synthesize_transcripts(spark, sf_dir)
+    extracted = pipeline.extract_turns(df, emit_spans=False,
+                                       emit_sexpr=False)
+    convs = pipeline.reassemble_conversations(extracted)
+    return convs.groupBy(
+        F.md5('conversation_text').alias('conv_hash')).agg(
+        F.min('conv_id').alias('rep_conv_id'),
+        F.count('*').alias('n_dupes'),
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     # exact dedup: hash-groupBy on normalized text (map-side partial agg)
     docs = T.load_table(spark, sf_dir, 'documents')
@@ -400,6 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'conversation_reassembly': _q_conversation_reassembly,
         'extraction_metrics': _q_extraction_metrics,
         'dedup_exact': _q_dedup_exact,
+        'dedup_conversations': _q_dedup_conversations,
         'token_stats': _q_token_stats,
         'dedup_minhash_lsh': _q_dedup_minhash_lsh,
         'dedup_ngram_jaccard': _q_dedup_ngram_jaccard,
@@ -618,6 +633,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len({_TOKS}) + 2) AS BIGINT) AS n_spans,
                    CAST(sum(length({_NORM})) AS BIGINT) AS n_chars
             FROM documents
+            GROUP BY 1
+        ''',
+        'dedup_conversations': f'''
+            WITH convs AS (
+                SELECT {_CONV} AS conv_id,
+                       string_agg({_NORM}, chr(10) ORDER BY {_TIDX})
+                           AS conversation_text
+                FROM documents
+                GROUP BY 1
+            )
+            SELECT md5(conversation_text) AS conv_hash,
+                   min(conv_id) AS rep_conv_id,
+                   count(*) AS n_dupes
+            FROM convs
             GROUP BY 1
         ''',
         'dedup_exact': f'''
