@@ -12,7 +12,7 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import StringType, StructField, StructType
 
 from ..kernel import hocr_emit, sexpr
 from ..kernel.engines import gocr_scan, ocrad_scan
@@ -20,29 +20,42 @@ from ..kernel.hocr import DETAILS_BY_NAME
 from ..schema import EXTRACT_RESULT
 from .extract import flatten_zone, zone_text
 
+EMIT_RESULT = StructType([
+    StructField('hocr', StringType()),
+    StructField('error', StringType()),
+])
+
 
 def make_emit_hocr_udf(uax29=None, full_document: bool = False):
-    """(extracted_sexpr, page_w, page_h) -> hOCR markup string."""
+    """(extracted_sexpr, page_w, page_h) -> struct(hocr, error).
 
-    @pandas_udf(StringType())
+    Failures are typed per-row errors (the same on-error-resume channel
+    as extraction), never silent nulls.
+    """
+
+    @pandas_udf(EMIT_RESULT)
     def emit_hocr(sexprs: pd.Series, page_w: pd.Series,
-                  page_h: pd.Series) -> pd.Series:
-        out = []
+                  page_h: pd.Series) -> pd.DataFrame:
+        rows = []
         for s, w, h in zip(sexprs, page_w, page_h):
             if s is None:
-                out.append(None)
+                rows.append({'hocr': None, 'error': 'null input'})
                 continue
             try:
                 value = sexpr.parse(s)
                 if full_document:
-                    out.append(hocr_emit.sexpr_to_hocr_document(
-                        [(value, int(w), int(h))], uax29=uax29))
+                    markup = hocr_emit.sexpr_to_hocr_document(
+                        [(value, int(w), int(h))], uax29=uax29)
                 else:
-                    out.append(hocr_emit.sexpr_to_hocr_page(
-                        value, int(w), int(h), uax29=uax29))
-            except Exception:
-                out.append(None)
-        return pd.Series(out, dtype=object)
+                    markup = hocr_emit.sexpr_to_hocr_page(
+                        value, int(w), int(h), uax29=uax29)
+                rows.append({'hocr': markup, 'error': None})
+            except Exception as exc:
+                rows.append({
+                    'hocr': None,
+                    'error': f'{type(exc).__name__}: {exc}',
+                })
+        return pd.DataFrame(rows, columns=['hocr', 'error'])
 
     return emit_hocr
 

@@ -93,21 +93,7 @@ def extract_one(
         rotation=rotation, details=details, uax29=uax29,
         fix_utf8=fix_utf8, page_size=page_size)
     try:
-        root = hocr.read_document(markup, settings)
-        hocr.detect_dialect(root, settings)
-        if settings.details < hocr.TEXT_DETAILS_WORD or (
-                settings.uax29
-                and settings.details <= hocr.TEXT_DETAILS_WORD):
-            script = hocr.htmldom.find_script(
-                root, hocr.TESSERACT_SCRIPT_TYPE)
-            if script is not None:
-                settings.tesseract = True
-                settings.bbox_data = hocr.extract_tesseract_bbox_data(
-                    script.text)
-        body = root.find('body')
-        if body is None:
-            raise hocr.MalformedHocr('document has no body')
-        zones = hocr.scan(body, settings)
+        zones = hocr.extract_zones(markup, settings=settings)
     except Exception as exc:  # error channel, not abort (on-error resume)
         return {
             'pages': None,

@@ -467,9 +467,17 @@ def detect_dialect(root, settings):
         settings.tesseract = True
 
 
-def extract_zones(text, **kwargs) -> List[Zone]:
-    """hOCR markup -> list of page zones (one per ocr_page)."""
-    settings = ExtractSettings(**kwargs)
+def extract_zones(text, settings: Optional[ExtractSettings] = None,
+                  **kwargs) -> List[Zone]:
+    """hOCR markup -> list of page zones (one per ocr_page).
+
+    Accepts a prebuilt ``ExtractSettings`` (the Spark UDF path reuses
+    the object to report dialect on errors) or builds one from kwargs.
+    This is the single implementation of dialect detection + the
+    Tesseract makebox-sidecar wiring — don't duplicate it.
+    """
+    if settings is None:
+        settings = ExtractSettings(**kwargs)
     root = read_document(text, settings)
     detect_dialect(root, settings)
     if settings.details < TEXT_DETAILS_WORD or (

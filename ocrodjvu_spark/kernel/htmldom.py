@@ -186,6 +186,10 @@ class _TreeBuilder(html.parser.HTMLParser):
 _NAME_RE = re.compile(r'[a-zA-Z][-a-zA-Z0-9:._]*')
 _ATTR_RE = re.compile(
     r'\s*([^\s=/>]+)(?:\s*=\s*("[^"]*"|\'[^\']*\'|[^\s>]*))?')
+# everything up to the real tag close: skips '>' inside quoted attribute
+# values (html.parser does the same; a bare find('>') would truncate
+# titles like 'bbox 1 2 3 4; note a > b')
+_TAG_BODY_RE = re.compile(r'(?:[^>"\']|"[^"]*"|\'[^\']*\')*')
 _SCRIPT_END_RE = re.compile(r'</script', re.IGNORECASE)
 
 
@@ -236,9 +240,10 @@ def _fast_feed(builder: '_TreeBuilder', text: str) -> None:
         name = m.group(0)
         if not name.islower():
             name = name.lower()
-        end = text.find('>', m.end())
-        if end < 0:
-            pos = n
+        body = _TAG_BODY_RE.match(text, m.end())
+        end = body.end()
+        if end >= n or text[end] != '>':
+            pos = n  # unterminated tag: drop the rest (libxml2-like)
             continue
         attr_text = text[m.end():end]
         self_closing = attr_text.endswith('/')

@@ -136,7 +136,8 @@ def reassemble_conversations(extracted: DataFrame) -> DataFrame:
                 ),
                 '\n',
             ).alias('conversation_text'),
-            F.count('*').alias('n_turns'),
+            # distinct turns, not exploded page rows (multi-page turns)
+            F.countDistinct('turn_idx').alias('n_turns'),
         )
     )
 
@@ -154,14 +155,15 @@ def roundtrip_turns(extracted: DataFrame, details: str = 'words',
     page = F.element_at('spans', 1)
     markup = extracted.where(F.col('extracted_sexpr').isNotNull()).select(
         'conv_id', 'turn_idx',
-        emit(F.col('extracted_sexpr'), page.x1, page.y1).alias('text'),
+        emit(F.col('extracted_sexpr'), page.x1, page.y1).alias('_e'),
     )
     extract = make_extract_udf(details=details, uax29=uax29)
     result = markup.select(
-        'conv_id', 'turn_idx', extract(F.col('text')).alias('_r'))
+        'conv_id', 'turn_idx', F.col('_e.error').alias('emit_error'),
+        extract(F.col('_e.hocr')).alias('_r'))
     return result.select(
         'conv_id', 'turn_idx',
-        F.col('_r.error').alias('error'),
+        F.coalesce('emit_error', F.col('_r.error')).alias('error'),
         F.element_at('_r.pages', 1)['extracted_text']
          .alias('extracted_text'),
         F.element_at('_r.pages', 1)['extracted_sexpr']
@@ -172,7 +174,8 @@ def roundtrip_turns(extracted: DataFrame, details: str = 'words',
 def extraction_metrics(extracted: DataFrame) -> DataFrame:
     """Per-conversation extraction metrics (sidecar table content)."""
     return extracted.groupBy('conv_id').agg(
-        F.count('*').alias('n_turns'),
+        # distinct turns, not exploded page rows (multi-page turns)
+        F.countDistinct('turn_idx').alias('n_turns'),
         F.sum(F.when(F.col('error').isNotNull(), 1).otherwise(0))
          .alias('n_errors'),
         F.sum(F.size(F.coalesce(F.col('spans'), F.array())))

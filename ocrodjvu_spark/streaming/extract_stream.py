@@ -51,7 +51,10 @@ def live_conversation_metrics(extracted: DataFrame,
         .withWatermark('ts', watermark)
         .groupBy(F.window('ts', window), F.col('conv_id'))
         .agg(
-            F.count('*').alias('n_turns'),
+            # streaming rows are exploded pages; distinct-turn counting
+            # needs the batch path (countDistinct is not supported with
+            # append-mode streaming aggregations)
+            F.count('*').alias('n_pages'),
             F.sum(F.when(F.col('error').isNotNull(), 1).otherwise(0))
              .alias('n_errors'),
             F.sum(F.length(F.coalesce(F.col('extracted_text'), F.lit(''))))

@@ -1,7 +1,7 @@
 """Custom stateful streaming operator: running per-conversation state.
 
 ``running_conversation_state`` keeps, per conv_id, an incrementally
-updated (n_turns, n_chars, max_turn_idx) triple across micro-batches via
+updated (n_pages, n_chars, max_turn_idx) triple across micro-batches via
 ``applyInPandasWithState`` — the pattern for stateful extraction
 post-processing that windowed aggregation can't express (e.g. monotone
 turn-counter checks, incremental conversation assembly).
@@ -22,27 +22,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = (
-    'conv_id string, n_turns long, n_chars long, max_turn_idx long')
-STATE_SCHEMA = 'n_turns long, n_chars long, max_turn_idx long'
+    'conv_id string, n_pages long, n_chars long, max_turn_idx long')
+STATE_SCHEMA = 'n_pages long, n_chars long, max_turn_idx long'
 
 
 def _update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
             state: GroupState) -> Iterator[pd.DataFrame]:
     (conv_id,) = key
     if state.exists:
-        n_turns, n_chars, max_turn = state.get
+        n_pages, n_chars, max_turn = state.get
     else:
-        n_turns, n_chars, max_turn = 0, 0, 0
+        n_pages, n_chars, max_turn = 0, 0, 0
     for pdf in pdfs:
-        n_turns += len(pdf)
+        n_pages += len(pdf)
         texts = pdf['extracted_text']
         n_chars += int(texts.fillna('').str.len().sum())
         if len(pdf):
             max_turn = max(max_turn, int(pdf['turn_idx'].max()))
-    state.update((n_turns, n_chars, max_turn))
+    state.update((n_pages, n_chars, max_turn))
     yield pd.DataFrame([{
         'conv_id': conv_id,
-        'n_turns': n_turns,
+        'n_pages': n_pages,
         'n_chars': n_chars,
         'max_turn_idx': max_turn,
     }])

@@ -65,3 +65,16 @@ def test_truncated_inputs_fast_behavior():
     assert root.find('body') is None  # truncated tag dropped entirely
     root = htmldom.parse_html('<div att="unterminated', fast=True)
     assert root.find('body') is None
+
+
+def test_gt_inside_quoted_attribute():
+    """'>' inside a quoted attribute must not truncate the tag."""
+    markup = ('<div class="ocr_page" title="bbox 0 0 9 9; note a > b">'
+              'x</div>')
+    for fast in (True, False):
+        root = htmldom.parse_html(markup, fast=fast)
+        [div] = list(root.find('body'))
+        assert div.get('title') == 'bbox 0 0 9 9; note a > b'
+        assert div.text == 'x'
+    assert canon(htmldom.parse_html(markup, fast=True)) == \
+        canon(htmldom.parse_html(markup, fast=False))

@@ -107,19 +107,19 @@ class TestStatefulStreaming:
         updates = spark.sql(
             'SELECT * FROM conv_state').toPandas()
         final = (updates.groupby('conv_id')
-                 .agg({'n_turns': 'max', 'n_chars': 'max',
+                 .agg({'n_pages': 'max', 'n_chars': 'max',
                        'max_turn_idx': 'max'}))
         from ocrodjvu_spark import pipeline
         truth = (pipeline.extract_turns(df, emit_spans=False,
                                         emit_sexpr=False)
                  .groupBy('conv_id')
-                 .agg(F.count('*').alias('n_turns'),
+                 .agg(F.count('*').alias('n_pages'),
                       F.sum(F.length('extracted_text')).alias('n_chars'),
                       F.max('turn_idx').alias('max_turn_idx'))
                  .toPandas().set_index('conv_id'))
         assert len(final) == len(truth)
         for conv_id, row in truth.iterrows():
             got = final.loc[conv_id]
-            assert got['n_turns'] == row['n_turns'], conv_id
+            assert got['n_pages'] == row['n_pages'], conv_id
             assert got['n_chars'] == row['n_chars'], conv_id
             assert got['max_turn_idx'] == row['max_turn_idx'], conv_id
