@@ -198,12 +198,10 @@ def _q_djvused_script(spark, sf_dir):
 
 
 def _q_error_channel(spark, sf_dir):
-    # on-error resume: rows with doc_id %% 31 == 0 get their page bbox
+    # on-error resume: rows with doc_id % 31 == 0 get their page bbox
     # stripped (a MalformedHocr in the reference); the pipeline keeps
     # them with a typed error instead of aborting
-    df = T.synthesize_transcripts(spark, sf_dir)
     root = F.floor(F.sqrt(F.col('doc_id'))).cast('long')
-    docs = T.load_table(spark, sf_dir, 'documents').select('doc_id')
     broken = F.col('doc_id') % 31 == 0
     df = (T.load_table(spark, sf_dir, 'documents').select('doc_id', 'text')
           .withColumn('text2', F.when(

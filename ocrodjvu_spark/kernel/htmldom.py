@@ -186,11 +186,34 @@ class _TreeBuilder(html.parser.HTMLParser):
 _NAME_RE = re.compile(r'[a-zA-Z][-a-zA-Z0-9:._]*')
 _ATTR_RE = re.compile(
     r'\s*([^\s=/>]+)(?:\s*=\s*("[^"]*"|\'[^\']*\'|[^\s>]*))?')
-# everything up to the real tag close: skips '>' inside quoted attribute
-# values (html.parser does the same; a bare find('>') would truncate
-# titles like 'bbox 1 2 3 4; note a > b')
-_TAG_BODY_RE = re.compile(r'(?:[^>"\']|"[^"]*"|\'[^\']*\')*')
 _SCRIPT_END_RE = re.compile(r'</script', re.IGNORECASE)
+
+
+def _find_tag_end(text: str, pos: int) -> int:
+    """Index of the tag-closing '>' from ``pos``, or -1 if unterminated.
+
+    '>' inside a quoted attribute value does not close the tag, but a
+    quote counts as opening a value only immediately after '=' (plus
+    whitespace) — matching html.parser, so a stray quote inside an
+    *unquoted* value (title=don't) stays a plain character.
+    """
+    n = len(text)
+    while pos < n:
+        c = text[pos]
+        if c == '>':
+            return pos
+        if c == '=':
+            pos += 1
+            while pos < n and text[pos] in ' \t\r\n':
+                pos += 1
+            if pos < n and (text[pos] == '"' or text[pos] == "'"):
+                end = text.find(text[pos], pos + 1)
+                if end < 0:
+                    return -1
+                pos = end + 1
+            continue
+        pos += 1
+    return -1
 
 
 def _fast_feed(builder: '_TreeBuilder', text: str) -> None:
@@ -240,9 +263,8 @@ def _fast_feed(builder: '_TreeBuilder', text: str) -> None:
         name = m.group(0)
         if not name.islower():
             name = name.lower()
-        body = _TAG_BODY_RE.match(text, m.end())
-        end = body.end()
-        if end >= n or text[end] != '>':
+        end = _find_tag_end(text, m.end())
+        if end < 0:
             pos = n  # unterminated tag: drop the rest (libxml2-like)
             continue
         attr_text = text[m.end():end]

@@ -136,8 +136,10 @@ def reassemble_conversations(extracted: DataFrame) -> DataFrame:
                 ),
                 '\n',
             ).alias('conversation_text'),
-            # distinct turns, not exploded page rows (multi-page turns)
-            F.countDistinct('turn_idx').alias('n_turns'),
+            # distinct turns, not exploded page rows: count each turn's
+            # first page (plain hash aggregate; countDistinct would
+            # force an Expand through the shuffle)
+            F.count(F.when(F.col('page_idx') == 0, 1)).alias('n_turns'),
         )
     )
 
@@ -174,8 +176,11 @@ def roundtrip_turns(extracted: DataFrame, details: str = 'words',
 def extraction_metrics(extracted: DataFrame) -> DataFrame:
     """Per-conversation extraction metrics (sidecar table content)."""
     return extracted.groupBy('conv_id').agg(
-        # distinct turns, not exploded page rows (multi-page turns)
-        F.countDistinct('turn_idx').alias('n_turns'),
+        # distinct turns, not exploded page rows: count each turn's first
+        # page (error rows have null page_idx and still count as a turn);
+        # plain hash aggregate, no countDistinct Expand
+        F.count(F.when(F.col('page_idx').isNull()
+                       | (F.col('page_idx') == 0), 1)).alias('n_turns'),
         F.sum(F.when(F.col('error').isNotNull(), 1).otherwise(0))
          .alias('n_errors'),
         F.sum(F.size(F.coalesce(F.col('spans'), F.array())))

@@ -88,7 +88,11 @@ def run_extraction(
         .where(F.col(BUCKET_COL).isin(pending))
         .groupBy(BUCKET_COL)
         .agg(
-            F.count('*').alias('n_turns'),
+            # distinct turns, not exploded page rows (same rule as
+            # pipeline.extraction_metrics)
+            F.count(F.when(F.col('page_idx').isNull()
+                           | (F.col('page_idx') == 0), 1))
+             .alias('n_turns'),
             F.sum(F.when(F.col('error').isNotNull(), 1).otherwise(0))
              .alias('n_errors'),
             F.sum(F.size(F.coalesce(F.col('spans'), F.array())))

@@ -30,6 +30,10 @@ ADVERSARIAL = [
     '<div title="bbox 1 2 3 4"><img src=x></div>',
     '</stray></p><div>after stray</div>',
     '<td>cell</td>',
+    "<div title=don't>x</div>",       # quote inside unquoted value
+    '<div title="a > b">x</div>',     # '>' inside quoted value
+    "<div title='it<>s'>y</div>",
+    '<div title=bare"quote>z</div>',
 ]
 
 
