@@ -349,6 +349,22 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, n_queries=10, k=5)
 
 
+def _q_events_sessionization(spark, sf_dir):
+    # session windows (10-minute gap) per user over the events stream
+    # table — the batch face of streaming sessionization
+    events = T.load_table(spark, sf_dir, 'events')
+    return (
+        events
+        .groupBy(F.session_window('ts', '10 minutes').alias('w'),
+                 F.col('user_id'))
+        .agg(F.count('*').alias('n_events'),
+             F.round(F.sum('value'), 4).alias('sum_value'))
+        .select('user_id',
+                F.col('w.start').alias('session_start'),
+                'n_events', 'sum_value')
+    )
+
+
 def _q_events_json_props(spark, sf_dir):
     # semi-structured path: JSON property extraction + agg, JVM-side
     events = T.load_table(spark, sf_dir, 'events')
@@ -433,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'extract_gocr': _q_extract_gocr,
         'djvused_script': _q_djvused_script,
         'events_json_props': _q_events_json_props,
+        'events_sessionization': _q_events_sessionization,
         'lineitem_pricing_summary': _q_lineitem_pricing_summary,
         'orders_per_nation': _q_orders_per_nation,
     }
@@ -895,6 +912,29 @@ def oracle_sql() -> dict[str, str]:
                    )
                    || '))' || chr(10) || '.' || chr(10) AS djvused_script
             FROM documents
+        ''',
+        'events_sessionization': '''
+            WITH marks AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+                SELECT user_id, ts, value,
+                       sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marks
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM sess
+            GROUP BY user_id, sid
         ''',
         'events_json_props': '''
             SELECT event_type,
