@@ -75,6 +75,39 @@ def test_golden_corpus_through_spark(spark, details, uax29):
             assert sexpr.parse(got_page) == want, key
 
 
+def test_page_size_dialects_through_spark(spark):
+    """cuneiform 0.7/0.8 fixtures (need --page-size) through the UDF.
+
+    page_size is per-run config, so group the golden cases by it and
+    run one extraction per distinct page size.
+    """
+    by_size = {}
+    for case_id, html_bytes, kwargs, expected_pages in golden_cases():
+        if kwargs.get('page_size') is None or kwargs['details'] != 2 \
+                or kwargs['uax29']:
+            continue
+        by_size.setdefault(kwargs['page_size'], []).append(
+            (html_bytes, expected_pages))
+    assert by_size, 'corpus must contain page-size golden configs'
+    for page_size, cases in by_size.items():
+        rows, expected = [], {}
+        for i, (html_bytes, expected_pages) in enumerate(cases):
+            rows.append(('conv-ps', i + 1, 'user',
+                         html_bytes.decode('UTF-8', 'replace'), None,
+                         datetime.datetime(2025, 1, 1)))
+            expected[i + 1] = [sexpr.parse(p) for p in expected_pages]
+        df = spark.createDataFrame(rows, schema=TRANSCRIPTS_DDL)
+        out = pipeline.extract_turns(df, details='words',
+                                     page_size=page_size)
+        got = {}
+        for r in out.collect():
+            assert r.error is None, (r.turn_idx, r.error)
+            got.setdefault(r.turn_idx, []).append(
+                (r.page_idx, sexpr.parse(r.extracted_sexpr)))
+        for turn_idx, pages in expected.items():
+            assert [p for _, p in sorted(got[turn_idx])] == pages
+
+
 def test_error_channel_resume(spark):
     """--on-error resume semantics: bad rows keep error, good rows flow."""
     rows = [
