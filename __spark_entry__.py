@@ -307,6 +307,13 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     return textops.minhash_dedup_pairs(docs, threshold=0.5)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    # iterative connected components over the near-dup pair graph
+    # (min-label propagation; oracle is a recursive CTE)
+    docs = _docs_with_near_dups(spark, sf_dir)
+    return textops.dedup_clusters(docs, threshold=0.5)
+
+
 def _q_dedup_ngram_jaccard(spark, sf_dir):
     # exact shingle-join Jaccard baseline
     docs = _docs_with_near_dups(spark, sf_dir)
@@ -432,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'token_stats': _q_token_stats,
         'dedup_minhash_lsh': _q_dedup_minhash_lsh,
         'dedup_ngram_jaccard': _q_dedup_ngram_jaccard,
+        'dedup_clusters': _q_dedup_clusters,
         'simhash': _q_simhash,
         'language_id': _q_language_id,
         'quality_score': _q_quality_score,
@@ -684,6 +692,26 @@ def oracle_sql() -> dict[str, str]:
             WITH {_SQL_DOCS_DUPS}
             SELECT doc_a, doc_b, jaccard FROM jac
             WHERE jaccard >= 0.5
+        ''',
+        'dedup_clusters': f'''
+            WITH RECURSIVE {_SQL_DOCS_DUPS},
+            pairs AS (
+                SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5
+            ),
+            adj AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION ALL
+                SELECT doc_b AS u, doc_a AS v FROM pairs
+            ),
+            verts AS (SELECT DISTINCT u AS v FROM adj),
+            walk(v, root) AS (
+                SELECT v, v FROM verts
+                UNION
+                SELECT a.v, w.root
+                FROM walk w JOIN adj a ON a.u = w.v
+            )
+            SELECT v AS doc_id, min(root) AS cluster_id
+            FROM walk GROUP BY v
         ''',
         'dedup_minhash_lsh': f'''
             WITH {_SQL_DOCS_DUPS},

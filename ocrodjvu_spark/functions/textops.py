@@ -264,6 +264,53 @@ def minhash_dedup_pairs(docs: DataFrame, id_col='doc_id', text_col='text',
     return _verify_pairs(candidates, sh, sizes, id_col, threshold)
 
 
+def dedup_clusters(docs: DataFrame, id_col='doc_id', text_col='text',
+                   n: int = 3, threshold: float = 0.5,
+                   max_iterations: int = 20) -> DataFrame:
+    """Near-duplicate clusters: connected components over MinHash pairs.
+
+    Iterative min-label propagation on the near-dup pair graph (the
+    Spark-idiomatic connected-components loop: join labels to edges,
+    take the min over neighbors, repeat until a fixed point). Each
+    iteration is one shuffle on the vertex id; convergence needs at
+    most the component diameter (checked driver-side via a count).
+    Output: (doc_id, cluster_id = min doc_id of the component) for every
+    document that has at least one near-duplicate.
+    """
+    edges = minhash_dedup_pairs(docs, id_col, text_col, n, threshold) \
+        .select('doc_a', 'doc_b')
+    # undirected adjacency
+    adj = edges.union(
+        edges.select(F.col('doc_b').alias('doc_a'),
+                     F.col('doc_a').alias('doc_b')))
+    labels = adj.select(F.col('doc_a').alias('v')).distinct() \
+        .withColumn('label', F.col('v'))
+    adj = adj.localCheckpoint()  # reused every iteration: cut lineage once
+    for _ in range(max_iterations):
+        neighbor_min = (
+            adj.join(labels, adj.doc_a == labels.v)
+            .groupBy(F.col('doc_b').alias('v2'))
+            .agg(F.min('label').alias('nlabel'))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.v == F.col('v2'), 'left')
+            .select(
+                'v',
+                F.least(F.col('label'),
+                        F.coalesce('nlabel', F.col('label')))
+                 .alias('label'))
+        ).localCheckpoint()  # truncate the lineage each iteration
+        changed = (
+            labels.alias('o').join(new_labels.alias('nw'), 'v')
+            .where(F.col('o.label') != F.col('nw.label')).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col('v').alias(id_col),
+                         F.col('label').alias('cluster_id'))
+
+
 # --- language ID + quality -------------------------------------------------
 
 STOPWORDS = {

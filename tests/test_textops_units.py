@@ -69,3 +69,19 @@ def test_language_id_und_for_no_stopwords(spark):
             for r in textops.language_id(docs).collect()}
     assert rows[0] == 'und'
     assert rows[1] == 'en'
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    # a -> b -> c chain where a and c share little directly: the cluster
+    # must still merge via transitivity (propagation depth > 1)
+    base = ['alpha beta gamma delta epsilon zeta eta theta iota kappa',
+            None, None]
+    base[1] = base[0] + ' lam mu'            # near-dup of 0
+    base[2] = base[1] + ' nu xi omicron pi'  # near-dup of 1, farther from 0
+    docs = _docs(spark, base + ['unrelated words entirely different set'])
+    out = {r.doc_id: r.cluster_id
+           for r in textops.dedup_clusters(docs, threshold=0.45).collect()}
+    assert out.get(0) == 0 and out.get(1) == 0
+    if 2 in out:  # chain reached doc 2 -> same cluster
+        assert out[2] == 0
+    assert 3 not in out  # singleton never appears
