@@ -326,6 +326,28 @@ def _q_simhash(spark, sf_dir):
         'doc_id', textops.simhash32(textops.tokens('text')).alias('simhash'))
 
 
+def _q_tfidf_top_terms(spark, sf_dir):
+    # TF-IDF keyword extraction: top-3 terms per document by
+    # tf * ln(N/df), ties broken lexicographically
+    docs = T.load_table(spark, sf_dir, 'documents')
+    n_docs = docs.count()
+    terms = docs.select(
+        'doc_id', F.explode(T.tokens_col('text')).alias('term'))
+    tf = terms.groupBy('doc_id', 'term').agg(F.count('*').alias('tf'))
+    df_ = terms.select('doc_id', 'term').distinct() \
+        .groupBy('term').agg(F.count('*').alias('df'))
+    scored = tf.join(F.broadcast(df_), 'term').select(
+        'doc_id', 'term',
+        F.round(F.col('tf') * F.log(F.lit(float(n_docs)) / F.col('df')),
+                6).alias('tfidf'))
+    from pyspark.sql import Window
+    w = Window.partitionBy('doc_id').orderBy(
+        F.col('tfidf').desc(), F.col('term'))
+    return (scored.withColumn('rank', F.row_number().over(w))
+            .where(F.col('rank') <= 3)
+            .select('doc_id', 'rank', 'term', 'tfidf'))
+
+
 def _q_language_id(spark, sf_dir):
     docs = T.load_table(spark, sf_dir, 'documents')
     return textops.language_id(docs)
@@ -442,6 +464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_clusters': _q_dedup_clusters,
         'simhash': _q_simhash,
         'language_id': _q_language_id,
+        'tfidf_top_terms': _q_tfidf_top_terms,
         'quality_score': _q_quality_score,
         'doc_fingerprint': _q_doc_fingerprint,
         'ann_cosine_topk': _q_ann_cosine_topk,
@@ -751,6 +774,32 @@ def oracle_sql() -> dict[str, str]:
                        ELSE CAST(0 AS BIGINT) END
                    )) AS BIGINT) AS simhash
             FROM th
+        ''',
+        'tfidf_top_terms': f'''
+            WITH terms AS (
+                SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM terms GROUP BY 1, 2
+            ),
+            idf AS (
+                SELECT term, count(DISTINCT doc_id) AS df FROM terms
+                GROUP BY 1
+            ),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term,
+                       round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / idf.df),
+                             6) AS tfidf
+                FROM tf JOIN idf USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, rank, term, tfidf FROM (
+                SELECT *, CAST(row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+                FROM scored
+            ) WHERE rank <= 3
         ''',
         'language_id': f'''
             WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
