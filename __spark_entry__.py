@@ -330,16 +330,21 @@ def _q_tfidf_top_terms(spark, sf_dir):
     # TF-IDF keyword extraction: top-3 terms per document by
     # tf * ln(N/df), ties broken lexicographically
     docs = T.load_table(spark, sf_dir, 'documents')
-    n_docs = docs.count()
+    # lazy corpus size (cross-joined like the oracle's n CTE), not an
+    # eager .count() job at query-construction time
+    n_docs = docs.agg(F.count('*').cast('double').alias('n_docs'))
     terms = docs.select(
         'doc_id', F.explode(T.tokens_col('text')).alias('term'))
     tf = terms.groupBy('doc_id', 'term').agg(F.count('*').alias('tf'))
     df_ = terms.select('doc_id', 'term').distinct() \
         .groupBy('term').agg(F.count('*').alias('df'))
-    scored = tf.join(F.broadcast(df_), 'term').select(
-        'doc_id', 'term',
-        F.round(F.col('tf') * F.log(F.lit(float(n_docs)) / F.col('df')),
-                6).alias('tfidf'))
+    scored = (tf.join(F.broadcast(df_), 'term')
+              .crossJoin(F.broadcast(n_docs))
+              .select(
+                  'doc_id', 'term',
+                  F.round(F.col('tf')
+                          * F.log(F.col('n_docs') / F.col('df')),
+                          6).alias('tfidf')))
     from pyspark.sql import Window
     w = Window.partitionBy('doc_id').orderBy(
         F.col('tfidf').desc(), F.col('term'))

@@ -279,13 +279,14 @@ def dedup_clusters(docs: DataFrame, id_col='doc_id', text_col='text',
     """
     edges = minhash_dedup_pairs(docs, id_col, text_col, n, threshold) \
         .select('doc_a', 'doc_b')
-    # undirected adjacency
+    # undirected adjacency; checkpoint BEFORE deriving labels so the
+    # expensive pair-generation lineage is evaluated exactly once
     adj = edges.union(
         edges.select(F.col('doc_b').alias('doc_a'),
-                     F.col('doc_a').alias('doc_b')))
+                     F.col('doc_a').alias('doc_b'))).localCheckpoint()
     labels = adj.select(F.col('doc_a').alias('v')).distinct() \
         .withColumn('label', F.col('v'))
-    adj = adj.localCheckpoint()  # reused every iteration: cut lineage once
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             adj.join(labels, adj.doc_a == labels.v)
@@ -306,7 +307,13 @@ def dedup_clusters(docs: DataFrame, id_col='doc_id', text_col='text',
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f'dedup_clusters did not converge in {max_iterations} '
+            'iterations (component diameter exceeds the bound); raise '
+            'max_iterations')
     return labels.select(F.col('v').alias(id_col),
                          F.col('label').alias('cluster_id'))
 

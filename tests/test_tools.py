@@ -5,13 +5,16 @@ round's benchmark record, so pin them here (no timed work).
 """
 
 import importlib
+import os
 import sys
 
 import pytest
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 def test_bench_imports_and_helpers(tmp_path, spark):
-    sys.path.insert(0, '/root/repo')
+    sys.path.insert(0, REPO_ROOT)
     bench = importlib.import_module('bench')
     path = bench.materialize_transcripts(
         spark, '/root/testdata/sf0.001', str(tmp_path))
@@ -22,7 +25,7 @@ def test_bench_imports_and_helpers(tmp_path, spark):
 
 
 def test_run_pipeline_arg_parsing():
-    sys.path.insert(0, '/root/repo/tools')
+    sys.path.insert(0, os.path.join(REPO_ROOT, 'tools'))
     rp = importlib.import_module('run_pipeline')
     with pytest.raises(SystemExit):
         rp.main(['--help'])
@@ -31,12 +34,12 @@ def test_run_pipeline_arg_parsing():
 
 
 def test_bench_scaling_imports():
-    sys.path.insert(0, '/root/repo/tools')
+    sys.path.insert(0, os.path.join(REPO_ROOT, 'tools'))
     importlib.import_module('bench_scaling')
 
 
 def test_check_correctness_helpers():
-    sys.path.insert(0, '/root/repo/tools')
+    sys.path.insert(0, os.path.join(REPO_ROOT, 'tools'))
     cc = importlib.import_module('check_correctness')
     assert cc.normalize_cell(float('nan')) == 'nan'
     assert cc.normalize_cell(0.1234567891) == '0.123456789'
