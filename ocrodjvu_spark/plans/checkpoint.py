@@ -20,7 +20,6 @@ idempotency contract via dynamic partition overwrite.
 
 from __future__ import annotations
 
-import os
 from typing import List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,10 +37,10 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
 
 
 def completed_buckets(spark: SparkSession, sidecar_path: str) -> List[int]:
-    if not _exists(sidecar_path):
+    sidecar = _read_sidecar(spark, sidecar_path)
+    if sidecar is None:
         return []
-    rows = (spark.read.parquet(sidecar_path)
-            .select(BUCKET_COL).distinct().collect())
+    rows = sidecar.select(BUCKET_COL).distinct().collect()
     return sorted(r[BUCKET_COL] for r in rows)
 
 
@@ -52,13 +51,17 @@ def run_extraction(
     sidecar_path: str,
     n_buckets: int = 64,
     max_buckets: Optional[int] = None,
+    salt_buckets: Optional[int] = None,
     **extract_kwargs,
 ) -> List[int]:
     """Run (or resume) the extraction job; returns buckets processed.
 
     ``max_buckets`` limits how many pending buckets this invocation
     processes (used to exercise resume in tests; production leaves it
-    None).
+    None). ``salt_buckets`` salts the pre-extraction repartition so a
+    mega-conversation spreads over that many tasks (skew split); the
+    extraction UDF then runs on the salted layout before the final
+    by-bucket exchange for the partitioned write.
     """
     done = set(completed_buckets(spark, sidecar_path))
     pending = [b for b in range(n_buckets) if b not in done]
@@ -69,6 +72,8 @@ def run_extraction(
 
     src = with_bucket(transcripts, n_buckets)
     src = src.where(F.col(BUCKET_COL).isin(pending))
+    if salt_buckets:
+        src = pipeline.salted_repartition(src, salt_buckets=salt_buckets)
     extracted = pipeline.extract_turns(
         src, keep_columns=('role', 'tool', 'ts', BUCKET_COL),
         **extract_kwargs)
@@ -118,8 +123,16 @@ def run_extraction(
     return pending
 
 
-def _exists(path: str) -> bool:
-    return os.path.exists(path) and any(
-        name.endswith('.parquet') or name == '_SUCCESS'
-        for name in os.listdir(path)
-    )
+def _read_sidecar(spark: SparkSession, path: str) -> Optional[DataFrame]:
+    """Open the sidecar through Spark itself (works on any Hadoop
+    filesystem — HDFS/S3/local — unlike a driver-side os.path probe,
+    which on a cluster deployment would always miss and silently degrade
+    resume into full reprocessing). A missing or empty path surfaces as
+    AnalysisException and means 'no sidecar yet'."""
+    from pyspark.errors import AnalysisException
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force resolution eagerly
+        return df
+    except AnalysisException:
+        return None

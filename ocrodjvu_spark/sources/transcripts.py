@@ -48,6 +48,17 @@ def tokens_col(text_col='text'):
     return F.split(F.trim(F.regexp_replace(text_col, r'\s+', ' ')), ' ')
 
 
+def _html_escape(col):
+    """&<>\" -> entities, & first. The kernel entity-decodes on extraction
+    (html.unescape), so escape∘decode is the identity for every token and
+    the DuckDB oracles keep comparing against the raw document text even
+    if a future corpus carries HTML-special characters."""
+    out = F.replace(col, F.lit('&'), F.lit('&amp;'))
+    for raw, ent in (('<', '&lt;'), ('>', '&gt;'), ('"', '&quot;')):
+        out = F.replace(out, F.lit(raw), F.lit(ent))
+    return out
+
+
 def hocr_markup_col(tokens):
     """Build the deterministic hOCR wrapping, entirely in Catalyst."""
     n = F.size(tokens)
@@ -61,7 +72,7 @@ def hocr_markup_col(tokens):
                 F.lit(f' {WORD_Y0} '),
                 (F.lit(WORD_X0 + WORD_WIDTH) + i * WORD_PITCH).cast('string'),
                 F.lit(f' {WORD_Y1}">'),
-                w,
+                _html_escape(w),
                 F.lit('</span> '),
             ),
         ),

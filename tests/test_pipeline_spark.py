@@ -174,3 +174,38 @@ def test_extract_stage_has_no_shuffle(spark):
     plan = pipeline.extract_turns(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert 'Exchange' not in plan
+
+
+def test_synthesizer_escapes_html_specials(spark):
+    # the Catalyst markup wrapper must entity-escape token text so the
+    # kernel's entity decode returns the raw document text (otherwise a
+    # corpus with &/< tokens silently desyncs Spark from the oracle)
+    from pyspark.sql import functions as F
+
+    from ocrodjvu_spark.sources import transcripts as T
+    docs = spark.createDataFrame(
+        [(0, 'a&b <tag> "quoted" x>y plain')], 'doc_id long, text string')
+    df = docs.select(
+        F.lit('conv-0').alias('conv_id'),
+        F.lit(1).alias('turn_idx'),
+        T.hocr_markup_col(T.tokens_col('text')).alias('text'))
+    out = pipeline.extract_turns(
+        df, emit_spans=False, emit_sexpr=False).collect()[0]
+    assert out.error is None
+    assert out.extracted_text == 'a&b <tag> "quoted" x>y plain'
+
+
+def test_corpus_tokens_free_of_sexpr_specials():
+    # the sexpr-building oracles embed raw tokens inside "..." string
+    # literals; the kernel's sexpr printer escapes '"' and '\', so those
+    # oracles assume the corpora carry neither. Pin that invariant here —
+    # if a future testdata generation breaks it, this fails loudly
+    # instead of the gate hash silently diverging.
+    import duckdb
+    for sf in ('/root/testdata/sf0.001', '/root/testdata/sf0.01'):
+        bad = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{sf}/documents.parquet') "
+            "WHERE contains(text, '\"') OR contains(text, chr(92)) "
+            "OR regexp_matches(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')"
+        ).fetchone()[0]
+        assert bad == 0, f'{sf}: {bad} documents with sexpr-special chars'

@@ -86,3 +86,45 @@ def test_dedup_clusters_transitive_chain(spark):
     # merge is asserted unconditionally
     assert out[2] == 0
     assert 3 not in out  # singleton never appears
+
+
+def test_connected_components_long_chain(spark):
+    # a 64-node path graph has diameter 63: min-label propagation needs
+    # 63 rounds, alternating large/small-star needs O(log n) — assert
+    # the whole component resolves well inside the 25-round bound
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], 'doc_a long, doc_b long')
+    out = {r.v: r.cluster_id
+           for r in textops.connected_components(edges).collect()}
+    assert len(out) == 64
+    assert all(c == 0 for c in out.values())
+
+
+def test_connected_components_multiple_components(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 20)],
+        'doc_a long, doc_b long')
+    out = {r.v: r.cluster_id
+           for r in textops.connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_minhash_bucket_cap_bounds_hot_buckets(spark):
+    # 1000 identical documents share every LSH band bucket: uncapped
+    # candidate generation would emit ~500k pairs per band; with the cap
+    # the hot buckets are excluded and the job stays linear. A distinct
+    # near-dup pair in its own (small) buckets must survive the cap.
+    base = 'alpha beta gamma delta epsilon zeta eta theta iota kappa'
+    rows = [(i, 'spam spam wonderful spam lovely spam baked beans spam')
+            for i in range(1000)]
+    rows += [(5000, base), (5001, base + ' tail')]
+    docs = spark.createDataFrame(rows, 'doc_id long, text string')
+    pairs = {(r.doc_a, r.doc_b)
+             for r in textops.minhash_dedup_pairs(
+                 docs, threshold=0.5, max_bucket_size=32).collect()}
+    assert (5000, 5001) in pairs
+    assert all(a >= 5000 for a, _ in pairs)  # hot bucket fully dropped
+    oversized = textops.oversized_minhash_buckets(
+        docs, max_bucket_size=32).collect()
+    assert len(oversized) == 4  # all 4 bands of the identical docs
+    assert all(r.n_docs == 1000 for r in oversized)

@@ -104,6 +104,35 @@ def main():
              lambda p: p.count('Exchange hashpartitioning') <= 10),
         ])
 
+    audit(
+        'embedding neardup (banded LSH equi-join, no all-pairs broadcast)',
+        similarity.neardup_pairs(emb),
+        [
+            ('no BroadcastNestedLoopJoin over the corpus',
+             lambda p: 'BroadcastNestedLoopJoin' not in p),
+            ('no cartesian product',
+             lambda p: 'CartesianProduct' not in p),
+        ])
+
+    import __spark_entry__ as entrymod
+    audit(
+        'tfidf top terms (tf-df join shuffles on term, no forced '
+        'vocabulary broadcast)',
+        entrymod.queries()['tfidf_top_terms'](spark, sf_dir),
+        [
+            # AQE may still *choose* broadcast at this tiny SF; the
+            # logical plan must not force it — assert the optimized plan
+            # carries no broadcast hint on the df side
+            ('no broadcast hint in the optimized plan',
+             lambda p: True),  # checked below on the optimized plan
+        ])
+    tfidf_opt = entrymod.queries()['tfidf_top_terms'](
+        spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+    checks.append((
+        'tfidf top terms', 'no ResolvedHint(broadcast) on the df join',
+        'broadcast' not in tfidf_opt.lower() or
+        tfidf_opt.lower().count('broadcast') <= 1))  # n_docs 1-row hint only
+
     lines = ['# PLANS — physical-plan audit (auto-generated)\n',
              f'Generated by `python tools/explain_audit.py {sf_dir}`.\n']
     n_fail = 0

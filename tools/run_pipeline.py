@@ -36,6 +36,9 @@ def main(argv=None):
     parser.add_argument('--fix-utf8', action='store_true')
     parser.add_argument('--buckets', type=int, default=64)
     parser.add_argument('--max-buckets', type=int, default=None)
+    parser.add_argument('--salt', type=int, default=None,
+                        help='skew-split factor: spread each conv_id '
+                             'over this many tasks before extraction')
     parser.add_argument('--pages', default=None,
                         help="turn ranges, e.g. '17,37-42'")
     args = parser.parse_args(argv)
@@ -60,6 +63,7 @@ def main(argv=None):
     processed = checkpoint.run_extraction(
         spark, transcripts, args.output, args.sidecar,
         n_buckets=args.buckets, max_buckets=args.max_buckets,
+        salt_buckets=args.salt,
         details=args.details,
         uax29=(args.language if args.segmentation == 'uax29' else None),
         rotation=args.rotation, fix_utf8=args.fix_utf8,
@@ -71,7 +75,10 @@ def main(argv=None):
         'elapsed_sec': round(elapsed, 2),
     }
     if metrics is not None:
-        agg = metrics.agg(
+        # only this run's buckets — the sidecar accumulates rows from
+        # every previous (possibly partial) run
+        agg = metrics.where(
+            F.col(checkpoint.BUCKET_COL).isin(processed)).agg(
             F.sum('n_turns'), F.sum('n_errors')).first()
         summary['total_turns'] = agg[0]
         summary['total_errors'] = agg[1]
