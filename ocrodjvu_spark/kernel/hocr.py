@@ -1,23 +1,25 @@
 """hOCR -> zone-tree extraction kernel.
 
 Re-implements the observable semantics of the reference's extraction core
-(ocrodjvu lib/hocr.py:96-472): recursive DOM scan with zone classification,
-bbox property parsing, engine-dialect quirks (Tesseract, Cuneiform 0.8/0.9,
-OCRopus), whitespace stripping, the bbox-count/text-length reconciliation
-rules, word/character splitting, and the Tesseract ``makebox`` charbox
-sidecar. Pure Python, stdlib-only, deterministic — designed to run inside
-Arrow-batched pandas UDFs.
+(ocrodjvu lib/hocr.py:96-472) with a different factoring: a dialect-aware
+``_Scanner`` drives one DOM traversal per document, a ``_Mix`` summary
+classifies each element's assembled content, and leaf text is reshaped
+into word/character zones by a small pipeline of pure helpers
+(tail-strip -> detail early-out -> box harvest -> count reconciliation ->
+word/char burst). Pure Python, stdlib-only, deterministic — designed to
+run inside Arrow-batched pandas UDFs.
 
-Key behaviors pinned by the golden corpus (tests/):
+Behaviors pinned by the golden corpus (tests/), with reference citations
+so parity stays checkable:
 
 * zone classes: ocr_page/ocr_column/ocr_carea/ocr_par/ocr_line/ocr_word/
   ocrx_block/ocrx_line/ocrx_word (lib/hocr.py:45-55); Cuneiform <= 0.8 maps
-  body/p/span -> page/para/char (lib/hocr.py:57-61).
+  bare body/p/span -> page/para/char (lib/hocr.py:57-61).
 * ``title="bbox x0 y0 x1 y1"`` and ``bboxes ...`` parsing by substring
   regex search — deliberately matching ``x_bboxes`` too (lib/hocr.py:75-89).
 * Tesseract strips only a trailing ``\\n\\s+``; other engines full rstrip
   (lib/hocr.py:91-111).
-* bbox-count vs text-length reconciliation: exact, Cuneiform >= 0.9 extra
+* box-count vs text-length reconciliation: exact, Cuneiform >= 0.9 extra
   whitespace boxes, OCRopus hyphen extra box (lib/hocr.py:144-154).
 * single-string zones are demoted to CHARACTER for later regrouping
   (lib/hocr.py:304-308); char runs regroup into words via ``group_words``.
@@ -29,7 +31,6 @@ Key behaviors pinned by the golden corpus (tests/):
 
 from __future__ import annotations
 
-import functools
 import re
 from typing import List, Optional, Tuple
 
@@ -51,9 +52,16 @@ from .zones import (
     ZONE_COLUMN,
     ZONE_REGION,
     Zone,
+    group_words,
 )
 
-hocr_class_to_djvu = {
+# --------------------------------------------------------------------------
+# format vocabulary
+# --------------------------------------------------------------------------
+
+#: hOCR ``class`` attribute -> zone kind (the hOCR spec's element
+#: vocabulary; same mapping as lib/hocr.py:45-55).
+_CLASS_KIND = {
     'ocr_page': ZONE_PAGE,
     'ocr_column': ZONE_COLUMN,
     'ocr_carea': ZONE_COLUMN,
@@ -63,14 +71,18 @@ hocr_class_to_djvu = {
     'ocrx_block': ZONE_REGION,
     'ocrx_line': ZONE_LINE,
     'ocrx_word': ZONE_WORD,
-}.get
+}
 
-cuneiform_tag_to_djvu = {
+#: Cuneiform <= 0.8 emits no hOCR classes at all: bare tags carry the
+#: roles (lib/hocr.py:57-61). The 'p' entry doubles as the paragraph
+#: fallback for Cuneiform >= 0.9, which marks everything but paragraphs.
+_BARE_TAG_KIND = {
     'body': ZONE_PAGE,
     'p': ZONE_PARAGRAPH,
     'span': ZONE_CHARACTER,
-}.get
+}
 
+#: zone kind -> (tag, class) for the inverse (hOCR-emitting) direction.
 djvu_zone_to_hocr = {
     ZONE_PAGE: ('div', 'ocr_page'),
     ZONE_COLUMN: ('div', 'ocr_carea'),
@@ -80,22 +92,22 @@ djvu_zone_to_hocr = {
     ZONE_WORD: ('span', 'ocrx_word'),
 }
 
-bbox_re = re.compile(
-    r'bbox\s+(?P<x0>-?\d+)\s+(?P<y0>-?\d+)\s+(?P<x1>-?\d+)\s+(?P<y1>-?\d+)'
-)
-
-bboxes_re = re.compile(
+# Substring *search*, not full match: titles like "x_bboxes ..." must be
+# accepted too (the reference's regexes behave the same way,
+# lib/hocr.py:75-89, and the golden corpus exercises it).
+_BOX_RE = re.compile(
+    r'bbox\s+(-?\d+)\s+(-?\d+)\s+(-?\d+)\s+(-?\d+)')
+_BOX_LIST_RE = re.compile(
     r'bboxes\s+((?:-?\d+\s+-?\d+\s+-?\d+\s+-?\d+)'
-    r'(?:,?\s*(?:-?\d+\s+-?\d+\s+-?\d+\s+-?\d+))*)'
-)
+    r'(?:,?\s*(?:-?\d+\s+-?\d+\s+-?\d+\s+-?\d+))*)')
 
-_tesseract_rstrip = functools.partial(re.compile(r'\n\s+$').sub, '')
+_TRAILING_NEWLINE_RUN = re.compile(r'\n\s+$')
 
 TESSERACT_SCRIPT_TYPE = 'application/x-ocrodjvu-tesseract'
 
 
 class ExtractSettings:
-    """Extraction configuration (lib/hocr.py:385-402).
+    """Extraction configuration (parity: lib/hocr.py:385-402).
 
     details: ZONE_LINE | ZONE_WORD | ZONE_CHARACTER — coarsest zone level
         emitted with coordinates.
@@ -119,326 +131,412 @@ class ExtractSettings:
         self.page_size = page_size
         self.cuneiform: Optional[Tuple[int, int]] = None
         self.tesseract: Optional[bool] = None
-        self.bbox_data = None  # stateful charbox iterator (makebox)
+        self.bbox_data = None  # shared stateful charbox stream (makebox)
 
 
-def _apply_bboxes(djvu_class, bbox_source, text, settings, page_size):
-    """Reshape a text leaf into words/chars per requested detail level.
+# --------------------------------------------------------------------------
+# leaf reshaping: text + boxes -> [text] | word zones | char zones
+# --------------------------------------------------------------------------
 
-    Faithful to lib/hocr.py:96-189 including all quirk rules.
+def _strip_engine_tail(text: str, settings) -> Tuple[str, int]:
+    """Engine-specific trailing-whitespace strip; returns (text, n_cut).
+
+    Tesseract represents unrecognized characters as spaces, so only a
+    trailing newline run may go; everything else rstrips fully (Cuneiform
+    pads lines with junk whitespace). Parity: lib/hocr.py:101-111.
     """
-    embedded_eol = False
-    if djvu_class <= ZONE_LINE:
-        if text.endswith('\n'):
-            embedded_eol = True
     if settings.tesseract:
-        # Tesseract >= 3.00 uses space for unrecognized characters; only a
-        # trailing newline run is stripped.
-        new_text = _tesseract_rstrip(text)
+        kept = _TRAILING_NEWLINE_RUN.sub('', text)
     else:
-        # Cuneiform tends to attach superfluous whitespace.
-        new_text = text.rstrip()
-    trailing_whitespace_len = len(text) - len(new_text)
-    text = new_text
-    details = settings.details
-    if settings.uax29 is not None and details <= TEXT_DETAILS_WORD:
-        # UAX #29 needs char-level boxes internally even for word detail.
-        details = TEXT_DETAILS_CHARACTER
-    if details >= djvu_class:
-        return [text]
-    if settings.tesseract and djvu_class > ZONE_WORD and text.isspace():
-        # Tesseract >= 3.0 sometimes returns series of "empty" words.
-        return []
-    if isinstance(bbox_source, str):
-        m = bboxes_re.search(bbox_source)
-        if not m:
-            return [text]
-        flat = [int(x) for x in m.group(1).replace(',', ' ').split()]
-        coordinates = [tuple(flat[i:i + 4]) for i in range(0, len(flat) - 3, 4)]
-    else:
-        # charboxes from the (stateful) makebox iterator
-        coordinates = []
-        for ch1, (ch2, bbox, upside_down) in zip(text, bbox_source):
-            if ch2 is not None and ch1 != ch2:
-                raise MalformedOcrOutput(
-                    'hOCR text and "makebox" output do not match')
-            if upside_down < 0:
-                (x0, y0, x1, y1) = bbox
-                (w, h) = page_size
-                bbox = (x0, h - y1, x1, h - y0)
-            coordinates.append(bbox)
-    if len(coordinates) == len(text):
-        pass  # OK
-    elif 0 < len(coordinates) - len(text) <= trailing_whitespace_len:
-        # Cuneiform >= 0.9 provides boxes for some whitespace characters.
-        del coordinates[len(text):]
-    elif (not settings.cuneiform and not embedded_eol
-            and len(coordinates) == len(text) + 1):
-        # OCRopus emits one extra bbox when a line ends with a hyphen.
-        del coordinates[-1]
-    else:
-        raise MalformedHocr("number of bboxes doesn't match text length")
-    assert len(coordinates) == len(text)
-    if djvu_class > ZONE_WORD:
-        # Split a line-or-coarser leaf into word zones.
-        words = []
-        i = 0
-        for j in word_break_iterator(text, settings.uax29):
-            subtext = text[i:j]
-            if subtext.isspace():
-                i = j
-                continue
-            bbox = BBox()
-            for k in range(i, j):
-                if settings.cuneiform and coordinates[k] == (-1, -1, -1, -1):
-                    raise MalformedHocr(
-                        'missing bbox for non-whitespace character')
-                bbox.update(coordinates[k])
-            word = Zone(type=ZONE_WORD, bbox=bbox)
-            words.append(word)
-            if settings.details > TEXT_DETAILS_CHARACTER:
-                word += [subtext]
-            else:
-                word += [
-                    Zone(type=ZONE_CHARACTER, bbox=coordinates[k],
-                         children=[text[k]])
-                    for k in range(i, j)
-                ]
-            i = j
-        return words
-    else:
-        # Split a word leaf into character zones.
-        return [
-            Zone(type=ZONE_CHARACTER, bbox=coords, children=[ch])
-            for coords, ch in zip(coordinates, text)
-        ]
+        kept = text.rstrip()
+    return kept, len(text) - len(kept)
 
 
-def _scan(node, settings, page_size=None):
-    """Recursive DOM walk building the zone list (lib/hocr.py:191-369)."""
-
-    def get_children(n):
-        result = []
-        if n.text:
-            result.append(n.text)
-        for child in n:
-            result += _scan(child, settings, page_size)
-            if child.tail:
-                result.append(child.tail)
-        return result
-
-    if not isinstance(node.tag, str) or node.tag == 'script':
-        # Ignore comments, processing instructions, and script subtrees.
-        return []
-
-    title = node.get('title') or ''
-    m = bbox_re.search(title)
+def _parse_box_list(prop: str) -> Optional[List[tuple]]:
+    """4-tuples from a ``bboxes x0 y0 x1 y1, ...`` title property."""
+    m = _BOX_LIST_RE.search(prop)
     if m is None:
-        bbox = BBox()
-    else:
-        gx0, gy0, gx1, gy1 = m.groups()
-        bbox = BBox(int(gx0), int(gy0), int(gx1), int(gy1))
+        return None
+    nums = [int(v) for v in m.group(1).replace(',', ' ').split()]
+    return [tuple(nums[i:i + 4]) for i in range(0, len(nums) - 3, 4)]
 
-    if settings.cuneiform and settings.cuneiform <= (0, 8):
-        # Cuneiform <= 0.8 doesn't mark OCR elements the hOCR way.
-        djvu_class = cuneiform_tag_to_djvu(node.tag)
-    else:
-        hocr_classes = (node.get('class') or '').split()
-        djvu_class = None
-        for hocr_class in hocr_classes:
-            if settings.tesseract and hocr_class == 'ocrx_word' and not bbox:
-                # Some Tesseract > 3.00 versions abuse ocrx_word.
-                pass
-            else:
-                djvu_class = hocr_class_to_djvu(hocr_class)
-            if djvu_class:
-                break
-        else:
-            if node.tag == 'p':
-                # Cuneiform >= 0.9 doesn't mark paragraphs the hOCR way.
-                djvu_class = cuneiform_tag_to_djvu(node.tag)
 
-    if not djvu_class:
-        return get_children(node)
+def _drain_charboxes(feed, text: str, page_size) -> List[tuple]:
+    """Consume one makebox cell per character from the shared stream.
 
-    if djvu_class == ZONE_PAGE:
-        if not bbox:
-            if settings.page_size is None:
-                raise MalformedHocr('page without bounding box information')
-            page_width, page_height = page_size = settings.page_size
-            bbox = BBox(0, 0, page_width, page_height)
-        else:
-            if (bbox.x0, bbox.y0) != (0, 0):
+    The stream is stateful across leaves — each line's zone pulls exactly
+    ``len(text)`` cells, in document order (the zip stops on the text).
+    Cells carry their own expected character (None = unknown) and a
+    bottom-left flag that needs a y-mirror against the page height.
+    Parity: lib/hocr.py:131-143.
+    """
+    out = []
+    for got, (expect, box, flipped) in zip(text, feed):
+        if expect is not None and got != expect:
+            raise MalformedOcrOutput(
+                'hOCR text and "makebox" output do not match')
+        if flipped < 0:
+            x0, y0, x1, y1 = box
+            _, h = page_size
+            box = (x0, h - y1, x1, h - y0)
+        out.append(box)
+    return out
+
+
+def _fit_box_count(coords: List[tuple], text: str, n_cut: int,
+                   ends_in_newline: bool, settings) -> List[tuple]:
+    """Reconcile surplus boxes against the stripped text, or raise.
+
+    Three accepted shapes, tried in order (parity: lib/hocr.py:144-154):
+    exact; Cuneiform >= 0.9 boxed some of the whitespace we cut; OCRopus
+    left one spare box after a line-final hyphen (never for Cuneiform,
+    never when the raw line ended in a newline).
+    """
+    surplus = len(coords) - len(text)
+    if surplus == 0:
+        return coords
+    if 0 < surplus <= n_cut:
+        return coords[:len(text)]
+    if surplus == 1 and not settings.cuneiform and not ends_in_newline:
+        return coords[:-1]
+    raise MalformedHocr("number of bboxes doesn't match text length")
+
+
+def _burst_words(text: str, coords: List[tuple], settings) -> List[Zone]:
+    """Segment a line-or-coarser leaf into word zones.
+
+    Word boundaries come from the configured break iterator; each word's
+    box is the union of its characters' boxes. Character children are
+    materialized only for char-level detail. Cuneiform marks unboxed
+    characters with (-1,-1,-1,-1) sentinels, which are fatal inside a
+    word. Parity: lib/hocr.py:156-182.
+    """
+    words = []
+    start = 0
+    for end in word_break_iterator(text, settings.uax29):
+        segment = text[start:end]
+        if segment.isspace():
+            start = end
+            continue
+        span = BBox()
+        for k in range(start, end):
+            if settings.cuneiform and coords[k] == (-1, -1, -1, -1):
                 raise MalformedHocr(
-                    "page's bounding box should start with (0, 0)")
-            page_size = (bbox.x1, bbox.y1)
-    elif page_size is None:
-        raise MalformedHocr('unable to determine page size')
+                    'missing bbox for non-whitespace character')
+            span.update(coords[k])
+        if settings.details > TEXT_DETAILS_CHARACTER:
+            inner = [segment]
+        else:
+            inner = [Zone(type=ZONE_CHARACTER, bbox=coords[k],
+                          children=[text[k]])
+                     for k in range(start, end)]
+        words.append(Zone(type=ZONE_WORD, bbox=span, children=inner))
+        start = end
+    return words
 
-    has_string = has_nonempty_string = False
-    has_zone = has_char_zone = has_nonchar_zone = False
-    children = get_children(node)
-    if djvu_class == ZONE_PAGE:
-        empty = [Zone(type=djvu_class, bbox=bbox)]
+
+def _reshape_leaf(kind, box_source, raw_text, settings, page_size):
+    """Turn one text leaf into [text], word zones, or char zones.
+
+    The operation order is observable and pinned by the goldens: the
+    engine tail-strip runs before the detail-level early-out; the
+    Tesseract empty-word drop only after it; a missing ``bboxes``
+    property keeps the text unsplit. Parity: lib/hocr.py:96-189.
+    """
+    ends_in_newline = kind <= ZONE_LINE and raw_text.endswith('\n')
+    text, n_cut = _strip_engine_tail(raw_text, settings)
+    want = settings.details
+    if settings.uax29 is not None and want <= TEXT_DETAILS_WORD:
+        # UAX #29 segmentation re-derives word boxes from characters.
+        want = TEXT_DETAILS_CHARACTER
+    if want >= kind:
+        return [text]
+    if settings.tesseract and kind > ZONE_WORD and text.isspace():
+        # Tesseract >= 3.0 emits runs of whitespace-only "words".
+        return []
+    if isinstance(box_source, str):
+        coords = _parse_box_list(box_source)
+        if coords is None:
+            return [text]
     else:
-        empty = []
-    if len(children) == 0:
-        return empty
+        coords = _drain_charboxes(box_source, text, page_size)
+    coords = _fit_box_count(coords, text, n_cut, ends_in_newline, settings)
+    if kind > ZONE_WORD:
+        return _burst_words(text, coords, settings)
+    return [Zone(type=ZONE_CHARACTER, bbox=box, children=[ch])
+            for box, ch in zip(coords, text)]
 
-    for child in children:
-        if isinstance(child, str):
-            has_string = True
-            if child and not child.isspace():
-                has_nonempty_string = True
-        elif isinstance(child, Zone):
-            has_zone = True
-            if child.type == ZONE_CHARACTER:
-                has_char_zone = True
+
+# --------------------------------------------------------------------------
+# DOM traversal
+# --------------------------------------------------------------------------
+
+class _Mix:
+    """Shape summary of one element's assembled content items."""
+
+    __slots__ = ('text', 'visible_text', 'chars', 'nonchars')
+
+    def __init__(self, items):
+        self.text = self.visible_text = False
+        self.chars = self.nonchars = False
+        for it in items:
+            if isinstance(it, str):
+                self.text = True
+                if it and not it.isspace():
+                    self.visible_text = True
+            elif isinstance(it, Zone):
+                if it.type == ZONE_CHARACTER:
+                    self.chars = True
+                else:
+                    self.nonchars = True
             else:
-                has_nonchar_zone = True
-        else:
-            raise TypeError(
-                f'Unexpected {type(child).__name__} object; '
-                'expected a string or a text zone')
+                raise TypeError(
+                    f'Unexpected {type(it).__name__} object; '
+                    'expected a string or a text zone')
 
-    if has_zone:
-        if has_nonempty_string:
-            raise MalformedHocr(
-                'plain text intermixed with structural elements')
-        if has_char_zone and has_nonchar_zone:
-            raise MalformedHocr(
-                'character zones intermixed with non-character zones')
-        if djvu_class == ZONE_PAGE:
-            pass  # the page bbox is authoritative
-        else:
-            bb = BBox(*bbox)
-            for child in children:
-                if isinstance(child, Zone):
-                    bb.update(child.bbox)
-            bbox = bb
-        if djvu_class >= ZONE_LINE:
-            if isinstance(children[-1], str) and children[-1].isspace():
-                del children[-1]
+    @property
+    def zones(self):
+        return self.chars or self.nonchars
 
-    if djvu_class <= ZONE_WORD:
-        if has_zone:
-            return children
-        elif has_string:
-            if not bbox:
-                raise MalformedHocr('zone without bounding box information')
-            text = ''.join(children)
-            children = _apply_bboxes(
-                djvu_class, settings.bbox_data or title, text, settings,
-                page_size)
-            if len(children) == 1 and isinstance(children[0], str):
-                # Demote to CHARACTER; words are regrouped at line level.
-                return [Zone(type=ZONE_CHARACTER, bbox=bbox,
-                             children=children)]
-            else:
-                return children
-        else:
-            raise AssertionError('word zone with neither strings nor zones')
 
-    if not has_zone:
-        assert has_string
-        if settings.cuneiform and settings.cuneiform == (0, 9):
-            # Cuneiform >= 0.9 hides line charboxes in a child span.ocr_cinfo.
-            bboxes_node = _find_cinfo(node)
-            if bboxes_node is not None and len(list(bboxes_node)) == 0 \
-                    and bboxes_node.text is None:
-                title = bboxes_node.get('title') or ''
-        text = ''.join(children)
-        children = _apply_bboxes(
-            djvu_class, settings.bbox_data or title, text, settings,
-            page_size)
-        if len(children) == 0:
-            return empty
-        if isinstance(children[0], str):
-            children[0] = children[0].rstrip()
-            has_zone = has_nonchar_zone = has_char_zone = False
-            has_string = True
-        else:
-            assert all(
-                isinstance(child, Zone) and child.type == ZONE_WORD
-                for child in children
-            )
-            has_zone = has_nonchar_zone = True
-            has_string = has_char_zone = False
+class _Scanner:
+    """One DOM traversal: classify elements, assemble the zone forest.
 
-    if has_char_zone:
-        from .zones import group_words
-        children = group_words(
-            children, settings.details,
-            lambda t: word_break_iterator(t, settings.uax29))
-        has_string = False
-        if len(children) == 0:
-            return empty
+    Dialect switches live on the settings object (set by
+    ``detect_dialect``): ``cuneiform`` <= (0,8) classifies by bare tag,
+    (0,9) stashes line charboxes in a child span; ``tesseract`` changes
+    tail-stripping and skips box-less ocrx_word markup.
+    """
 
-    if has_zone and has_string:
-        assert not has_nonempty_string
-        children = [c for c in children if not isinstance(c, str)]
-        if len(children) == 0:
-            return empty
+    def __init__(self, settings: ExtractSettings):
+        self.settings = settings
 
-    assert len(children) > 0
+    # -- element -> items ---------------------------------------------------
 
-    if not bbox:
-        if len(list(node)) == 0:
-            # OCRopus 0.2 omits bbox info on some zones; drop them silently.
+    def items(self, node, page_size):
+        """Zone-or-string items this element contributes to its parent."""
+        if not isinstance(node.tag, str) or node.tag == 'script':
+            # comments, processing instructions, script payloads:
+            # boilerplate, never content (lib/hocr.py:203-205)
             return []
-        if len(children) == 1:
-            [child] = children
-            if isinstance(child, str) and (child == '' or child.isspace()):
-                return []
+        title = node.get('title') or ''
+        m = _BOX_RE.search(title)
+        box = BBox(*(int(g) for g in m.groups())) if m else BBox()
+        kind = self._kind_of(node, box)
+        if not kind:
+            return self._splice(node, page_size)
+        if kind == ZONE_PAGE:
+            box, page_size = self._page_frame(box)
+        elif page_size is None:
+            raise MalformedHocr('unable to determine page size')
+        return self._assemble(kind, node, box, title, page_size)
+
+    def _splice(self, node, page_size):
+        """Interleave text fragments with recursively-scanned children."""
+        out = []
+        if node.text:
+            out.append(node.text)
+        for child in node:
+            out.extend(self.items(child, page_size))
+            if child.tail:
+                out.append(child.tail)
+        return out
+
+    # -- classification -----------------------------------------------------
+
+    def _kind_of(self, node, box):
+        s = self.settings
+        if s.cuneiform and s.cuneiform <= (0, 8):
+            return _BARE_TAG_KIND.get(node.tag)
+        for token in (node.get('class') or '').split():
+            if s.tesseract and token == 'ocrx_word' and not box:
+                # Tesseract > 3.00 reuses ocrx_word for markup that is
+                # not a word zone; box-less occurrences are noise
+                # (lib/hocr.py:224-228).
+                continue
+            kind = _CLASS_KIND.get(token)
+            if kind:
+                return kind
+        if node.tag == 'p':
+            # Cuneiform >= 0.9 marks everything hOCR-style *except*
+            # paragraphs (lib/hocr.py:233-235).
+            return _BARE_TAG_KIND.get(node.tag)
+        return None
+
+    def _page_frame(self, box):
+        """Resolve the page box and the (w, h) every descendant needs."""
+        s = self.settings
+        if not box:
+            if s.page_size is None:
+                raise MalformedHocr('page without bounding box information')
+            w, h = s.page_size
+            return BBox(0, 0, w, h), (w, h)
+        if (box.x0, box.y0) != (0, 0):
+            raise MalformedHocr(
+                "page's bounding box should start with (0, 0)")
+        return box, (box.x1, box.y1)
+
+    # -- assembly -----------------------------------------------------------
+
+    def _assemble(self, kind, node, box, title, page_size):
+        s = self.settings
+        items = self._splice(node, page_size)
+        # a childless page still yields a zone; anything else vanishes
+        on_empty = [Zone(type=kind, bbox=box)] if kind == ZONE_PAGE else []
+        if not items:
+            return on_empty
+        mix = _Mix(items)
+
+        if mix.zones:
+            if mix.visible_text:
+                raise MalformedHocr(
+                    'plain text intermixed with structural elements')
+            if mix.chars and mix.nonchars:
+                raise MalformedHocr(
+                    'character zones intermixed with non-character zones')
+            if kind != ZONE_PAGE:
+                # the title box widens to cover the children; only a
+                # page's own box is authoritative
+                grown = BBox(*box)
+                for it in items:
+                    if isinstance(it, Zone):
+                        grown.update(it.bbox)
+                box = grown
+            if kind >= ZONE_LINE and isinstance(items[-1], str) \
+                    and items[-1].isspace():
+                del items[-1]
+
+        if kind <= ZONE_WORD:
+            return self._word_or_finer(kind, box, title, items, mix,
+                                       page_size)
+
+        # --- line or coarser ---
+        if mix.zones:
+            regroup = mix.chars
+            drop_separators = mix.text
+        else:
+            # pure text: reshape it into words (or keep it whole)
+            items = self._reshaped_line_text(kind, node, title, items,
+                                             page_size)
+            if not items:
+                return on_empty
+            if isinstance(items[0], str):
+                # unsplit text survives; trailing newlines go
+                items[0] = items[0].rstrip()
+            regroup = drop_separators = False
+
+        if regroup:
+            # a run of character zones (possibly with whitespace gaps)
+            # becomes word zones
+            items = group_words(
+                items, s.details,
+                lambda t: word_break_iterator(t, s.uax29))
+            if not items:
+                return on_empty
+            drop_separators = False
+        if drop_separators:
+            # blank strings between structural children are separators
+            items = [it for it in items if not isinstance(it, str)]
+            if not items:
+                return on_empty
+
+        if not box:
+            return self._salvage_boxless(node, items)
+        return [Zone(type=kind, bbox=box, children=items)]
+
+    def _word_or_finer(self, kind, box, title, items, mix, page_size):
+        s = self.settings
+        if mix.zones:
+            # structure already built below this word — pass it through
+            # (blank separator strings included; the owning line prunes)
+            return items
+        if not mix.text:
+            raise AssertionError('word zone with neither strings nor zones')
+        if not box:
+            raise MalformedHocr('zone without bounding box information')
+        reshaped = _reshape_leaf(kind, s.bbox_data or title,
+                                 ''.join(items), s, page_size)
+        if len(reshaped) == 1 and isinstance(reshaped[0], str):
+            # keep unsplit text demoted to CHARACTER: hOCR words are
+            # regrouped at line level regardless (lib/hocr.py:304-308)
+            return [Zone(type=ZONE_CHARACTER, bbox=box, children=reshaped)]
+        return reshaped
+
+    def _reshaped_line_text(self, kind, node, title, items, page_size):
+        s = self.settings
+        if s.cuneiform and s.cuneiform == (0, 9):
+            stashed = self._cinfo_title(node)
+            if stashed is not None:
+                title = stashed
+        return _reshape_leaf(kind, s.bbox_data or title,
+                             ''.join(items), s, page_size)
+
+    @staticmethod
+    def _cinfo_title(node):
+        """Cuneiform >= 0.9 hides a line's charboxes in the title of an
+        otherwise-empty child ``span.ocr_cinfo`` (lib/hocr.py:317-322)."""
+        for child in node:
+            if isinstance(child.tag, str) and child.tag == 'span' \
+                    and child.get('class') == 'ocr_cinfo':
+                if len(list(child)) == 0 and child.text is None:
+                    return child.get('title') or ''
+                return None
+        return None
+
+    @staticmethod
+    def _salvage_boxless(node, items):
+        """A zone with no box: drop the known-benign shapes, else raise.
+
+        OCRopus 0.2 omits boxes on childless zones; a single blank string
+        is likewise noise (lib/hocr.py:356-367).
+        """
+        if len(list(node)) == 0:
+            return []
+        if len(items) == 1 and isinstance(items[0], str) \
+                and (items[0] == '' or items[0].isspace()):
+            return []
         raise MalformedHocr('text zone without bounding box information')
-
-    return [Zone(type=djvu_class, bbox=bbox, children=children)]
-
-
-def _find_cinfo(node):
-    for child in node:
-        if isinstance(child.tag, str) and child.tag == 'span' \
-                and child.get('class') == 'ocr_cinfo':
-            return child
-    return None
 
 
 def scan(node, settings) -> List[Zone]:
     """Scan a page container element into rotated page zones."""
-    result = []
-    for zone in _scan(node, settings, settings.page_size):
-        if isinstance(zone, str):
-            if zone == '' or zone.isspace():
+    pages = []
+    for item in _Scanner(settings).items(node, settings.page_size):
+        if isinstance(item, str):
+            if item == '' or item.isspace():
                 continue
             raise MalformedHocr(
                 'plain text intermixed with structural elements')
-        if not isinstance(zone, Zone):
+        if not isinstance(item, Zone):
             raise TypeError(
-                f'Unexpected {type(zone).__name__}; expected a text zone')
-        result.append(zone)
-        zone.rotate(settings.rotation)
-    return result
+                f'Unexpected {type(item).__name__}; expected a text zone')
+        pages.append(item)
+        item.rotate(settings.rotation)
+    return pages
 
+
+# --------------------------------------------------------------------------
+# document-level entry points
+# --------------------------------------------------------------------------
 
 def extract_tesseract_bbox_data(script_text: str):
-    """Yield (char, bbox, upside_down) from a ``makebox`` sidecar script.
+    """Yield (char, bbox, upside_down) cells from a ``makebox`` sidecar.
 
-    Format per the reference's injection (lib/engines/tesseract.py:43-50,
-    parser lib/hocr.py:404-416): ``chars x0 y0 x1 y1 w`` lines, y-flipped,
-    ``~`` meaning unknown char; multi-char cells are split proportionally
-    with ``x0 + w*i//n`` arithmetic.
+    One ``chars x0 y0 x1 y1 w`` line per cell (``//`` comments skipped);
+    ``~`` marks an unrecognized character. Multi-char cells split their
+    box proportionally with ``x0 + w*i//n`` integer arithmetic, and every
+    cell is flagged upside-down (-1) for the y-mirror at consumption.
+    Parity: lib/hocr.py:404-416 (injection lib/engines/tesseract.py:43-50).
     """
-    text = script_text or ''
-    for line in text.splitlines():
+    for line in (script_text or '').splitlines():
         if not line or line.startswith('//'):
             continue
-        chars, x0, y0, x1, y1, w = line.split()
-        x0, y0, x1, y1 = map(int, (x0, y0, x1, y1))
-        if chars == '~':
-            chars = [None]
+        chars, x0, y0, x1, y1, _w = line.split()
+        x0, y0, x1, y1 = int(x0), int(y0), int(x1), int(y1)
+        cells = [None] if chars == '~' else chars
         w = x1 - x0
-        n = len(chars)
-        for i, ch in enumerate(chars):
+        n = len(cells)
+        for i, ch in enumerate(cells):
             yield ch, (x0 + w * i // n, y0, x0 + w * (i + 1) // n, y1), -1
 
 
@@ -455,7 +553,7 @@ def read_document(text, settings):
 
 
 def detect_dialect(root, settings):
-    """Set cuneiform/tesseract flags from <meta name="ocr-system">."""
+    """Set cuneiform/tesseract flags from ``<meta name="ocr-system">``."""
     ocr_system = htmldom.find_meta(root, 'ocr-system')
     if ocr_system is None:
         if htmldom.find_meta(root, 'ocr-capabilities') is None:

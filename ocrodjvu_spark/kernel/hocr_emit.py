@@ -1,7 +1,14 @@
 """Inverse direction: DjVu hidden-text s-expression -> hOCR markup.
 
 Re-implements the observable semantics of the reference's djvu2hocr
-converter (ocrodjvu lib/cli/djvu2hocr.py:74-291):
+converter (ocrodjvu lib/cli/djvu2hocr.py:74-291) with a different
+factoring: a ``_Emitter`` drives the depth-first element build, and both
+"re-segment words by hand" modes share one segmentation loop
+(``_segment_words``) parameterized by how a word's title attribute is
+derived (char-grid union + ``bboxes`` list vs proportional slice of the
+leaf box).
+
+Pinned behaviors, with reference citations so parity stays checkable:
 
 * zone types map to (tag, class): page->div.ocr_page,
   column->div.ocr_carea, region->div.ocrx_block, para->p.ocr_par,
@@ -9,14 +16,15 @@ converter (ocrodjvu lib/cli/djvu2hocr.py:74-291):
 * DjVu bottom-left y coordinates flip against the *real DjVu page
   height*, which may differ from the text layer's page bbox
   (lib/cli/djvu2hocr.py:88-94 — the upside-down golden pins this);
-* character-level zones trigger word re-segmentation by hand
-  (``break_chars``): per-char boxes interpolated with float
-  ``int(x0 + w*i/n + 0.5)`` rounding — a deliberately different rounding
-  rule than the forward path's ``//`` (lib/cli/djvu2hocr.py:146-185);
+* a zone bottoming out in CHARACTER zones re-segments its words by hand:
+  per-char boxes interpolated with float ``int(x0 + w*i/n + 0.5)``
+  rounding — deliberately a different rounding rule than the forward
+  path's ``//`` (lib/cli/djvu2hocr.py:146-185);
 * with UAX#29 enabled, word/line text leaves are re-segmented too
-  (``break_plain_text``, lib/cli/djvu2hocr.py:187-209);
-* word elements get a single-space tail except the last child
-  (lib/cli/djvu2hocr.py:244-262);
+  (lib/cli/djvu2hocr.py:187-209);
+* word elements get a single-space tail except the last child, and any
+  line-or-finer child newline-terminates its parent's tail
+  (lib/cli/djvu2hocr.py:214-262);
 * control characters in text become
   ``<span class="djvu_char" title="#xNN"> </span>`` placeholders
   (lib/cli/djvu2hocr.py:123-144).
@@ -29,12 +37,16 @@ import xml.etree.ElementTree as ET
 from typing import List, Optional, Tuple
 
 from .segment import word_break_iterator
-from .zones import BBox, ZONE_BY_NAME, ZONE_CHARACTER, ZONE_LINE, ZONE_PAGE, ZONE_WORD
+from .zones import (
+    BBox,
+    MalformedOcrOutput,
+    ZONE_BY_NAME,
+    ZONE_CHARACTER,
+    ZONE_LINE,
+    ZONE_PAGE,
+    ZONE_WORD,
+)
 from .hocr import djvu_zone_to_hocr
-
-
-class CharacterLevelDetails(Exception):
-    pass
 
 
 class SexprZone:
@@ -86,150 +98,172 @@ class SexprZone:
                 return
 
 
-_xml_string_re = re.compile(
-    '([^\x00-\x08\x0b\x0c\x0e-\x1f]*)'
-    '([\x00-\x08\x0b\x0c\x0e-\x1f]?)'
-)
+# characters XML 1.0 cannot carry (everything below 0x20 except \t \n \r)
+_CONTROL_CHAR = re.compile('([\x00-\x08\x0b\x0c\x0e-\x1f])')
 
 
-def set_text(element: ET.Element, text: str):
-    """Set element text, replacing non-XML control chars with djvu_char
-    placeholder spans."""
-    last = None
-    for match in _xml_string_re.finditer(text):
-        if match.group(1):
-            if last is None:
-                element.text = (element.text or '') + match.group(1)
+def _write_text(element: ET.Element, text: str):
+    """Write text into an element, encoding each control character as a
+    ``span.djvu_char`` placeholder whose title names the codepoint."""
+    pieces = _CONTROL_CHAR.split(text)
+    anchor = None  # safe text goes to element.text until a span exists
+    for idx, piece in enumerate(pieces):
+        if idx % 2:  # odd pieces are single control characters
+            anchor = ET.SubElement(element, 'span', {
+                'class': 'djvu_char',
+                'title': '#x{0:02x}'.format(ord(piece)),
+            })
+            anchor.text = ' '
+        elif piece:
+            if anchor is None:
+                element.text = (element.text or '') + piece
             else:
-                last.tail = (last.tail or '') + match.group(1)
-        if match.group(2):
-            last = ET.SubElement(element, 'span')
-            last.set('class', 'djvu_char')
-            last.set('title', '#x{0:02x}'.format(ord(match.group(2))))
-            last.text = ' '
+                anchor.tail = (anchor.tail or '') + piece
 
 
-def _bbox_str(bbox) -> str:
+def _fmt_box(bbox) -> str:
     return ' '.join(str(c) for c in bbox)
 
 
-def break_chars(char_zones, uax29):
-    """Regroup character zones into word spans (with bbox + bboxes)."""
-    bbox_list: List[BBox] = []
-    text_parts = []
-    for char_zone in char_zones:
-        bbox = char_zone.bbox
-        char_text = char_zone.text
-        if not char_text:
+def _slice_point(lo: int, hi: int, i: int, n: int) -> int:
+    """Proportional coordinate with the inverse path's float rounding."""
+    return int(lo + (hi - lo) * 1.0 * i / n + 0.5)
+
+
+def _segment_words(text: str, title_of, uax29):
+    """Yield ``span.ocrx_word`` elements per word-break segment.
+
+    ``title_of(i, j)`` supplies the title attribute for text[i:j].
+    Whitespace segments don't produce elements; they put a single-space
+    tail on the word already emitted (if any).
+    """
+    prev = None
+    lo = 0
+    for hi in word_break_iterator(text, uax29):
+        part = text[lo:hi]
+        lo = hi
+        if part.isspace():
+            if prev is not None:
+                prev.tail = ' '
             continue
-        n = len(char_text)
+        prev = ET.Element('span', {
+            'class': 'ocrx_word',
+            'title': title_of(hi - len(part), hi),
+        })
+        _write_text(prev, part)
+        yield prev
+
+
+def _words_from_char_grid(zones, uax29):
+    """Re-segment a run of CHARACTER zones into word spans.
+
+    Each char zone's box is sliced per character; word titles carry both
+    the union box and the per-char ``bboxes`` list.
+    """
+    boxes: List[BBox] = []
+    parts: List[str] = []
+    for z in zones:
+        zb = z.bbox
+        ztext = z.text
+        if not ztext:
+            continue
+        n = len(ztext)
         for i in range(n):
-            subbox = BBox(
-                int(bbox.x0 + (bbox.x1 - bbox.x0) * 1.0 * i / n + 0.5),
-                bbox.y0,
-                int(bbox.x0 + (bbox.x1 - bbox.x0) * 1.0 * (i + 1) / n + 0.5),
-                bbox.y1,
-            )
-            bbox_list.append(subbox)
-        text_parts.append(char_text)
-    text = ''.join(text_parts)
-    element = None
-    i = 0
-    for j in word_break_iterator(text, uax29):
-        subtext = text[i:j]
-        if subtext.isspace():
-            if element is not None:
-                element.tail = ' '
-            i = j
-            continue
-        bbox = BBox()
-        for k in range(i, j):
-            bbox.update(bbox_list[k])
-        element = ET.Element('span')
-        element.set('class', 'ocrx_word')
-        element.set('title', 'bbox {bbox}; bboxes {bboxes}'.format(
-            bbox=_bbox_str(bbox),
-            bboxes=', '.join(_bbox_str(b) for b in bbox_list[i:j]),
-        ))
-        set_text(element, subtext)
-        yield element
-        i = j
+            boxes.append(BBox(
+                _slice_point(zb.x0, zb.x1, i, n), zb.y0,
+                _slice_point(zb.x0, zb.x1, i + 1, n), zb.y1))
+        parts.append(ztext)
+
+    def title_of(i, j):
+        union = BBox()
+        for b in boxes[i:j]:
+            union.update(b)
+        return 'bbox {0}; bboxes {1}'.format(
+            _fmt_box(union), ', '.join(_fmt_box(b) for b in boxes[i:j]))
+
+    return _segment_words(''.join(parts), title_of, uax29)
 
 
-def break_plain_text(text: str, bbox: BBox, uax29):
-    """Segment a plain text leaf into word spans with proportional boxes."""
-    element = None
-    i = 0
+def _words_from_leaf_text(text: str, bbox: BBox, uax29):
+    """Re-segment a plain text leaf; each word gets a proportional slice
+    of the leaf's box (no per-char information exists here)."""
     n = len(text)
-    for j in word_break_iterator(text, uax29):
-        subtext = text[i:j]
-        if subtext.isspace():
-            if element is not None:
+
+    def title_of(i, j):
+        return 'bbox ' + _fmt_box(BBox(
+            _slice_point(bbox.x0, bbox.x1, i, n), bbox.y0,
+            _slice_point(bbox.x0, bbox.x1, j, n), bbox.y1))
+
+    return _segment_words(text, title_of, uax29)
+
+
+class _Emitter:
+    """Depth-first sexpr-zone -> hOCR-element build.
+
+    DjVu's own word segmentation is kept except where hOCR has no
+    counterpart: (a) a zone whose children are CHARACTER zones rebuilds
+    words from the char grid into its *parent* (the zone element itself
+    is dropped); (b) with UAX#29 requested, word/line text leaves are
+    re-segmented the same way.
+    """
+
+    def __init__(self, page_bbox: BBox, uax29):
+        self.page_bbox = page_bbox
+        self.uax29 = uax29
+
+    def emit(self, zone: SexprZone, parent: Optional[ET.Element],
+             last: bool) -> Optional[ET.Element]:
+        kind = zone.type
+        if kind <= ZONE_LINE and parent is not None:
+            # any line-or-finer sibling newline-terminates what came
+            # before it in the parent
+            parent.tail = '\n'
+        if kind == ZONE_CHARACTER:
+            raise MalformedOcrOutput(
+                'character zone with no owning zone to re-segment')
+        tag, css = djvu_zone_to_hocr[kind]
+        box = self.page_bbox if kind == ZONE_PAGE else zone.bbox
+        element = ET.Element(tag, {'class': css,
+                                   'title': 'bbox ' + _fmt_box(box)})
+        n_children = zone.n_children
+
+        item = None
+        for n, item in enumerate(zone.children):
+            if not isinstance(item, SexprZone):
+                break  # a text leaf ends the child list
+            if item.type == ZONE_CHARACTER:
+                # char-level detail: discard this element (and any
+                # children already emitted into it), rebuild words from
+                # the full char grid directly under the parent
+                return self._pour_words(
+                    _words_from_char_grid(zone.children, self.uax29),
+                    parent, kind, last)
+            self.emit(item, element, last=(n == n_children - 1))
+
+        if isinstance(item, str):
+            if kind >= ZONE_WORD and self.uax29 is not None \
+                    and parent is not None:
+                return self._pour_words(
+                    _words_from_leaf_text(item, box, self.uax29),
+                    parent, kind, last)
+            _write_text(element, item)
+            if kind == ZONE_WORD and not last:
                 element.tail = ' '
-            i = j
-            continue
-        subbox = BBox(
-            int(bbox.x0 + (bbox.x1 - bbox.x0) * 1.0 * i / n + 0.5),
-            bbox.y0,
-            int(bbox.x0 + (bbox.x1 - bbox.x0) * 1.0 * j / n + 0.5),
-            bbox.y1,
-        )
-        element = ET.Element('span')
-        element.set('class', 'ocrx_word')
-        element.set('title', 'bbox ' + _bbox_str(subbox))
-        set_text(element, subtext)
-        yield element
-        i = j
+        if parent is not None:
+            parent.append(element)
+        return element
 
-
-def process_zone(parent: Optional[ET.Element], zone: SexprZone, last: bool,
-                 page_bbox: BBox, uax29=None) -> Optional[ET.Element]:
-    zone_type = zone.type
-    if zone_type <= ZONE_LINE and parent is not None:
-        parent.tail = '\n'
-    if zone_type == ZONE_CHARACTER:
-        raise CharacterLevelDetails
-    hocr_tag, hocr_class = djvu_zone_to_hocr[zone_type]
-    self_elem = ET.Element(hocr_tag)
-    self_elem.set('class', hocr_class)
-    bbox = page_bbox if zone_type == ZONE_PAGE else zone.bbox
-    self_elem.set('title', 'bbox ' + _bbox_str(bbox))
-    n_children = zone.n_children
-    character_level_details = False
-    child_zone = None
-    for n, child_zone in enumerate(zone.children):
-        last_child = n == n_children - 1
-        if isinstance(child_zone, SexprZone):
-            try:
-                process_zone(self_elem, child_zone, last=last_child,
-                             page_bbox=page_bbox, uax29=uax29)
-            except CharacterLevelDetails:
-                character_level_details = True
-                break
-    if character_level_details:
-        # Re-segment words by hand from the character zones.
-        child = None
-        for child in break_chars(zone.children, uax29):
-            parent.append(child)
-        if child is not None and zone_type == ZONE_WORD and not last:
-            child.tail = ' '
-        self_elem = None
-    elif isinstance(child_zone, str):
-        text = child_zone
-        if zone_type >= ZONE_WORD and uax29 is not None and parent is not None:
-            child = None
-            for child in break_plain_text(text, bbox, uax29):
-                parent.append(child)
-            if child is not None and zone_type == ZONE_WORD and not last:
-                child.tail = ' '
-            self_elem = None
-        else:
-            set_text(self_elem, text)
-            if zone_type == ZONE_WORD and not last:
-                self_elem.tail = ' '
-    if parent is not None and self_elem is not None:
-        parent.append(self_elem)
-    return self_elem
+    @staticmethod
+    def _pour_words(words, parent, kind, last):
+        """Append re-segmented word spans directly to the parent; the
+        original zone element is dropped (returns None). A non-final
+        word zone still contributes its separating space."""
+        poured = None
+        for poured in words:
+            parent.append(poured)
+        if poured is not None and kind == ZONE_WORD and not last:
+            poured.tail = ' '
+        return None
 
 
 def sexpr_to_hocr_page(page_value: list, page_w: int, page_h: int,
@@ -242,10 +276,8 @@ def sexpr_to_hocr_page(page_value: list, page_w: int, page_h: int,
     """
     if uax29 is True:
         uax29 = 'en-US-POSIX'
-    page_bbox = BBox(0, 0, page_w, page_h)
-    zone = SexprZone(page_value, page_h)
-    element = process_zone(None, zone, last=True, page_bbox=page_bbox,
-                           uax29=uax29)
+    emitter = _Emitter(BBox(0, 0, page_w, page_h), uax29)
+    element = emitter.emit(SexprZone(page_value, page_h), None, last=True)
     if element is None:
         return ''
     return ET.tostring(element, encoding='unicode', method='xml')
