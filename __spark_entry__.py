@@ -153,6 +153,77 @@ def _engine_word_spans(df, udf):
     )
 
 
+def _engine_sexpr(df, udf):
+    """(doc_id, dialect, extracted_sexpr) from a single-page extract UDF."""
+    res = df.select('doc_id', udf(F.col('text')).alias('_r'))
+    return res.select(
+        'doc_id',
+        F.col('_r.dialect').alias('dialect'),
+        F.element_at('_r.pages', 1)['extracted_sexpr']
+         .alias('extracted_sexpr'))
+
+
+def _q_extract_cuneiform08(spark, sf_dir):
+    # E2/T4: cuneiform <= 0.8 dialect (bare body/p/span markup, page box
+    # from the external page_size, char spans regrouped into words)
+    from ocrodjvu_spark.functions.extract import make_extract_udf
+    df = ES.synthesize_cuneiform08(spark, sf_dir)
+    return _engine_sexpr(df, make_extract_udf(
+        page_size=(ES.GRID_PAGE_W, ES.GRID_PAGE_H), emit_spans=False))
+
+
+def _q_extract_cuneiform09(spark, sf_dir):
+    # E2/T3: cuneiform >= 0.9 ("openocr"): ocr_cinfo x_bboxes stash,
+    # whitespace (-1,-1,-1,-1) sentinels, bare-<p> paragraph fallback
+    from ocrodjvu_spark.functions.extract import make_extract_udf
+    df = ES.synthesize_cuneiform09(spark, sf_dir)
+    return _engine_sexpr(df, make_extract_udf(emit_spans=False))
+
+
+def _q_extract_tesseract_makebox(spark, sf_dir):
+    # E1/J1/T7: tesseract dialect with the makebox charbox script —
+    # details=chars activates the stateful charbox zip + y-flip
+    from ocrodjvu_spark.functions.extract import make_extract_udf
+    df = ES.synthesize_tesseract_makebox(spark, sf_dir)
+    return _engine_sexpr(df, make_extract_udf(
+        details='chars', emit_spans=False))
+
+
+def _q_extract_ocropus_surplus(spark, sf_dir):
+    # E5/T3: generic-hOCR (ocropus-style) line whose bboxes list carries
+    # one spare box — the non-Cuneiform surplus rule must drop it
+    from ocrodjvu_spark.functions.extract import make_extract_udf
+    df = ES.synthesize_ocropus_surplus(spark, sf_dir)
+    return _engine_sexpr(df, make_extract_udf(emit_spans=False))
+
+
+# tokens whose UAX#29 segmentation differs from simple space-splitting
+# (reference semantics: lib/unicode_support.py:40-52; ICU offsets pinned
+# in the reference's tests/test_unicode_support.py)
+UAX29_SUFFIX = ' rabbit-hole u.s. 3.14 over-the-top'
+UAX29_SUFFIX_SEGMENTED = ' rabbit - hole u.s . 3.14 over - the - top'
+
+
+def _q_extract_uax29_segmentation(spark, sf_dir):
+    # W2 distinguishing check: hyphens/abbreviation dots split under
+    # UAX#29 but not under simple segmentation, so this oracle CANNOT be
+    # satisfied by the simple path (unlike extract_uax29, where the
+    # corpus boundaries coincide)
+    from ocrodjvu_spark.functions.extract import make_extract_udf
+    docs = T.load_table(spark, sf_dir, 'documents').select('doc_id', 'text')
+    suffixed = docs.select(
+        'doc_id',
+        T.hocr_markup_col(
+            T.tokens_col(F.concat('text', F.lit(UAX29_SUFFIX))))
+         .alias('text'))
+    udf = make_extract_udf(uax29=True, emit_spans=False, emit_sexpr=False)
+    res = suffixed.select('doc_id', udf(F.col('text')).alias('_r'))
+    return res.select(
+        'doc_id',
+        F.element_at('_r.pages', 1)['extracted_text']
+         .alias('extracted_text'))
+
+
 def _q_extract_orf(spark, sf_dir):
     # E3: ocrad ORF adapter end-to-end (synthesized ORF payloads)
     from ocrodjvu_spark.functions.emit import make_orf_extract_udf
@@ -472,6 +543,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'embedding_neardup_pairs': _q_embedding_neardup_pairs,
         'extract_orf': _q_extract_orf,
         'extract_gocr': _q_extract_gocr,
+        'extract_cuneiform08': _q_extract_cuneiform08,
+        'extract_cuneiform09': _q_extract_cuneiform09,
+        'extract_tesseract_makebox': _q_extract_tesseract_makebox,
+        'extract_ocropus_surplus': _q_extract_ocropus_surplus,
+        'extract_uax29_segmentation': _q_extract_uax29_segmentation,
         'djvused_script': _q_djvused_script,
         'events_json_props': _q_events_json_props,
         'events_sessionization': _q_events_sessionization,
@@ -1040,6 +1116,79 @@ def oracle_sql() -> dict[str, str]:
         ''',
         'extract_orf': ES.SQL_ENGINE_WORDS,
         'extract_gocr': ES.SQL_ENGINE_WORDS,
+        'extract_cuneiform08': f'''
+            WITH {ES.SQL_GRID_SPANS}, {ES.SQL_GRID_WORD_LIST}
+            SELECT doc_id, 'cuneiform0.8' AS dialect,
+                   '(page 0 0 {ES.GRID_PAGE_W} {ES.GRID_PAGE_H} (para '
+                   || CAST(ux0 AS VARCHAR) || ' {ES.GRID_DJVU_Y0} '
+                   || CAST(ux1 AS VARCHAR) || ' {ES.GRID_DJVU_Y1} '
+                   || words || '))' AS extracted_sexpr
+            FROM line_agg
+        ''',
+        'extract_cuneiform09': f'''
+            WITH {ES.SQL_GRID_SPANS}, {ES.SQL_GRID_WORD_LIST}
+            SELECT doc_id, 'cuneiform0.9' AS dialect,
+                   '(page 0 0 {ES.GRID_PAGE_W} {ES.GRID_PAGE_H} (para '
+                   || CAST(ux0 AS VARCHAR) || ' {ES.GRID_DJVU_Y0} '
+                   || CAST(ux1 AS VARCHAR) || ' {ES.GRID_DJVU_Y1} (line '
+                   || CAST(ux0 AS VARCHAR) || ' {ES.GRID_DJVU_Y0} '
+                   || CAST(ux1 AS VARCHAR) || ' {ES.GRID_DJVU_Y1} '
+                   || words || ')))' AS extracted_sexpr
+            FROM line_agg
+        ''',
+        'extract_tesseract_makebox': f'''
+            WITH {ES.SQL_GRID_SPANS},
+            wc AS (
+                SELECT doc_id, word_no, wx0, wx1,
+                       '(word ' || CAST(wx0 AS VARCHAR)
+                       || ' {ES.GRID_DJVU_Y0} ' || CAST(wx1 AS VARCHAR)
+                       || ' {ES.GRID_DJVU_Y1} '
+                       || (
+                            SELECT string_agg(
+                                '(char '
+                                || CAST({ES.GRID_X0} + {ES.GRID_PITCH}
+                                        * (s_k + ci.i - 1) AS VARCHAR)
+                                || ' {ES.GRID_DJVU_Y0} '
+                                || CAST({ES.GRID_X0 + ES.GRID_CHAR_W}
+                                        + {ES.GRID_PITCH} * (s_k + ci.i - 1)
+                                        AS VARCHAR)
+                                || ' {ES.GRID_DJVU_Y1} "'
+                                || substr(word, ci.i, 1) || '")', ' '
+                                ORDER BY ci.i)
+                            FROM (
+                                SELECT UNNEST(range(1, length(word) + 1))
+                                       AS i
+                            ) AS ci
+                       ) || ')' AS wtxt
+                FROM spans
+            ),
+            la AS (
+                SELECT doc_id,
+                       string_agg(wtxt, ' ' ORDER BY word_no) AS words,
+                       min(wx0) AS ux0, max(wx1) AS ux1
+                FROM wc GROUP BY doc_id
+            )
+            SELECT doc_id, 'tesseract' AS dialect,
+                   '(page 0 0 {ES.GRID_PAGE_W} {ES.GRID_PAGE_H} (line '
+                   || CAST(ux0 AS VARCHAR) || ' {ES.GRID_DJVU_Y0} '
+                   || CAST(ux1 AS VARCHAR) || ' {ES.GRID_DJVU_Y1} '
+                   || words || '))' AS extracted_sexpr
+            FROM la
+        ''',
+        'extract_ocropus_surplus': f'''
+            WITH {ES.SQL_GRID_SPANS}, {ES.SQL_GRID_WORD_LIST}
+            SELECT doc_id, 'hocr' AS dialect,
+                   '(page 0 0 {ES.GRID_PAGE_W} {ES.GRID_PAGE_H} (line '
+                   || CAST(ux0 AS VARCHAR) || ' {ES.GRID_DJVU_Y0} '
+                   || CAST(ux1 AS VARCHAR) || ' {ES.GRID_DJVU_Y1} '
+                   || words || '))' AS extracted_sexpr
+            FROM line_agg
+        ''',
+        'extract_uax29_segmentation': f'''
+            SELECT doc_id,
+                   {_NORM} || '{UAX29_SUFFIX_SEGMENTED}' AS extracted_text
+            FROM documents
+        ''',
         'ann_ivf_topk': f'''
             WITH {_SQL_EMB},
             corpus AS (
