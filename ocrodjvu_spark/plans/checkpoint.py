@@ -123,6 +123,59 @@ def run_extraction(
     return pending
 
 
+def template_path_expr(template: str):
+    """Compile a ``{page+1}``-style filename template into ONE Catalyst
+    expression, so per-row expansion stays JVM-side at scale (T13).
+
+    Field mapping for the transcripts model: ``page`` -> turn_idx,
+    ``id`` / ``id-ext`` -> conv_id (conversation ids carry no file
+    extension). Offset arithmetic (``{page+1}``) follows the reference's
+    template grammar (lib/cli/ocrodjvu.py:145-174); the pure-Python
+    equivalent is ``kernel.utils.expand_template``.
+    """
+    import string
+
+    from ..kernel.utils import _TEMPLATE_OFFSET_RE
+
+    def field_expr(field):
+        if field in ('id', 'id-ext'):
+            return F.col('conv_id')
+        if field == 'page':
+            return F.col('turn_idx')
+        m = _TEMPLATE_OFFSET_RE.match(field)
+        if m is not None and m.group('base') == 'page':
+            off = int(m.group('off'), 10)
+            if m.group('sign') == '-':
+                off = -off
+            return F.col('turn_idx') + off
+        raise ValueError(f'unknown template field: {field!r}')
+
+    parts = []
+    for literal, field, _spec, _conv in string.Formatter().parse(template):
+        if literal:
+            parts.append(F.lit(literal))
+        if field is not None:
+            parts.append(field_expr(field).cast('string'))
+    return F.concat(*parts)
+
+
+def save_raw_payloads(transcripts: DataFrame, path: str,
+                      template: str = '{id}/p{page+1}') -> None:
+    """S9 raw-OCR side output: persist the raw (pre-extraction) per-turn
+    payload, named via the filename template.
+
+    The reference writes one raw engine-output file per page under an
+    expanded template (lib/cli/ocrodjvu.py:428-439); at table scale the
+    same artifact is a debug sidecar keyed by (conv_id, turn_idx) whose
+    ``raw_name`` column carries the expanded template value.
+    """
+    (transcripts
+     .select('conv_id', 'turn_idx',
+             template_path_expr(template).alias('raw_name'),
+             F.col('text').alias('payload'))
+     .write.mode('overwrite').parquet(path))
+
+
 def _read_sidecar(spark: SparkSession, path: str) -> Optional[DataFrame]:
     """Open the sidecar through Spark itself (works on any Hadoop
     filesystem — HDFS/S3/local — unlike a driver-side os.path probe,

@@ -60,3 +60,34 @@ def test_rerun_bucket_is_idempotent(spark, paths):
     checkpoint.run_extraction(spark, df, out, side, n_buckets=4)
     after = spark.read.parquet(out).count()
     assert before == after
+
+
+def test_raw_payload_sidecar(spark, tmp_path):
+    # S9: raw per-turn payload persisted with template-expanded names,
+    # expansion compiled to a Catalyst expression (no per-row Python)
+    from ocrodjvu_spark.plans.checkpoint import save_raw_payloads
+    df = spark.createDataFrame(
+        [('conv-1', 1, 'raw one'), ('conv-1', 2, 'raw two'),
+         ('conv-2', 1, 'raw three')],
+        'conv_id string, turn_idx int, text string')
+    out = str(tmp_path / 'raw')
+    save_raw_payloads(df, out, template='{id}/p{page+1}')
+    rows = {(r.conv_id, r.turn_idx): (r.raw_name, r.payload)
+            for r in spark.read.parquet(out).collect()}
+    assert rows[('conv-1', 1)] == ('conv-1/p2', 'raw one')
+    assert rows[('conv-1', 2)] == ('conv-1/p3', 'raw two')
+    assert rows[('conv-2', 1)] == ('conv-2/p2', 'raw three')
+
+
+def test_template_path_expr_matches_kernel(spark):
+    # the Catalyst compilation and the pure-Python grammar agree
+    from pyspark.sql import functions as F
+    from ocrodjvu_spark.kernel.utils import expand_template
+    from ocrodjvu_spark.plans.checkpoint import template_path_expr
+    df = spark.createDataFrame(
+        [('docA', 4), ('docB', 9)], 'conv_id string, turn_idx int')
+    tpl = 'x/{id}_{page-1}_{page+3}'
+    got = {r.conv_id: r.name for r in df.select(
+        'conv_id', template_path_expr(tpl).alias('name')).collect()}
+    for cid, tix in [('docA', 4), ('docB', 9)]:
+        assert got[cid] == expand_template(tpl, tix, cid)

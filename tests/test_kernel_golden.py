@@ -17,13 +17,16 @@ GOLDEN = list(golden_cases())
 ROUGH = list(rough_cases())
 
 
+@pytest.mark.parametrize('html5', [False, True], ids=['default', 'html5'])
 @pytest.mark.parametrize(
     'case_id,html_bytes,kwargs,expected',
     GOLDEN,
     ids=[c[0] for c in GOLDEN],
 )
-def test_golden(case_id, html_bytes, kwargs, expected):
-    got = hocr.extract_sexprs(html_bytes, **kwargs)
+def test_golden(case_id, html_bytes, kwargs, expected, html5):
+    # the reference harness re-runs every golden with --html5
+    # (tests/hocr2djvused/test.py:122-123): 68 x {default, html5} = 136
+    got = hocr.extract_sexprs(html_bytes, html5=html5, **kwargs)
     expected_values = [sexpr.parse(p) for p in expected]
     assert len(got) == len(expected_values)
     for got_page, expected_page in zip(got, expected_values):
@@ -45,10 +48,3 @@ def test_golden_count():
     assert len(GOLDEN) == 68
 
 
-def test_html5_flag_equivalence():
-    # every golden also passes with the html5 parser flag (the reference
-    # re-runs each golden with --html5; we use one lenient parser for both)
-    case_id, html_bytes, kwargs, expected = GOLDEN[0]
-    kwargs = dict(kwargs, html5=True)
-    got = hocr.extract_sexprs(html_bytes, **kwargs)
-    assert got == [sexpr.parse(p) for p in expected]

@@ -39,6 +39,12 @@ def main(argv=None):
     parser.add_argument('--salt', type=int, default=None,
                         help='skew-split factor: spread each conv_id '
                              'over this many tasks before extraction')
+    parser.add_argument('--raw-output', default=None,
+                        help='also save the raw per-turn payload sidecar '
+                             'to this path')
+    parser.add_argument('--raw-template', default='{id}/p{page+1}',
+                        help="raw sidecar name template, e.g. "
+                             "'{id}/p{page+1}'")
     parser.add_argument('--pages', default=None,
                         help="turn ranges, e.g. '17,37-42'")
     args = parser.parse_args(argv)
@@ -58,6 +64,10 @@ def main(argv=None):
     pages = parse_page_numbers(args.pages)
     if pages is not None:
         transcripts = transcripts.where(F.col('turn_idx').isin(pages))
+
+    if args.raw_output:
+        checkpoint.save_raw_payloads(
+            transcripts, args.raw_output, template=args.raw_template)
 
     t0 = time.time()
     processed = checkpoint.run_extraction(
