@@ -306,9 +306,17 @@ def _ensure_checkpoint_dir(df: DataFrame) -> None:
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
         # local-mode default; a cluster deployment should point this at
-        # durable storage (HDFS/S3) via sparkContext.setCheckpointDir
+        # durable storage (HDFS/S3) via sparkContext.setCheckpointDir and
+        # set spark.cleaner.referenceTracking.cleanCheckpoints=true so
+        # superseded per-round edge sets are reclaimed as their RDDs are
+        # GC'd. The temp dir we create ourselves is removed at process
+        # exit — reliable checkpoints are otherwise never deleted.
+        import atexit
+        import shutil
         import tempfile
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix='ocrodjvu-spark-cc-'))
+        path = tempfile.mkdtemp(prefix='ocrodjvu-spark-cc-')
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        sc.setCheckpointDir(path)
 
 
 def _large_star(edges: DataFrame) -> DataFrame:

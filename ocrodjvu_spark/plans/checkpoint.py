@@ -52,6 +52,8 @@ def run_extraction(
     n_buckets: int = 64,
     max_buckets: Optional[int] = None,
     salt_buckets: Optional[int] = None,
+    raw_output_path: Optional[str] = None,
+    raw_template: str = '{id}/p{page+1}',
     **extract_kwargs,
 ) -> List[int]:
     """Run (or resume) the extraction job; returns buckets processed.
@@ -72,11 +74,13 @@ def run_extraction(
 
     src = with_bucket(transcripts, n_buckets)
     src = src.where(F.col(BUCKET_COL).isin(pending))
-    if salt_buckets:
-        src = pipeline.salted_repartition(src, salt_buckets=salt_buckets)
+    if raw_output_path:
+        # S9 sidecar restricted to this run's pending buckets (dynamic
+        # overwrite — resumes never rescan or clobber completed buckets)
+        save_raw_payloads(src, raw_output_path, template=raw_template)
     extracted = pipeline.extract_turns(
         src, keep_columns=('role', 'tool', 'ts', BUCKET_COL),
-        **extract_kwargs)
+        salt_buckets=salt_buckets, **extract_kwargs)
 
     (extracted
      .repartition(max(len(pending), 1), F.col(BUCKET_COL))
@@ -151,10 +155,16 @@ def template_path_expr(template: str):
         raise ValueError(f'unknown template field: {field!r}')
 
     parts = []
-    for literal, field, _spec, _conv in string.Formatter().parse(template):
+    for literal, field, spec, conv in string.Formatter().parse(template):
         if literal:
             parts.append(F.lit(literal))
         if field is not None:
+            if spec or conv:
+                # keep parity with expand_template honest instead of
+                # silently emitting differently-formatted names
+                raise ValueError(
+                    'format specs/conversions are not supported in '
+                    f'Catalyst template compilation: {template!r}')
             parts.append(field_expr(field).cast('string'))
     return F.concat(*parts)
 
@@ -168,12 +178,24 @@ def save_raw_payloads(transcripts: DataFrame, path: str,
     expanded template (lib/cli/ocrodjvu.py:428-439); at table scale the
     same artifact is a debug sidecar keyed by (conv_id, turn_idx) whose
     ``raw_name`` column carries the expanded template value.
+
+    If the frame carries the lineage bucket column the write partitions
+    by it with dynamic overwrite, so a resumed run touching only pending
+    buckets rewrites only those buckets' raw files (and a crash never
+    destroys completed ones). A bucket-less frame does a plain overwrite.
     """
-    (transcripts
-     .select('conv_id', 'turn_idx',
-             template_path_expr(template).alias('raw_name'),
-             F.col('text').alias('payload'))
-     .write.mode('overwrite').parquet(path))
+    cols = ['conv_id', 'turn_idx',
+            template_path_expr(template).alias('raw_name'),
+            F.col('text').alias('payload')]
+    if BUCKET_COL in transcripts.columns:
+        (transcripts.select(*cols, BUCKET_COL)
+         .write
+         .partitionBy(BUCKET_COL)
+         .option('partitionOverwriteMode', 'dynamic')
+         .mode('overwrite')
+         .parquet(path))
+    else:
+        transcripts.select(*cols).write.mode('overwrite').parquet(path)
 
 
 def _read_sidecar(spark: SparkSession, path: str) -> Optional[DataFrame]:

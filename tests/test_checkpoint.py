@@ -91,3 +91,33 @@ def test_template_path_expr_matches_kernel(spark):
         'conv_id', template_path_expr(tpl).alias('name')).collect()}
     for cid, tix in [('docA', 4), ('docB', 9)]:
         assert got[cid] == expand_template(tpl, tix, cid)
+
+
+def test_raw_sidecar_bucketed_resume(spark, tmp_path):
+    # the raw payload sidecar written through run_extraction only touches
+    # pending buckets: a resume neither rescans nor clobbers completed
+    # buckets' raw files
+    out = str(tmp_path / 'out')
+    side = str(tmp_path / 'side')
+    raw = str(tmp_path / 'raw')
+    df = T.synthesize_transcripts(spark, SF_DIR)
+    total = df.count()
+
+    first = checkpoint.run_extraction(
+        spark, df, out, side, n_buckets=N_BUCKETS, max_buckets=3,
+        raw_output_path=raw)
+    raw1 = spark.read.parquet(raw)
+    assert sorted(r.bucket for r in
+                  raw1.select('bucket').distinct().collect()) == \
+        sorted(first)
+    n_first = raw1.count()
+
+    checkpoint.run_extraction(
+        spark, df, out, side, n_buckets=N_BUCKETS, raw_output_path=raw)
+    raw2 = spark.read.parquet(raw)
+    assert raw2.count() == total
+    # completed buckets' rows unchanged (not rewritten to something else)
+    assert raw2.where(F.col('bucket').isin(first)).count() == n_first
+    sample = raw2.select('conv_id', 'turn_idx', 'raw_name').first()
+    assert sample.raw_name == \
+        f'{sample.conv_id}/p{sample.turn_idx + 1}'

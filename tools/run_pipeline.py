@@ -65,15 +65,12 @@ def main(argv=None):
     if pages is not None:
         transcripts = transcripts.where(F.col('turn_idx').isin(pages))
 
-    if args.raw_output:
-        checkpoint.save_raw_payloads(
-            transcripts, args.raw_output, template=args.raw_template)
-
     t0 = time.time()
     processed = checkpoint.run_extraction(
         spark, transcripts, args.output, args.sidecar,
         n_buckets=args.buckets, max_buckets=args.max_buckets,
         salt_buckets=args.salt,
+        raw_output_path=args.raw_output, raw_template=args.raw_template,
         details=args.details,
         uax29=(args.language if args.segmentation == 'uax29' else None),
         rotation=args.rotation, fix_utf8=args.fix_utf8,
