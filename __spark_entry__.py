@@ -383,6 +383,17 @@ def _q_simhash(spark, sf_dir):
         'doc_id', textops.simhash32(textops.tokens('text')).alias('simhash'))
 
 
+def _q_dedup_simhash_pairs(spark, sf_dir):
+    # SimHash-banded near-dup pairs: byte-band bucket join + Hamming
+    # verify; recall is EXACT by pigeonhole at max_dist=3 < 4 bands, so
+    # the all-pairs SQL oracle is matched without an oracle that mirrors
+    # the bucketing
+    docs = _docs_with_near_dups(spark, sf_dir)
+    return textops.simhash_neardup_pairs(docs, max_dist=3).select(
+        'doc_a', 'doc_b', F.col('hamming_dist').cast('int')
+        .alias('hamming_dist'))
+
+
 def _q_tfidf_top_terms(spark, sf_dir):
     # TF-IDF keyword extraction: top-3 terms per document by
     # tf * ln(N/df), ties broken lexicographically
@@ -441,6 +452,61 @@ def _q_ann_ivf_topk(spark, sf_dir):
 def _q_ann_lsh_topk(spark, sf_dir):
     emb = T.load_table(spark, sf_dir, 'embeddings')
     return similarity.lsh_topk(emb, n_queries=10, k=5)
+
+
+def _q_embedding_kmeans(spark, sf_dir):
+    # iterative algorithm coverage: Lloyd's k-means (k=8, 3 rounds) on
+    # the integer-quantized grid — exact distances, so the unrolled SQL
+    # oracle matches bit-for-bit
+    emb = T.load_table(spark, sf_dir, 'embeddings')
+    return similarity.kmeans_labels(emb, k=8, iterations=3)
+
+
+def _sql_kmeans(k: int = 8, iterations: int = 3,
+                quant: int = 1000) -> str:
+    """Unrolled Lloyd iterations mirroring similarity.kmeans_labels."""
+    parts = [f'''
+pts AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {quant}) AS BIGINT))
+               AS qv
+    FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, qv AS cv FROM pts WHERE vec_id < {k})''']
+
+    def assign_expr(cent_cte):
+        return f'''(
+            SELECT c.cid FROM {cent_cte} c
+            ORDER BY list_sum(list_transform(range(1, len(p.qv) + 1),
+                     i -> (p.qv[i] - c.cv[i]) * (p.qv[i] - c.cv[i]))),
+                     c.cid
+            LIMIT 1)'''
+
+    for it in range(1, iterations + 1):
+        parts.append(f''',
+a{it} AS (
+    SELECT p.vec_id, p.qv, {assign_expr(f'c{it - 1}')} AS cluster
+    FROM pts p
+),
+m{it} AS (
+    SELECT a{it}.cluster AS cid, d.i AS i,
+           CAST(round(avg(d.x)) AS BIGINT) AS c
+    FROM a{it},
+         LATERAL (SELECT unnest(qv) AS x,
+                         generate_subscripts(qv, 1) AS i) AS d
+    GROUP BY 1, 2
+),
+c{it} AS (
+    SELECT prev.cid, COALESCE(g.cv, prev.cv) AS cv
+    FROM c{it - 1} prev
+    LEFT JOIN (SELECT cid, list(c ORDER BY i) AS cv
+               FROM m{it} GROUP BY cid) g USING (cid)
+)''')
+    return ('WITH ' + ''.join(parts) + f'''
+SELECT p.vec_id,
+       CAST({assign_expr(f'c{iterations}')} AS INTEGER) AS cluster
+FROM pts p''')
 
 
 def _q_events_sessionization(spark, sf_dir):
@@ -528,11 +594,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_ngram_jaccard': _q_dedup_ngram_jaccard,
         'dedup_clusters': _q_dedup_clusters,
         'simhash': _q_simhash,
+        'dedup_simhash_pairs': _q_dedup_simhash_pairs,
         'language_id': _q_language_id,
         'tfidf_top_terms': _q_tfidf_top_terms,
         'quality_score': _q_quality_score,
         'doc_fingerprint': _q_doc_fingerprint,
         'ann_cosine_topk': _q_ann_cosine_topk,
+        'embedding_kmeans': _q_embedding_kmeans,
         'ann_lsh_topk': _q_ann_lsh_topk,
         'ann_ivf_topk': _q_ann_ivf_topk,
         'extract_lines': _q_extract_lines,
@@ -609,14 +677,27 @@ def _sql_token_hashes(src):
             f'AS hs FROM {src}')
 
 
-_SQL_DOCS_DUPS = f'''
+_SQL_DOCS_DUPS_BASE = '''
 docs AS (
     SELECT doc_id, text FROM documents
     UNION ALL
     SELECT doc_id + 1000000 AS doc_id,
            text || ' near duplicate tail' AS text
     FROM documents WHERE doc_id % 17 = 0
-),
+)'''
+
+# per-bit majority vote over token hashes -> 32-bit fingerprint
+# (mirrors textops.simhash32; operates on a CTE exposing hs)
+_SQL_SIMHASH = (
+    'CAST(list_sum(list_transform(range(0, 32), j -> '
+    'CASE WHEN list_sum(list_transform(hs, h -> '
+    'CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 '
+    'THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END'
+    ')) AS BIGINT)'
+)
+
+_SQL_DOCS_DUPS = f'''
+{_SQL_DOCS_DUPS_BASE},
 tok AS (SELECT doc_id, {_TOKS} AS toks FROM docs),
 th AS ({_sql_token_hashes('tok')}),
 sh AS (
@@ -839,20 +920,20 @@ def oracle_sql() -> dict[str, str]:
         ''',
         'simhash': f'''
             WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-            th AS (
-                SELECT doc_id,
-                       list_transform(toks, t -> {_SQL_HASH('t')}) AS hs
-                FROM tok
-            )
-            SELECT doc_id,
-                   CAST(list_sum(list_transform(range(0, 32), j ->
-                       CASE WHEN list_sum(list_transform(hs, h ->
-                           CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END
-                       )) > 0
-                       THEN (CAST(1 AS BIGINT) << j)
-                       ELSE CAST(0 AS BIGINT) END
-                   )) AS BIGINT) AS simhash
+            th AS ({_sql_token_hashes('tok')})
+            SELECT doc_id, {_SQL_SIMHASH} AS simhash
             FROM th
+        ''',
+        'dedup_simhash_pairs': f'''
+            WITH {_SQL_DOCS_DUPS_BASE},
+            tok AS (SELECT doc_id, {_TOKS} AS toks FROM docs),
+            th AS ({_sql_token_hashes('tok')}),
+            sh AS (SELECT doc_id, {_SQL_SIMHASH} AS sim FROM th)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER)
+                       AS hamming_dist
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sim, b.sim)) <= 3
         ''',
         'tfidf_top_terms': f'''
             WITH terms AS (
@@ -953,6 +1034,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(hashes) AS INTEGER) AS n_shingles
             FROM h
         ''',
+        'embedding_kmeans': _sql_kmeans(),
         'ann_cosine_topk': f'''
             WITH {_SQL_EMB},
             scored AS (

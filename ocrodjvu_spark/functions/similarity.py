@@ -246,6 +246,70 @@ def neardup_pairs(embeddings: DataFrame, threshold: float = 0.4,
     )
 
 
+def kmeans_labels(embeddings: DataFrame, k: int = 8, iterations: int = 3,
+                  id_col: str = 'vec_id', vec_col: str = 'embedding',
+                  dim: int = 64, quant: int = 1000) -> DataFrame:
+    """Lloyd's k-means over an embedding column, deterministic + portable.
+
+    Scale shape: the classic broadcast-centroids loop — per iteration
+    one JVM-side assignment pass (centroids inlined as literals; the
+    argmin is an ``array_min`` over (distance, cid) structs, so each
+    distance fold is evaluated exactly once — no lambda CSE in
+    Catalyst) and one groupBy computing per-dimension means. Only the
+    k x dim centroid table ever reaches the driver (bounded by k, not
+    by data — the same shape MLlib uses), so the loop is
+    executor-scalable at any corpus size.
+
+    Engine portability: vectors are quantized to an integer grid
+    (``round(x * quant)``), so squared distances are EXACT integer
+    sums — no float summation-order hazards against the SQL oracle.
+    The only float op per iteration is the centroid mean: an exact
+    integer sum divided by a count, identical as a double in any
+    engine, then half-up rounded back to the grid. Seeds are the first
+    ``k`` vectors by id; empty clusters keep their previous centroid;
+    ``iterations`` is fixed (no convergence check) so the oracle can
+    unroll the same number of rounds.
+
+    Output: (vec_id, cluster) after the final assignment.
+    """
+    pts = embeddings.select(
+        F.col(id_col),
+        F.transform(as_double(F.col(vec_col)),
+                    lambda x: F.round(x * quant).cast('long')).alias('qv'))
+    seed_rows = pts.where(F.col(id_col) < k).collect()
+    centroids = {int(r[id_col]): list(r['qv']) for r in seed_rows}
+
+    def assign(cents) -> DataFrame:
+        scored = F.array(*[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col('qv'),
+                        F.array(*[F.lit(int(c)).cast('long') for c in vec]),
+                        lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast('long'),
+                    lambda acc, d: acc + d,
+                ).alias('d'),
+                F.lit(cid).cast('int').alias('cid'),
+            )
+            for cid, vec in sorted(cents.items())
+        ])
+        # struct ordering is lexicographic: min distance, ties by cid
+        return pts.select(
+            id_col, 'qv',
+            F.array_min(scored).getField('cid').alias('cluster'))
+
+    for _ in range(iterations):
+        means = assign(centroids).groupBy('cluster').agg(*[
+            F.round(F.avg(F.element_at('qv', i + 1))).cast('long')
+             .alias(f'c{i}')
+            for i in range(dim)
+        ]).collect()
+        for r in means:  # empty clusters keep their previous centroid
+            centroids[int(r['cluster'])] = [r[f'c{i}'] for i in range(dim)]
+    return assign(centroids).select(id_col, 'cluster')
+
+
 def lsh_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
              id_col: str = 'vec_id', vec_col: str = 'embedding',
              n_planes: int = N_HYPERPLANES, dim: int = 64) -> DataFrame:

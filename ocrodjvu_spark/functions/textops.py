@@ -188,6 +188,55 @@ def _zip_votes(acc: Column, h: Column) -> Column:
     return F.zip_with(acc, bits, lambda a, b: a + b)
 
 
+def simhash_neardup_pairs(docs: DataFrame, max_dist: int = 3,
+                          id_col='doc_id', text_col='text',
+                          n_bands: int = 4) -> DataFrame:
+    """SimHash near-duplicate pairs via banded bucket join + Hamming verify.
+
+    The 32-bit SimHash splits into ``n_bands`` byte bands; candidate
+    pairs share at least one identical band (an equi-join on the band
+    key — never a cross join), then the exact Hamming distance filters
+    to ``max_dist``. With ``max_dist < n_bands`` recall is EXACT by
+    pigeonhole: fewer differing bits than bands means some band is
+    untouched, so every qualifying pair collides somewhere. The default
+    (3 < 4) keeps that guarantee; raising max_dist to n_bands or beyond
+    turns the operator into an approximation.
+
+    Output: (doc_a, doc_b, hamming_dist) with doc_a < doc_b.
+    """
+    if not 0 < n_bands <= 4 or 32 % n_bands:
+        raise ValueError('n_bands must divide 32 bit positions')
+    band_bits = 32 // n_bands
+    mask = (1 << band_bits) - 1
+    sims = docs.select(
+        F.col(id_col), simhash32(tokens(text_col)).alias('sim'))
+    band_keys = F.array(*[
+        F.concat(F.lit(f'{b}:'),
+                 (F.shiftright(F.col('sim'), b * band_bits)
+                  .bitwiseAND(F.lit(mask))).cast('string'))
+        for b in range(n_bands)
+    ])
+    bands = sims.select(F.col(id_col), F.explode(band_keys).alias('band'))
+    a = bands.alias('a')
+    b = bands.alias('b')
+    candidates = (
+        a.join(b, (F.col('a.band') == F.col('b.band'))
+               & (F.col(f'a.{id_col}') < F.col(f'b.{id_col}')))
+        .select(F.col(f'a.{id_col}').alias('doc_a'),
+                F.col(f'b.{id_col}').alias('doc_b'))
+        .distinct()
+    )
+    sa = sims.select(F.col(id_col).alias('doc_a'), F.col('sim').alias('sim_a'))
+    sb = sims.select(F.col(id_col).alias('doc_b'), F.col('sim').alias('sim_b'))
+    return (
+        candidates.join(sa, 'doc_a').join(sb, 'doc_b')
+        .select('doc_a', 'doc_b',
+                F.bit_count(F.col('sim_a').bitwiseXOR(F.col('sim_b')))
+                 .alias('hamming_dist'))
+        .where(F.col('hamming_dist') <= max_dist)
+    )
+
+
 def doc_shingle_table(docs: DataFrame, id_col='doc_id', text_col='text',
                       n: int = 3) -> DataFrame:
     """Exploded distinct (doc_id, shingle_hash) pairs."""

@@ -130,3 +130,44 @@ def test_minhash_bucket_cap_bounds_hot_buckets(spark):
         docs, max_bucket_size=32).collect()
     assert len(oversized) == 4  # all 4 bands of the identical docs
     assert all(r.n_docs == 1000 for r in oversized)
+
+
+def test_simhash_pairs_banding_is_exact(spark):
+    # pigeonhole guarantee: banded candidates == brute-force all-pairs
+    # at max_dist 3 < 4 bands
+    texts = ['alpha beta gamma delta epsilon',
+             'alpha beta gamma delta epsilon',     # exact dup -> d=0
+             'alpha beta gamma delta zeta',        # near
+             'qqq www eee rrr ttt',
+             'one two three four five six']
+    docs = _docs(spark, texts)
+    got = {(r.doc_a, r.doc_b): r.hamming_dist
+           for r in textops.simhash_neardup_pairs(docs).collect()}
+    sims = {r.doc_id: r.simhash for r in docs.select(
+        'doc_id',
+        textops.simhash32(textops.tokens('text')).alias('simhash'))
+        .collect()}
+    brute = {(a, b): bin(sims[a] ^ sims[b]).count('1')
+             for a in sims for b in sims if a < b
+             if bin(sims[a] ^ sims[b]).count('1') <= 3}
+    assert got == brute
+    assert got[(0, 1)] == 0
+
+
+def test_kmeans_two_blobs(spark):
+    from ocrodjvu_spark.functions import similarity
+    # vec_ids 0,1 seed the two clusters; points sit near one of two
+    # orthogonal corners of the grid
+    rows = []
+    for i in range(12):
+        blob = i % 2
+        base = [4.0, 0.1] if blob == 0 else [0.1, 4.0]
+        vec = [base[0] + 0.01 * i, base[1]] + [0.0] * 62
+        rows.append((i, [float(x) for x in vec]))
+    emb = spark.createDataFrame(rows, 'vec_id long, embedding array<float>')
+    out = {r.vec_id: r.cluster
+           for r in similarity.kmeans_labels(emb, k=2, iterations=3)
+           .collect()}
+    assert set(out.values()) == {0, 1}
+    for i in range(12):
+        assert out[i] == out[i % 2]
