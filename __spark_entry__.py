@@ -113,6 +113,38 @@ def _q_extract_rotated180(spark, sf_dir):
         'conv_id', 'turn_idx', 'word_idx', 'word', 'x0', 'y0', 'x1', 'y1')
 
 
+def _q_streaming_extraction(spark, sf_dir):
+    # the Structured Streaming face of the extraction pipeline: drain
+    # the whole backlog (availableNow) through the IDENTICAL extraction
+    # UDF into a file sink, then compare against the batch SQL oracle —
+    # streaming and batch must agree row-for-row
+    import os
+    import tempfile
+
+    from ocrodjvu_spark.streaming import extract_stream as ST
+    base = tempfile.mkdtemp(prefix='ocrodjvu-spark-stream-gate-')
+    src = os.path.join(base, 'src')
+    out = os.path.join(base, 'out')
+    ckpt = os.path.join(base, 'ckpt')
+    T.synthesize_transcripts(spark, sf_dir).write.parquet(src)
+    stream = ST.read_transcripts_stream(spark, src)
+    extracted = ST.extract_stream(
+        stream, emit_spans=False, emit_sexpr=False).select(
+        'conv_id', 'turn_idx', 'extracted_text')
+    ST.run_to_parquet(extracted, out, ckpt).awaitTermination()
+    return spark.read.parquet(out)
+
+
+def _q_multimodal_features(spark, sf_dir):
+    # binary multimodal plumbing end-to-end: opaque payload column ->
+    # mapInPandas feature extraction (the decoder itself is the
+    # documented stub; the gate pins the Spark-side schema, batching,
+    # and the deterministic stub features)
+    from ocrodjvu_spark.functions import multimodal as MM
+    media = MM.synthesize_media(spark, sf_dir)
+    return MM.extract_features(media)
+
+
 def _q_events_window_agg(spark, sf_dir):
     # tumbling-window aggregation over the events stream table (batch
     # face of the streaming metrics operator)
@@ -608,6 +640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'extract_uax29': _q_extract_uax29,
         'extract_rotated180': _q_extract_rotated180,
         'events_window_agg': _q_events_window_agg,
+        'streaming_extraction': _q_streaming_extraction,
+        'multimodal_features': _q_multimodal_features,
         'embedding_neardup_pairs': _q_embedding_neardup_pairs,
         'extract_orf': _q_extract_orf,
         'extract_gocr': _q_extract_gocr,
@@ -1108,6 +1142,26 @@ def oracle_sql() -> dict[str, str]:
                         AS INTEGER) AS x1,
                    CAST(60 AS INTEGER) AS y1
             FROM words
+        ''',
+        'streaming_extraction': f'''
+            SELECT {_CONV} AS conv_id, {_TIDX} AS turn_idx,
+                   {_NORM} AS extracted_text
+            FROM documents
+        ''',
+        'multimodal_features': '''
+            WITH t AS (SELECT doc_id, repeat(text, 4) AS t4 FROM documents)
+            SELECT doc_id AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   CAST(length(t4) AS INTEGER) AS n_bytes,
+                   md5(t4) AS checksum,
+                   CAST(CAST(list_sum(list_transform(
+                            string_split(substr(t4, 1, 4096), ''),
+                            c -> ascii(c))) AS BIGINT)
+                        // greatest(least(length(t4), 4096), 1)
+                        AS INTEGER) AS mean_byte,
+                   'stub' AS decoder
+            FROM t
         ''',
         'events_window_agg': '''
             SELECT date_trunc('hour', ts) AS window_start, event_type,
