@@ -135,6 +135,43 @@ def _q_streaming_extraction(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+_STATEFUL_GATE_SEQ = [0]
+
+
+def _q_stateful_conversation_state(spark, sf_dir):
+    # custom stateful streaming operator (applyInPandasWithState):
+    # running per-conversation state accumulated across SEVERAL
+    # micro-batches (8 input files, 2 per trigger), drained with
+    # availableNow into an update-mode memory sink. Every state field is
+    # monotone, so the final state per conversation is the max over the
+    # emitted updates — and equals the plain batch aggregate the SQL
+    # oracle computes.
+    import os
+    import tempfile
+
+    from ocrodjvu_spark.streaming import extract_stream as ST
+    from ocrodjvu_spark.streaming.stateful import running_conversation_state
+    base = tempfile.mkdtemp(prefix='ocrodjvu-spark-stateful-gate-')
+    src = os.path.join(base, 'src')
+    T.synthesize_transcripts(spark, sf_dir).repartition(8) \
+        .write.parquet(src)
+    stream = ST.read_transcripts_stream(spark, src, max_files_per_trigger=2)
+    extracted = ST.extract_stream(stream, emit_spans=False,
+                                  emit_sexpr=False)
+    state = running_conversation_state(extracted)
+    _STATEFUL_GATE_SEQ[0] += 1
+    name = f'stateful_gate_{os.getpid()}_{_STATEFUL_GATE_SEQ[0]}'
+    (state.writeStream.format('memory').queryName(name)
+     .outputMode('update').trigger(availableNow=True)
+     .start().awaitTermination())
+    snap = spark.table(name)
+    return snap.groupBy('conv_id').agg(
+        F.max('n_pages').alias('n_pages'),
+        F.max('n_chars').alias('n_chars'),
+        F.max('max_turn_idx').alias('max_turn_idx'),
+    )
+
+
 def _q_multimodal_features(spark, sf_dir):
     # binary multimodal plumbing end-to-end: opaque payload column ->
     # mapInPandas feature extraction (the decoder itself is the
@@ -641,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'extract_rotated180': _q_extract_rotated180,
         'events_window_agg': _q_events_window_agg,
         'streaming_extraction': _q_streaming_extraction,
+        'stateful_conversation_state': _q_stateful_conversation_state,
         'multimodal_features': _q_multimodal_features,
         'embedding_neardup_pairs': _q_embedding_neardup_pairs,
         'extract_orf': _q_extract_orf,
@@ -1147,6 +1185,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_CONV} AS conv_id, {_TIDX} AS turn_idx,
                    {_NORM} AS extracted_text
             FROM documents
+        ''',
+        'stateful_conversation_state': f'''
+            SELECT {_CONV} AS conv_id,
+                   count(*) AS n_pages,
+                   CAST(sum(length({_NORM})) AS BIGINT) AS n_chars,
+                   CAST(max({_TIDX}) AS BIGINT) AS max_turn_idx
+            FROM documents
+            GROUP BY 1
         ''',
         'multimodal_features': '''
             WITH t AS (SELECT doc_id, repeat(text, 4) AS t4 FROM documents)
