@@ -118,11 +118,9 @@ def _q_streaming_extraction(spark, sf_dir):
     # the whole backlog (availableNow) through the IDENTICAL extraction
     # UDF into a file sink, then compare against the batch SQL oracle —
     # streaming and batch must agree row-for-row
-    import os
-    import tempfile
-
     from ocrodjvu_spark.streaming import extract_stream as ST
-    base = tempfile.mkdtemp(prefix='ocrodjvu-spark-stream-gate-')
+    base = _gate_tempdir('ocrodjvu-spark-stream-gate-')
+    import os
     src = os.path.join(base, 'src')
     out = os.path.join(base, 'out')
     ckpt = os.path.join(base, 'ckpt')
@@ -133,6 +131,17 @@ def _q_streaming_extraction(spark, sf_dir):
         'conv_id', 'turn_idx', 'extracted_text')
     ST.run_to_parquet(extracted, out, ckpt).awaitTermination()
     return spark.read.parquet(out)
+
+
+def _gate_tempdir(prefix: str) -> str:
+    """mkdtemp + exit-time removal (gate runs must not accumulate a
+    corpus copy per invocation under /tmp)."""
+    import atexit
+    import shutil
+    import tempfile
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
 
 
 _STATEFUL_GATE_SEQ = [0]
@@ -147,11 +156,10 @@ def _q_stateful_conversation_state(spark, sf_dir):
     # emitted updates — and equals the plain batch aggregate the SQL
     # oracle computes.
     import os
-    import tempfile
 
     from ocrodjvu_spark.streaming import extract_stream as ST
     from ocrodjvu_spark.streaming.stateful import running_conversation_state
-    base = tempfile.mkdtemp(prefix='ocrodjvu-spark-stateful-gate-')
+    base = _gate_tempdir('ocrodjvu-spark-stateful-gate-')
     src = os.path.join(base, 'src')
     T.synthesize_transcripts(spark, sf_dir).repartition(8) \
         .write.parquet(src)
@@ -164,12 +172,13 @@ def _q_stateful_conversation_state(spark, sf_dir):
     (state.writeStream.format('memory').queryName(name)
      .outputMode('update').trigger(availableNow=True)
      .start().awaitTermination())
-    snap = spark.table(name)
-    return snap.groupBy('conv_id').agg(
+    final = spark.table(name).groupBy('conv_id').agg(
         F.max('n_pages').alias('n_pages'),
         F.max('n_chars').alias('n_chars'),
         F.max('max_turn_idx').alias('max_turn_idx'),
-    )
+    ).localCheckpoint()  # detach from the sink view so it can be dropped
+    spark.catalog.dropTempView(name)
+    return final
 
 
 def _q_multimodal_features(spark, sf_dir):
@@ -542,7 +551,11 @@ pts AS (
                AS qv
     FROM embeddings
 ),
-c0 AS (SELECT vec_id AS cid, qv AS cv FROM pts WHERE vec_id < {k})''']
+c0 AS (
+    SELECT CAST(rn - 1 AS INTEGER) AS cid, qv AS cv
+    FROM (SELECT qv, row_number() OVER (ORDER BY vec_id) AS rn FROM pts)
+    WHERE rn <= {k}
+)''']
 
     def assign_expr(cent_cte):
         return f'''(

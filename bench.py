@@ -166,6 +166,10 @@ def main():
         'n_turns': n_turns,
         'turns_per_sec': round(n_turns / timings['extract_text'], 1),
         'cpus': cpus,
+        # methodology markers so cross-round comparisons are explicit:
+        # best-of-`reps` per query, flagship elides the spans payload
+        'reps': reps,
+        'flagship': 'extract_text+sexpr (spans elided)',
     }
     print(json.dumps(result))
 

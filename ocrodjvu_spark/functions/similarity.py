@@ -248,7 +248,7 @@ def neardup_pairs(embeddings: DataFrame, threshold: float = 0.4,
 
 def kmeans_labels(embeddings: DataFrame, k: int = 8, iterations: int = 3,
                   id_col: str = 'vec_id', vec_col: str = 'embedding',
-                  dim: int = 64, quant: int = 1000) -> DataFrame:
+                  quant: int = 1000) -> DataFrame:
     """Lloyd's k-means over an embedding column, deterministic + portable.
 
     Scale shape: the classic broadcast-centroids loop — per iteration
@@ -266,9 +266,15 @@ def kmeans_labels(embeddings: DataFrame, k: int = 8, iterations: int = 3,
     The only float op per iteration is the centroid mean: an exact
     integer sum divided by a count, identical as a double in any
     engine, then half-up rounded back to the grid. Seeds are the first
-    ``k`` vectors by id; empty clusters keep their previous centroid;
-    ``iterations`` is fixed (no convergence check) so the oracle can
-    unroll the same number of rounds.
+    ``k`` vectors in id order (cluster ids 0..k-1 by that order, so a
+    sparse or offset id space still yields k clusters); dimensionality
+    is inferred from the seeds; empty clusters keep their previous
+    centroid; ``iterations`` is fixed (no convergence check) so the
+    oracle can unroll the same number of rounds.
+
+    The quantized points are persisted for the loop's repeated passes
+    and unpersisted before returning the (lazy) final assignment — the
+    caller's evaluation rescans the source once.
 
     Output: (vec_id, cluster) after the final assignment.
     """
@@ -276,8 +282,15 @@ def kmeans_labels(embeddings: DataFrame, k: int = 8, iterations: int = 3,
         F.col(id_col),
         F.transform(as_double(F.col(vec_col)),
                     lambda x: F.round(x * quant).cast('long')).alias('qv'))
-    seed_rows = pts.where(F.col(id_col) < k).collect()
-    centroids = {int(r[id_col]): list(r['qv']) for r in seed_rows}
+    pts = pts.persist()
+    seed_rows = pts.orderBy(id_col).limit(k).collect()
+    if len(seed_rows) < k:
+        pts.unpersist(False)
+        raise ValueError(
+            f'k={k} clusters need at least k vectors '
+            f'(got {len(seed_rows)})')
+    centroids = {cid: list(r['qv']) for cid, r in enumerate(seed_rows)}
+    dim = len(seed_rows[0]['qv'])
 
     def assign(cents) -> DataFrame:
         scored = F.array(*[
@@ -307,7 +320,9 @@ def kmeans_labels(embeddings: DataFrame, k: int = 8, iterations: int = 3,
         ]).collect()
         for r in means:  # empty clusters keep their previous centroid
             centroids[int(r['cluster'])] = [r[f'c{i}'] for i in range(dim)]
-    return assign(centroids).select(id_col, 'cluster')
+    result = assign(centroids).select(id_col, 'cluster')
+    pts.unpersist(False)
+    return result
 
 
 def lsh_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,

@@ -204,8 +204,9 @@ def simhash_neardup_pairs(docs: DataFrame, max_dist: int = 3,
 
     Output: (doc_a, doc_b, hamming_dist) with doc_a < doc_b.
     """
-    if not 0 < n_bands <= 4 or 32 % n_bands:
-        raise ValueError('n_bands must divide 32 bit positions')
+    if n_bands not in (1, 2, 4, 8, 16, 32):
+        raise ValueError(
+            f'n_bands must be a divisor of 32 (got {n_bands})')
     band_bits = 32 // n_bands
     mask = (1 << band_bits) - 1
     sims = docs.select(
@@ -216,24 +217,23 @@ def simhash_neardup_pairs(docs: DataFrame, max_dist: int = 3,
                   .bitwiseAND(F.lit(mask))).cast('string'))
         for b in range(n_bands)
     ])
-    bands = sims.select(F.col(id_col), F.explode(band_keys).alias('band'))
+    # the band rows CARRY the fingerprint, so the verify step needs no
+    # extra joins back to sims and the O(tokens*32) SimHash fold runs in
+    # one plan subtree (the band self-join's two sides are the identical
+    # exchange, which Spark reuses)
+    bands = sims.select(F.col(id_col), 'sim',
+                        F.explode(band_keys).alias('band'))
     a = bands.alias('a')
     b = bands.alias('b')
-    candidates = (
+    return (
         a.join(b, (F.col('a.band') == F.col('b.band'))
                & (F.col(f'a.{id_col}') < F.col(f'b.{id_col}')))
         .select(F.col(f'a.{id_col}').alias('doc_a'),
-                F.col(f'b.{id_col}').alias('doc_b'))
-        .distinct()
-    )
-    sa = sims.select(F.col(id_col).alias('doc_a'), F.col('sim').alias('sim_a'))
-    sb = sims.select(F.col(id_col).alias('doc_b'), F.col('sim').alias('sim_b'))
-    return (
-        candidates.join(sa, 'doc_a').join(sb, 'doc_b')
-        .select('doc_a', 'doc_b',
-                F.bit_count(F.col('sim_a').bitwiseXOR(F.col('sim_b')))
+                F.col(f'b.{id_col}').alias('doc_b'),
+                F.bit_count(F.col('a.sim').bitwiseXOR(F.col('b.sim')))
                  .alias('hamming_dist'))
         .where(F.col('hamming_dist') <= max_dist)
+        .distinct()
     )
 
 
@@ -564,13 +564,23 @@ def quality_score(docs: DataFrame, id_col='doc_id',
 
 def doc_fingerprint(docs: DataFrame, id_col='doc_id', text_col='text',
                     n: int = 3, k: int = 4) -> DataFrame:
-    """Bottom-k sketch fingerprint over shingle hashes (string-joined)."""
-    hashes = F.array_distinct(shingle_hashes(tokens(text_col), n))
-    bottom = F.slice(F.array_sort(hashes), 1, k)
+    """Bottom-k sketch fingerprint over shingle hashes (string-joined).
+
+    ``shingle_hashes`` already returns a distinct array. The three
+    output columns derive from it through one ``inline`` over a bound
+    lambda variable, so the shingle pipeline is evaluated once per row
+    (three plain column references would each inline a full recompute —
+    Catalyst has no CSE for lambda expressions).
+    """
+    hashes = shingle_hashes(tokens(text_col), n)
     return docs.select(
-        id_col,
-        F.array_join(F.transform(bottom, lambda h: h.cast('string')), '-')
-         .alias('fingerprint'),
-        F.array_min(hashes).alias('fp_min'),
-        F.size(hashes).alias('n_shingles'),
+        F.col(id_col),
+        F.inline(F.transform(F.array(hashes), lambda h: F.struct(
+            F.array_join(
+                F.transform(F.slice(F.array_sort(h), 1, k),
+                            lambda x: x.cast('string')), '-')
+             .alias('fingerprint'),
+            F.array_min(h).alias('fp_min'),
+            F.size(h).alias('n_shingles'),
+        ))),
     )
