@@ -407,10 +407,19 @@ def _q_dedup_exact(spark, sf_dir):
     )
 
 
+# BPE-ish pre-tokenization pattern (GPT-2 style, ASCII subset): letter
+# runs, single digits, punctuation runs — identical semantics in Java
+# regex (Spark) and RE2 (DuckDB)
+BPE_PIECE_RE = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]+"
+
+
 def _q_token_stats(spark, sf_dir):
-    # token counting + quality-ish stats, all JVM-side
+    # token counting + quality-ish stats, all JVM-side: whitespace
+    # tokens AND a BPE-ish regex piece count (the pre-tokenizer shape a
+    # training pipeline budgets with)
     docs = T.load_table(spark, sf_dir, 'documents')
     tokens = T.tokens_col('text')
+    norm = F.regexp_replace(F.trim('text'), r'\s+', ' ')
     return docs.select(
         'doc_id',
         F.size(tokens).alias('n_tokens'),
@@ -422,6 +431,8 @@ def _q_token_stats(spark, sf_dir):
             ) / F.size(tokens),
             4,
         ).alias('avg_token_len'),
+        F.size(F.regexp_extract_all(norm, F.lit(BPE_PIECE_RE), 0))
+         .alias('n_bpe_pieces'),
     )
 
 
@@ -505,6 +516,11 @@ def _q_tfidf_top_terms(spark, sf_dir):
 def _q_language_id(spark, sf_dir):
     docs = T.load_table(spark, sf_dir, 'documents')
     return textops.language_id(docs)
+
+
+def _q_language_id_ngram(spark, sf_dir):
+    docs = T.load_table(spark, sf_dir, 'documents')
+    return textops.language_id_ngram(docs)
 
 
 def _q_quality_score(spark, sf_dir):
@@ -678,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'simhash': _q_simhash,
         'dedup_simhash_pairs': _q_dedup_simhash_pairs,
         'language_id': _q_language_id,
+        'language_id_ngram': _q_language_id_ngram,
         'tfidf_top_terms': _q_tfidf_top_terms,
         'quality_score': _q_quality_score,
         'doc_fingerprint': _q_doc_fingerprint,
@@ -955,7 +972,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(trim(text)) AS BIGINT) AS n_text_chars,
                    round(CAST(length(replace({_NORM}, ' ', ''))
                               AS DOUBLE) / len({_TOKS}), 4)
-                       AS avg_token_len
+                       AS avg_token_len,
+                   CAST(len(regexp_extract_all({_NORM},
+                        '{BPE_PIECE_RE}')) AS INTEGER) AS n_bpe_pieces
             FROM documents
         ''',
         'dedup_ngram_jaccard': f'''
@@ -1068,6 +1087,37 @@ def oracle_sql() -> dict[str, str]:
                    END AS lang_pred,
                    round(greatest(hits_en, hits_de, hits_fr, hits_es) * 1.0
                          / greatest(n_tokens, 1), 6) AS stopword_ratio
+            FROM hits
+        ''',
+        'language_id_ngram': f'''
+            WITH base AS (
+                SELECT doc_id, {_NORM} AS norm FROM documents
+            ),
+            hits AS (
+                SELECT doc_id,
+                       CAST(length(norm) - 2 AS INTEGER) AS n_trigrams,
+                       {', '.join(
+                           'CAST(len(list_filter(range(1, length(norm) - 1),'
+                           ' i -> list_contains(['
+                           + ', '.join(
+                               "'" + t + "'"
+                               for t in textops.TRIGRAM_PROFILES[lang])
+                           + '], substr(norm, CAST(i AS INTEGER), 3))))'
+                           f' AS INTEGER) AS hits_{lang}'
+                           for lang in LANG_ORDER)}
+                FROM base
+            )
+            SELECT doc_id, n_trigrams, hits_en, hits_de, hits_fr, hits_es,
+                   CASE
+                     WHEN greatest(hits_en, hits_de, hits_fr, hits_es) <= 0
+                       THEN 'und'
+                     {' '.join(
+                         f"WHEN hits_{lang} = greatest(hits_en, hits_de, "
+                         f"hits_fr, hits_es) THEN '{lang}'"
+                         for lang in LANG_ORDER)}
+                   END AS lang_pred,
+                   round(greatest(hits_en, hits_de, hits_fr, hits_es) * 1.0
+                         / greatest(n_trigrams, 1), 6) AS trigram_ratio
             FROM hits
         ''',
         'quality_score': f'''

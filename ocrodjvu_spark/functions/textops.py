@@ -529,6 +529,56 @@ def language_id(docs: DataFrame, id_col='doc_id',
     )
 
 
+# Character-trigram profiles (ASCII): the most frequent trigrams of each
+# language's running text, including space-adjacent ones. A deliberately
+# tiny profile — the operator shape (per-row trigram scan vs broadcast
+# profiles) is what matters; production swaps in bigger tables.
+TRIGRAM_PROFILES = {
+    'en': ('the', 'he ', ' th', 'and', 'ing', 'ion', ' of'),
+    'de': ('der', 'ein', 'sch', 'ich', 'nde', 'die', 'und'),
+    'fr': ('es ', 'de ', 'ent', 'le ', 'nt ', 'que', 'les'),
+    'es': ('de ', 'os ', ' de', 'la ', ' la', 'que', 'ado'),
+}
+
+
+def language_id_ngram(docs: DataFrame, id_col='doc_id',
+                      text_col='text') -> DataFrame:
+    """Character-n-gram language classifier (profile-hit heuristic).
+
+    Counts how many of the text's character trigrams appear in each
+    language's profile and takes the argmax (ties in LANG_ORDER; 'und'
+    when nothing hits). Complements the stopword classifier
+    (``language_id``): n-gram profiles also fire on inflected forms and
+    unsegmented text. JVM-side per-row scan, no shuffle.
+    """
+    norm = norm_text(text_col)
+    scored = docs.select(F.col(id_col), norm.alias('norm'))
+    positions = F.sequence(F.lit(1), F.length('norm') - 2)
+
+    def hits(lang):
+        profile = F.array(*[F.lit(t) for t in TRIGRAM_PROFILES[lang]])
+        return F.size(F.filter(
+            positions,
+            lambda i: F.array_contains(
+                profile, F.col('norm').substr(i, F.lit(3)))))
+
+    scored = scored.select(
+        id_col,
+        (F.length('norm') - 2).cast('int').alias('n_trigrams'),
+        *[hits(lang).alias(f'hits_{lang}') for lang in LANG_ORDER])
+    best = F.greatest(*[F.col(f'hits_{lang}') for lang in LANG_ORDER])
+    pred = F.when(best <= 0, F.lit('und'))
+    for lang in LANG_ORDER:
+        pred = pred.when(F.col(f'hits_{lang}') == best, F.lit(lang))
+    return scored.select(
+        id_col, 'n_trigrams',
+        *[f'hits_{lang}' for lang in LANG_ORDER],
+        pred.alias('lang_pred'),
+        F.round(best / F.greatest(F.col('n_trigrams'), F.lit(1)), 6)
+         .alias('trigram_ratio'),
+    )
+
+
 def quality_score(docs: DataFrame, id_col='doc_id',
                   text_col='text') -> DataFrame:
     """Heuristic document quality features + a combined score."""

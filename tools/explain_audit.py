@@ -114,6 +114,27 @@ def main():
              lambda p: 'CartesianProduct' not in p),
         ])
 
+    audit(
+        'simhash near-dup pairs (band equi-join carrying fingerprints)',
+        textops.simhash_neardup_pairs(docs),
+        [
+            ('no cartesian product / broadcast nested loop',
+             lambda p: 'CartesianProduct' not in p
+             and 'BroadcastNestedLoopJoin' not in p),
+            ('single band self-join, no fingerprint re-join',
+             lambda p: p.count('Join') <= 2),
+        ])
+
+    audit(
+        'k-means final assignment (broadcast-centroid projection)',
+        similarity.kmeans_labels(emb, k=4, iterations=1),
+        [
+            ('no join at all — centroids are inlined literals',
+             lambda p: 'Join' not in p),
+            ('no shuffle in the assignment',
+             lambda p: 'Exchange' not in p),
+        ])
+
     import __spark_entry__ as entrymod
     # AQE may still *choose* a broadcast at this tiny SF; what must not
     # happen is a *forced* hint on the vocabulary-sized df side — check
