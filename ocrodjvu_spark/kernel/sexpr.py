@@ -17,6 +17,8 @@ wrapping.
 
 from __future__ import annotations
 
+import re
+
 from typing import List, Tuple, Union
 
 SValue = Union[str, int, list]
@@ -138,7 +140,13 @@ def _parse_string(text: str, pos: int) -> Tuple[str, int]:
     raise ExpressionSyntaxError('unterminated string')
 
 
+# anything needing escaping: quote, backslash, controls, DEL
+_NEEDS_ESCAPE = re.compile(r'["\\\x00-\x1f\x7f]')
+
+
 def _escape_string(s: str) -> str:
+    if _NEEDS_ESCAPE.search(s) is None:  # hot path: nothing to escape
+        return f'"{s}"'
     out = ['"']
     for ch in s:
         if ch in _PRINT_ESCAPES:
@@ -157,13 +165,26 @@ def print_compact(value: SValue) -> str:
         return _escape_string(value)
     if isinstance(value, int):
         return str(value)
-    parts = []
+    out: List[str] = []
+    _compact_into(value, out)
+    return ''.join(out)
+
+
+def _compact_into(value: SValue, out: List[str]) -> None:
+    # appender walk: one flat string-fragment list for the whole tree
+    # instead of a joined intermediate string per node
+    out.append('(')
     for i, item in enumerate(value):
-        if i == 0 and isinstance(item, str):
-            parts.append(item)  # head symbol, unquoted
+        if i:
+            out.append(' ')
+        if isinstance(item, str):
+            # the head symbol prints unquoted
+            out.append(item if i == 0 else _escape_string(item))
+        elif isinstance(item, int):
+            out.append(str(item))
         else:
-            parts.append(print_compact(item))
-    return '(' + ' '.join(parts) + ')'
+            _compact_into(item, out)
+    out.append(')')
 
 
 def print_pretty(value: SValue, width: int = 80) -> str:
