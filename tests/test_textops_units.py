@@ -171,3 +171,16 @@ def test_kmeans_two_blobs(spark):
     assert set(out.values()) == {0, 1}
     for i in range(12):
         assert out[i] == out[i % 2]
+
+
+def test_language_id_ngram_profiles(spark):
+    docs = _docs(spark, [
+        'the cat and the dog sing along with the band',
+        'der hund und die katze singen ein schoenes lied',
+        'zz qq xx',
+    ])
+    rows = {r.doc_id: r.lang_pred
+            for r in textops.language_id_ngram(docs).collect()}
+    assert rows[0] == 'en'
+    assert rows[1] == 'de'
+    assert rows[2] == 'und'
