@@ -397,6 +397,43 @@ def _q_dedup_conversations(spark, sf_dir):
     )
 
 
+def _q_corpus_split(spark, sf_dir):
+    # deterministic hash-based train/eval split: stable across runs and
+    # engines (rolling text hash mod 100), the standard leakage-free way
+    # to partition a training corpus — no sampling RNG, no driver state
+    docs = T.load_table(spark, sf_dir, 'documents')
+    bucket = textops.rolling_hash(
+        F.regexp_replace(F.trim('text'), r'\s+', ' ')) % 100
+    return docs.select(
+        'doc_id',
+        bucket.cast('int').alias('split_bucket'),
+        F.when(bucket < 80, F.lit('train'))
+         .when(bucket < 90, F.lit('validation'))
+         .otherwise(F.lit('test')).alias('split'))
+
+
+def _q_conversation_packing(spark, sf_dir):
+    # context-window packing: assign each turn to a fixed-budget chunk
+    # by the running token count within its conversation (the sequence
+    # packing step before training-batch assembly). Window is
+    # partitioned by conv_id — no global order, scale-safe.
+    from pyspark.sql import Window
+    budget = 512
+    base = T.load_table(spark, sf_dir, 'documents').select('doc_id', 'text')
+    root = F.floor(F.sqrt(F.col('doc_id'))).cast('long')
+    turns = base.select(
+        F.concat(F.lit('conv-'), root.cast('string')).alias('conv_id'),
+        (F.col('doc_id') - root * root + 1).cast('int').alias('turn_idx'),
+        F.size(T.tokens_col('text')).alias('n_tokens'))
+    w = (Window.partitionBy('conv_id').orderBy('turn_idx')
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum('n_tokens').over(w)
+    return turns.select(
+        'conv_id', 'turn_idx', 'n_tokens',
+        F.floor((cum - F.col('n_tokens')) / budget).cast('int')
+         .alias('chunk_id'))
+
+
 def _q_dedup_exact(spark, sf_dir):
     # exact dedup: hash-groupBy on normalized text (map-side partial agg)
     docs = T.load_table(spark, sf_dir, 'documents')
@@ -686,6 +723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'conversation_reassembly': _q_conversation_reassembly,
         'extraction_metrics': _q_extraction_metrics,
         'dedup_exact': _q_dedup_exact,
+        'corpus_split': _q_corpus_split,
+        'conversation_packing': _q_conversation_packing,
         'dedup_conversations': _q_dedup_conversations,
         'token_stats': _q_token_stats,
         'dedup_minhash_lsh': _q_dedup_minhash_lsh,
@@ -958,6 +997,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dupes
             FROM convs
             GROUP BY 1
+        ''',
+        'corpus_split': f'''
+            WITH h AS (
+                SELECT doc_id,
+                       {_SQL_HASH(_NORM)} % 100 AS b
+                FROM documents
+            )
+            SELECT doc_id, CAST(b AS INTEGER) AS split_bucket,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'validation'
+                        ELSE 'test' END AS split
+            FROM h
+        ''',
+        'conversation_packing': f'''
+            WITH t AS (
+                SELECT {_CONV} AS conv_id, {_TIDX} AS turn_idx,
+                       CAST(len({_TOKS}) AS INTEGER) AS n_tokens
+                FROM documents
+            )
+            SELECT conv_id, turn_idx, n_tokens,
+                   CAST(floor((sum(n_tokens) OVER (
+                            PARTITION BY conv_id ORDER BY turn_idx
+                            ROWS UNBOUNDED PRECEDING) - n_tokens)
+                        / 512.0) AS INTEGER) AS chunk_id
+            FROM t
         ''',
         'dedup_exact': f'''
             SELECT md5({_NORM}) AS text_hash,
