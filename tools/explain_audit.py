@@ -136,6 +136,17 @@ def main():
         ])
 
     import __spark_entry__ as entrymod
+
+    audit(
+        'conversation packing (partition-local window, no global sort)',
+        entrymod.queries()['conversation_packing'](spark, sf_dir),
+        [
+            ('window shuffles on conv_id only (no single-partition '
+             'exchange)',
+             lambda p: 'SinglePartition' not in p),
+            ('exactly one exchange',
+             lambda p: p.count('Exchange hashpartitioning') == 1),
+        ])
     # AQE may still *choose* a broadcast at this tiny SF; what must not
     # happen is a *forced* hint on the vocabulary-sized df side — check
     # the optimized logical plan, where hints print as
