@@ -69,6 +69,55 @@ def _q_turn_filter(spark, sf_dir):
         'conv_id', 'turn_idx', 'extracted_text')
 
 
+def _q_turn_filter_list(spark, sf_dir):
+    # F1 page-list grammar through the gate: '3,7-9' parses to
+    # [3, 7, 8, 9] (kernel/utils.parse_page_numbers, mirroring reference
+    # lib/utils.py:35-53) and drives an isin filter that pushes to the
+    # scan as In(turn_idx, ...). The oracle hardcodes the expanded list,
+    # so the grammar itself is what the hash-compare pins.
+    from ocrodjvu_spark.kernel.utils import parse_page_numbers
+    pages = parse_page_numbers('3,7-9')
+    df = T.synthesize_transcripts(spark, sf_dir)
+    df = df.where(F.col('turn_idx').isin(pages))
+    return pipeline.extract_turns(
+        df, emit_spans=False, emit_sexpr=False).select(
+        'conv_id', 'turn_idx', 'extracted_text')
+
+
+# deterministic invalid-UTF-8 payloads spliced into an extra word span:
+# doc_id%2==0 rows get two bare invalid bytes (2 x U+FFFD), others a
+# truncated 3-byte sequence (ONE U+FFFD — Python's 'replace' handler
+# substitutes maximal subparts, not per byte); both get a control byte
+# 0x01 (sanitized to U+FFFD even though it decodes fine)
+_FIX_UTF8_JUNK_A = b'\xff\xfe'
+_FIX_UTF8_JUNK_B = b'\xe2\x82'
+
+
+def _q_extract_fix_utf8(spark, sf_dir):
+    # S2 sanitizer through the gate: parquet strings are always valid
+    # UTF-8, so the invalid bytes are spliced in BINARY — markup bytes
+    # with a junk word appended — and the whole extraction pipeline runs
+    # over the bytes column with fix_utf8=True (reference
+    # lib/utils.py:83-114 replacement semantics).
+    df = T.synthesize_transcripts(spark, sf_dir)
+    suffix_len = len(T._HOCR_SUFFIX)
+    head = F.expr(f'substring(text, 1, length(text) - {suffix_len})')
+    junk = F.when(F.col('turn_idx') % 2 == 0,
+                  F.lit(_FIX_UTF8_JUNK_A)).otherwise(
+                  F.lit(_FIX_UTF8_JUNK_B))
+    payload = F.concat(
+        F.encode(head, 'UTF-8'),
+        F.lit(b'<span class="ocr_word" title="bbox 5 10 9 60">ab'),
+        junk,
+        F.lit(b'\x01cd</span>'),
+        F.encode(F.lit(T._HOCR_SUFFIX), 'UTF-8'),
+    )
+    df = df.select('conv_id', 'turn_idx', payload.alias('text'))
+    return pipeline.extract_turns(
+        df, fix_utf8=True, emit_spans=False, emit_sexpr=False).select(
+        'conv_id', 'turn_idx', 'extracted_text')
+
+
 def _q_extract_roundtrip(spark, sf_dir):
     # text-layer round trip: extract -> emit hOCR (djvu2hocr semantics)
     # -> extract again; fixed point means the oracle is the same as
@@ -109,6 +158,25 @@ def _q_extract_rotated180(spark, sf_dir):
     # T6 rotation: 180-degree page rotation of every word bbox
     df = T.synthesize_transcripts(spark, sf_dir)
     extracted = pipeline.extract_turns(df, rotation=180, emit_sexpr=False)
+    return pipeline.word_spans(extracted).select(
+        'conv_id', 'turn_idx', 'word_idx', 'word', 'x0', 'y0', 'x1', 'y1')
+
+
+def _q_extract_rotated90(spark, sf_dir):
+    # T6 rotation, odd k: the 90-degree branch swaps the page dims
+    # (reference lib/text_zones.py:162-165; validated by
+    # lib/cli/hocr2djvused.py:52-53) — the grid geometry makes the
+    # transformed bboxes exact integer arithmetic for the oracle
+    df = T.synthesize_transcripts(spark, sf_dir)
+    extracted = pipeline.extract_turns(df, rotation=90, emit_sexpr=False)
+    return pipeline.word_spans(extracted).select(
+        'conv_id', 'turn_idx', 'word_idx', 'word', 'x0', 'y0', 'x1', 'y1')
+
+
+def _q_extract_rotated270(spark, sf_dir):
+    # T6 rotation, odd k (270): the other dims-swapped branch
+    df = T.synthesize_transcripts(spark, sf_dir)
+    extracted = pipeline.extract_turns(df, rotation=270, emit_sexpr=False)
     return pipeline.word_spans(extracted).select(
         'conv_id', 'turn_idx', 'word_idx', 'word', 'x0', 'y0', 'x1', 'y1')
 
@@ -214,6 +282,18 @@ def _q_embedding_neardup_pairs(spark, sf_dir):
     # (deterministic planes — see similarity.neardup_pairs docstring).
     emb = T.load_table(spark, sf_dir, 'embeddings')
     return similarity.neardup_pairs(emb, threshold=0.4)
+
+
+def _q_embedding_neardup_auto(spark, sf_dir):
+    # the formula-sized banding path: auto_banding(0.45, 1e-5) resolves
+    # to 60 bands of 4 planes (per-pair miss <= 1e-5 by the
+    # OR-amplification formula; 0.45 because this corpus's max pairwise
+    # cosine is ~0.54 — a 0.9 gate would be vacuously 0-row); the oracle
+    # is still brute-force all-pairs, so the hash compare verifies the
+    # computed banding's recall on this corpus exhaustively
+    emb = T.load_table(spark, sf_dir, 'embeddings')
+    return similarity.neardup_pairs(
+        emb, threshold=0.45, n_bands='auto', target_miss=1e-5)
 
 
 def _engine_word_spans(df, udf):
@@ -506,11 +586,11 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
 def _q_simhash(spark, sf_dir):
     docs = T.load_table(spark, sf_dir, 'documents')
     return docs.select(
-        'doc_id', textops.simhash32(textops.tokens('text')).alias('simhash'))
+        'doc_id', textops.simhash64(textops.tokens('text')).alias('simhash'))
 
 
 def _q_dedup_simhash_pairs(spark, sf_dir):
-    # SimHash-banded near-dup pairs: byte-band bucket join + Hamming
+    # SimHash-banded near-dup pairs: 16-bit-band bucket join + Hamming
     # verify; recall is EXACT by pigeonhole at max_dist=3 < 4 bands, so
     # the all-pairs SQL oracle is matched without an oracle that mirrors
     # the bucketing
@@ -530,19 +610,22 @@ def _q_tfidf_top_terms(spark, sf_dir):
     terms = docs.select(
         'doc_id', F.explode(T.tokens_col('text')).alias('term'))
     tf = terms.groupBy('doc_id', 'term').agg(F.count('*').alias('tf'))
-    df_ = terms.select('doc_id', 'term').distinct() \
-        .groupBy('term').agg(F.count('*').alias('df'))
-    # the tf |><| df join shuffles on 'term': df_ is vocabulary-sized
-    # (web-scale vocab OOMs a forced broadcast); AQE still picks a
-    # broadcast join at runtime when df_ is actually small
-    scored = (tf.join(df_, 'term')
+    # df derives FROM tf as a window count over the term partition (tf
+    # is already distinct on (doc_id, term), so rows-per-term == df):
+    # the corpus is tokenized ONCE — one scan→explode→groupBy subtree,
+    # no second aggregate and no tf|><|df join. Same shuffle count as
+    # the join form (tf still exchanges on term for the window), one
+    # fewer tokenize pass — the most expensive stage at 100 TB
+    # (plan-audited in PLANS.md: exactly one Generate explode).
+    from pyspark.sql import Window
+    w_term = Window.partitionBy('term')
+    scored = (tf.withColumn('df', F.count('*').over(w_term))
               .crossJoin(F.broadcast(n_docs))
               .select(
                   'doc_id', 'term',
                   F.round(F.col('tf')
                           * F.log(F.col('n_docs') / F.col('df')),
                           6).alias('tfidf')))
-    from pyspark.sql import Window
     w = Window.partitionBy('doc_id').orderBy(
         F.col('tfidf').desc(), F.col('term'))
     return (scored.withColumn('rank', F.row_number().over(w))
@@ -718,6 +801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'extract_sexpr': _q_extract_sexpr,
         'extract_roundtrip': _q_extract_roundtrip,
         'turn_filter': _q_turn_filter,
+        'turn_filter_list': _q_turn_filter_list,
+        'extract_fix_utf8': _q_extract_fix_utf8,
         'error_channel': _q_error_channel,
         'turns_per_conv': _q_turns_per_conv,
         'conversation_reassembly': _q_conversation_reassembly,
@@ -745,11 +830,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'extract_chars': _q_extract_chars,
         'extract_uax29': _q_extract_uax29,
         'extract_rotated180': _q_extract_rotated180,
+        'extract_rotated90': _q_extract_rotated90,
+        'extract_rotated270': _q_extract_rotated270,
         'events_window_agg': _q_events_window_agg,
         'streaming_extraction': _q_streaming_extraction,
         'stateful_conversation_state': _q_stateful_conversation_state,
         'multimodal_features': _q_multimodal_features,
         'embedding_neardup_pairs': _q_embedding_neardup_pairs,
+        'embedding_neardup_auto': _q_embedding_neardup_auto,
         'extract_orf': _q_extract_orf,
         'extract_gocr': _q_extract_gocr,
         'extract_cuneiform08': _q_extract_cuneiform08,
@@ -827,13 +915,22 @@ docs AS (
     FROM documents WHERE doc_id % 17 = 0
 )'''
 
-# per-bit majority vote over token hashes -> 32-bit fingerprint
-# (mirrors textops.simhash32; operates on a CTE exposing hs)
+# per-bit majority vote over token hashes -> 64-bit fingerprint
+# (mirrors textops.simhash64; operates on a CTE exposing hs). A token's
+# 64 bit votes come from three derived 31-bit words: h itself (bits
+# 0..30), (h*48271+11)%p (31..61), (h*69621+7)%p (62..63) — the SIMHASH_W1/
+# SIMHASH_W2 constants. Bit 63's weight is BIGINT min so the DuckDB value
+# is bit-identical to Spark's signed long; list_sum returns HUGEINT,
+# hence the outer CAST.
 _SQL_SIMHASH = (
-    'CAST(list_sum(list_transform(range(0, 32), j -> '
+    'CAST(list_sum(list_transform(range(0, 64), j -> '
     'CASE WHEN list_sum(list_transform(hs, h -> '
-    'CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 '
-    'THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END'
+    'CASE WHEN (CASE WHEN j < 31 THEN (h >> j) '
+    'WHEN j < 62 THEN (((h * 48271 + 11) % 2147483647) >> (j - 31)) '
+    'ELSE (((h * 69621 + 7) % 2147483647) >> (j - 62)) END) & 1 = 1 '
+    'THEN 1 ELSE -1 END)) > 0 '
+    'THEN (CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS BIGINT) '
+    'ELSE (CAST(1 AS BIGINT) << j) END) ELSE CAST(0 AS BIGINT) END'
     ')) AS BIGINT)'
 )
 
@@ -959,6 +1056,27 @@ def oracle_sql() -> dict[str, str]:
                    {_NORM} AS extracted_text
             FROM documents
             WHERE {_TIDX} BETWEEN 2 AND 5
+        ''',
+        # the hardcoded expansion of '3,7-9' — the Spark side runs the
+        # page-list grammar, so a grammar bug shows as a rows mismatch
+        'turn_filter_list': f'''
+            SELECT {_CONV} AS conv_id, {_TIDX} AS turn_idx,
+                   {_NORM} AS extracted_text
+            FROM documents
+            WHERE {_TIDX} IN (3, 7, 8, 9)
+        ''',
+        # sanitizer semantics spelled out: 2 bare invalid bytes -> 2
+        # replacement chars, a truncated 3-byte sequence -> ONE (maximal
+        # subpart), control 0x01 -> one; appended as an extra ' ab...cd'
+        # word token
+        'extract_fix_utf8': f'''
+            SELECT {_CONV} AS conv_id, {_TIDX} AS turn_idx,
+                   {_NORM} || ' ab' ||
+                   CASE WHEN {_TIDX} % 2 = 0
+                        THEN chr(65533) || chr(65533)
+                        ELSE chr(65533) END ||
+                   chr(65533) || 'cd' AS extracted_text
+            FROM documents
         ''',
         'turns_per_conv': f'''
             SELECT {_CONV} AS conv_id,
@@ -1308,6 +1426,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(60 AS INTEGER) AS y1
             FROM words
         ''',
+        # odd-k rotations: hOCR word box (10+100i, 10, 100+100i, 60) on a
+        # (W=100n+100, H=1000) page maps through _InverseRotation —
+        # k=1: (x,y)->(H-y, W-x); k=3: (x,y)->(y, x) — then corner-sorts
+        'extract_rotated90': _WORDS_CTE + '''
+            SELECT conv_id, turn_idx, word_idx, word,
+                   CAST(940 AS INTEGER) AS x0,
+                   CAST(100 * (n_words - word_idx) AS INTEGER) AS y0,
+                   CAST(990 AS INTEGER) AS x1,
+                   CAST(100 * (n_words - word_idx) + 90 AS INTEGER) AS y1
+            FROM words
+        ''',
+        'extract_rotated270': _WORDS_CTE + '''
+            SELECT conv_id, turn_idx, word_idx, word,
+                   CAST(10 AS INTEGER) AS x0,
+                   CAST(10 + 100 * word_idx AS INTEGER) AS y0,
+                   CAST(60 AS INTEGER) AS x1,
+                   CAST(100 + 100 * word_idx AS INTEGER) AS y1
+            FROM words
+        ''',
         'streaming_extraction': f'''
             SELECT {_CONV} AS conv_id, {_TIDX} AS turn_idx,
                    {_NORM} AS extracted_text
@@ -1353,6 +1490,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM n a JOIN n b ON a.vec_id < b.vec_id
             )
             SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.4
+        ''',
+        'embedding_neardup_auto': f'''
+            WITH {_SQL_EMB},
+            pairs AS (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       round(list_sum(list_transform(range(1, len(a.v) + 1),
+                                 i -> a.v[i] * b.v[i]))
+                             / (a.nrm * b.nrm), 6) AS cos_sim
+                FROM n a JOIN n b ON a.vec_id < b.vec_id
+            )
+            SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.45
         ''',
         'djvused_script': f'''
             SELECT {_CONV} AS conv_id, {_TIDX} AS turn_idx,

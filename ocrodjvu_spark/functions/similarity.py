@@ -16,6 +16,8 @@ oracle computes the same fold).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -195,10 +197,49 @@ def banded_buckets(vec: Column, n_bands: int, band_size: int,
     return F.array(*keys)
 
 
+def auto_banding(threshold: float, target_miss: float = 1e-4,
+                 max_band_size: int = 8,
+                 max_bands: int = 64) -> tuple[int, int]:
+    """(n_bands, band_size) meeting a per-pair miss-probability target.
+
+    Sign-LSH OR-amplification: a pair at cosine s agrees with one plane
+    with p1 = 1 - arccos(s)/pi, collides per band with p1^band_size, and
+    is missed entirely with (1 - p1^band_size)^n_bands — so
+    n_bands = ceil(ln(target_miss) / ln(1 - p1^band_size)).
+
+    band_size is the precision knob (false-candidate rate per band is
+    ~2^-band_size for unrelated pairs): the largest value in
+    1..max_band_size whose required n_bands stays within ``max_bands``
+    is chosen, so higher thresholds automatically get more selective
+    bands (0.9/1e-5 -> 34 bands of 8) while low thresholds fall back to
+    shallow bands (0.4/1e-4 -> 54 bands of 4) where sign-LSH has little
+    gap to work with.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f'threshold must be in (0, 1), got {threshold}')
+    if not 0.0 < target_miss < 1.0:
+        raise ValueError(
+            f'target_miss must be in (0, 1), got {target_miss}')
+    p1 = 1.0 - math.acos(threshold) / math.pi
+    for band_size in range(max_band_size, 0, -1):
+        p_band = p1 ** band_size
+        if p_band >= 1.0:
+            return 1, band_size
+        n_bands = math.ceil(math.log(target_miss) / math.log(1.0 - p_band))
+        if n_bands <= max_bands:
+            return n_bands, band_size
+    # even single-plane bands need more than max_bands: recall target is
+    # unreachable under the cap — surface that instead of silently
+    # degrading
+    raise ValueError(
+        f'no banding within max_bands={max_bands} reaches '
+        f'miss<={target_miss} at threshold={threshold}')
+
+
 def neardup_pairs(embeddings: DataFrame, threshold: float = 0.4,
                   id_col: str = 'vec_id', vec_col: str = 'embedding',
-                  n_bands: int = 16, band_size: int = 2,
-                  dim: int = 64) -> DataFrame:
+                  n_bands=16, band_size: int = 2,
+                  dim: int = 64, target_miss: float = 1e-4) -> DataFrame:
     """Embedding near-duplicate pairs: banded sign-LSH + exact verify.
 
     Scale shape (same as ``minhash_dedup_pairs``): candidates come from a
@@ -217,7 +258,12 @@ def neardup_pairs(embeddings: DataFrame, threshold: float = 0.4,
     real near-dup thresholds (>= 0.9) the same banding prunes
     ~2^band_size per band. Output matches the brute-force all-pairs semantics:
     (vec_a, vec_b, cos_sim) with vec_a < vec_b and cos_sim >= threshold.
+
+    ``n_bands='auto'`` sizes the banding from (threshold, target_miss)
+    via ``auto_banding`` instead of the explicit 16x2 default.
     """
+    if n_bands == 'auto':
+        n_bands, band_size = auto_banding(threshold, target_miss)
     corpus = _prep(embeddings, id_col, vec_col)
     bands = corpus.select(
         F.col(id_col),

@@ -9,7 +9,7 @@ Operators:
 * word shingles + rolling hash (the shared primitive)
 * MinHash signatures + LSH banding -> candidate pairs -> exact-Jaccard
   verification (near-duplicate detection at scale)
-* SimHash (32-bit) fingerprints
+* SimHash (64-bit, Manku WWW'07) fingerprints + banded near-dup pairs
 * n-gram Jaccard similarity pairs (exact, shingle-join)
 * bottom-k document fingerprint
 * language ID (stopword-hit heuristic)
@@ -153,22 +153,63 @@ def minhash_band_table(sig: DataFrame, id_col='doc_id',
     return sig.select(id_col, F.explode(bands).alias('band'))
 
 
-def simhash32(tokens_col: Column) -> Column:
-    """32-bit SimHash over token rolling hashes (+1/-1 bit votes).
+# Multipliers deriving the 2nd/3rd 31-bit words of a token's 64-bit
+# SimHash key from its rolling hash (classic LCG multipliers; any odd
+# constants coprime with the modulus work — mirrored in the oracle SQL).
+SIMHASH_W1 = (48271, 11)
+SIMHASH_W2 = (69621, 7)
+SIMHASH_BITS = 64
+
+
+def _token_bit64(h: Column, j: int) -> Column:
+    """Bit j (0..63) of a token's 64-bit SimHash key.
+
+    ``rolling_hash`` yields 31 usable bits, so the 64-bit key is pieced
+    from three derived words: bits 0..30 from h itself, 31..61 from
+    (h*48271+11) mod p, 62..63 from (h*69621+7) mod p. The derived-word
+    expressions are rebuilt per bit (Catalyst does no CSE inside lambda
+    bodies) but each is just mul+add+mod — noise next to the O(64) vote
+    fold they feed.
+    """
+    if j < 31:
+        src, k = h, j
+    elif j < 62:
+        src = (h * SIMHASH_W1[0] + SIMHASH_W1[1]) % HASH_MOD
+        k = j - 31
+    else:
+        src = (h * SIMHASH_W2[0] + SIMHASH_W2[1]) % HASH_MOD
+        k = j - 62
+    return F.shiftright(src, k) % 2
+
+
+def simhash64(tokens_col: Column) -> Column:
+    """64-bit SimHash over token rolling hashes (+1/-1 bit votes).
+
+    Manku et al. (WWW'07) fingerprint width: 64 bits split into 4
+    16-bit bands gives 2^16 bucket keys per band (the 32-bit/8-bit
+    variant capped band parallelism at 256 keys — a quadratic blowup at
+    web scale). Bit 63's weight is -(2^63) so the fingerprint occupies
+    the full signed-long range exactly as DuckDB's BIGINT does; Hamming
+    distance via ``bit_count(a XOR b)`` is sign-agnostic.
 
     The bit-vote fold and the final bits->long reduction both live in a
     single ``F.aggregate`` (the reduction as its *finish* lambda, where
     the vote array is a bound lambda variable evaluated once) — Catalyst
     performs no CSE for lambda expressions, so referencing the vote
-    aggregate 32 times in a projection would recompute the whole
-    O(tokens*32) fold once per output bit.
+    aggregate 64 times in a projection would recompute the whole
+    O(tokens*64) fold once per output bit.
     """
     token_hashes = F.transform(tokens_col, lambda t: rolling_hash(t))
-    weights = F.array(*[F.lit(1 << j).cast('long') for j in range(32)])
+    weights = F.array(
+        *[F.lit(1 << j).cast('long') for j in range(63)],
+        F.lit(-(1 << 63)).cast('long'))
     return F.aggregate(
         token_hashes,
-        F.array_repeat(F.lit(0).cast('long'), 32),
+        F.array_repeat(F.lit(0).cast('long'), SIMHASH_BITS),
         lambda acc, h: _zip_votes(acc, h),
+        # positive weights fold first, so the running sum peaks at
+        # 2^63-1 before bit 63's negative weight lands — no ANSI-mode
+        # long overflow
         lambda votes: F.aggregate(
             F.zip_with(votes, weights,
                        lambda v, w: F.when(v > 0, w)
@@ -181,48 +222,75 @@ def simhash32(tokens_col: Column) -> Column:
 
 def _zip_votes(acc: Column, h: Column) -> Column:
     bits = F.array(*[
-        F.when(F.shiftright(h, j) % 2 == 1, F.lit(1).cast('long'))
+        F.when(_token_bit64(h, j) == 1, F.lit(1).cast('long'))
          .otherwise(F.lit(-1).cast('long'))
-        for j in range(32)
+        for j in range(SIMHASH_BITS)
     ])
     return F.zip_with(acc, bits, lambda a, b: a + b)
 
 
-def simhash_neardup_pairs(docs: DataFrame, max_dist: int = 3,
-                          id_col='doc_id', text_col='text',
-                          n_bands: int = 4) -> DataFrame:
-    """SimHash near-duplicate pairs via banded bucket join + Hamming verify.
-
-    The 32-bit SimHash splits into ``n_bands`` byte bands; candidate
-    pairs share at least one identical band (an equi-join on the band
-    key — never a cross join), then the exact Hamming distance filters
-    to ``max_dist``. With ``max_dist < n_bands`` recall is EXACT by
-    pigeonhole: fewer differing bits than bands means some band is
-    untouched, so every qualifying pair collides somewhere. The default
-    (3 < 4) keeps that guarantee; raising max_dist to n_bands or beyond
-    turns the operator into an approximation.
-
-    Output: (doc_a, doc_b, hamming_dist) with doc_a < doc_b.
-    """
-    if n_bands not in (1, 2, 4, 8, 16, 32):
-        raise ValueError(
-            f'n_bands must be a divisor of 32 (got {n_bands})')
-    band_bits = 32 // n_bands
+def _simhash_band_table(docs: DataFrame, id_col: str,
+                        text_col: str, n_bands: int) -> DataFrame:
+    """(id, sim, band) rows: one per 16-bit band key of the 64-bit
+    fingerprint. Arithmetic shiftright + mask extracts the band
+    correctly for negative fingerprints (the mask kills the
+    sign-extension bits)."""
+    band_bits = SIMHASH_BITS // n_bands
     mask = (1 << band_bits) - 1
     sims = docs.select(
-        F.col(id_col), simhash32(tokens(text_col)).alias('sim'))
+        F.col(id_col), simhash64(tokens(text_col)).alias('sim'))
     band_keys = F.array(*[
         F.concat(F.lit(f'{b}:'),
                  (F.shiftright(F.col('sim'), b * band_bits)
                   .bitwiseAND(F.lit(mask))).cast('string'))
         for b in range(n_bands)
     ])
+    return sims.select(F.col(id_col), 'sim',
+                       F.explode(band_keys).alias('band'))
+
+
+def simhash_neardup_pairs(docs: DataFrame, max_dist: int = 3,
+                          id_col='doc_id', text_col='text',
+                          n_bands: int = 4,
+                          max_bucket_size: Optional[int] = None
+                          ) -> DataFrame:
+    """SimHash near-duplicate pairs via banded bucket join + Hamming verify.
+
+    The 64-bit SimHash splits into ``n_bands`` bands (default 4 x 16
+    bits = 65,536 distinct keys per band, so band-join parallelism
+    scales with the cluster instead of capping at the key count);
+    candidate pairs share at least one identical band (an equi-join on
+    the band key — never a cross join), then the exact Hamming distance
+    filters to ``max_dist``. With ``max_dist < n_bands`` recall is
+    EXACT by pigeonhole: fewer differing bits than bands means some
+    band is untouched, so every qualifying pair collides somewhere. The
+    default (3 < 4) keeps that guarantee; raising max_dist to n_bands
+    or beyond turns the operator into an approximation.
+
+    ``max_bucket_size`` (skew guard, same contract as
+    ``minhash_dedup_pairs``): a band bucket holding k near-identical
+    fingerprints produces k^2/2 candidate rows; with the cap set,
+    buckets larger than ``max_bucket_size`` are excluded from candidate
+    generation (their members belong to exact/near-exact dedup
+    upstream); ``oversized_simhash_buckets`` logs what was dropped.
+    Default None = exact (what the oracle checks at small SF).
+
+    Output: (doc_a, doc_b, hamming_dist) with doc_a < doc_b.
+    """
+    if n_bands not in (1, 2, 4, 8, 16, 32, 64):
+        raise ValueError(
+            f'n_bands must be a divisor of 64 (got {n_bands})')
     # the band rows CARRY the fingerprint, so the verify step needs no
-    # extra joins back to sims and the O(tokens*32) SimHash fold runs in
+    # extra joins back to sims and the O(tokens*64) SimHash fold runs in
     # one plan subtree (the band self-join's two sides are the identical
     # exchange, which Spark reuses)
-    bands = sims.select(F.col(id_col), 'sim',
-                        F.explode(band_keys).alias('band'))
+    bands = _simhash_band_table(docs, id_col, text_col, n_bands)
+    if max_bucket_size is not None:
+        small = (bands.groupBy('band')
+                 .agg(F.count('*').alias('_bsz'))
+                 .where(F.col('_bsz') <= max_bucket_size)
+                 .select('band'))
+        bands = bands.join(small, 'band')
     a = bands.alias('a')
     b = bands.alias('b')
     return (
@@ -235,6 +303,17 @@ def simhash_neardup_pairs(docs: DataFrame, max_dist: int = 3,
         .where(F.col('hamming_dist') <= max_dist)
         .distinct()
     )
+
+
+def oversized_simhash_buckets(docs: DataFrame, max_bucket_size: int,
+                              id_col='doc_id', text_col='text',
+                              n_bands: int = 4) -> DataFrame:
+    """(band, n_docs) for SimHash band buckets above the cap —
+    observability hook for what
+    ``simhash_neardup_pairs(max_bucket_size=...)`` drops."""
+    return (_simhash_band_table(docs, id_col, text_col, n_bands)
+            .groupBy('band').agg(F.count('*').alias('n_docs'))
+            .where(F.col('n_docs') > max_bucket_size))
 
 
 def doc_shingle_table(docs: DataFrame, id_col='doc_id', text_col='text',

@@ -54,11 +54,11 @@ def test_simhash_similar_docs_close(spark):
     ])
     rows = {r.doc_id: r.simhash for r in docs.select(
         'doc_id',
-        textops.simhash32(textops.tokens('text')).alias('simhash'),
+        textops.simhash64(textops.tokens('text')).alias('simhash'),
     ).collect()}
 
     def hamming(a, b):
-        return bin(a ^ b).count('1')
+        return bin((a ^ b) & (2**64 - 1)).count('1')
 
     assert hamming(rows[0], rows[1]) < hamming(rows[0], rows[2])
 
@@ -145,13 +145,97 @@ def test_simhash_pairs_banding_is_exact(spark):
            for r in textops.simhash_neardup_pairs(docs).collect()}
     sims = {r.doc_id: r.simhash for r in docs.select(
         'doc_id',
-        textops.simhash32(textops.tokens('text')).alias('simhash'))
+        textops.simhash64(textops.tokens('text')).alias('simhash'))
         .collect()}
-    brute = {(a, b): bin(sims[a] ^ sims[b]).count('1')
+
+    def hamming(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count('1')
+
+    brute = {(a, b): hamming(sims[a], sims[b])
              for a in sims for b in sims if a < b
-             if bin(sims[a] ^ sims[b]).count('1') <= 3}
+             if hamming(sims[a], sims[b]) <= 3}
     assert got == brute
     assert got[(0, 1)] == 0
+
+
+def test_simhash_band_key_cardinality_and_width(spark):
+    # the scale property the 32-bit variant lacked: 64-bit fingerprint,
+    # 4 bands x 16 bits -> 65,536 possible keys per band (not 256)
+    assert textops.SIMHASH_BITS == 64
+    band_bits = textops.SIMHASH_BITS // 4
+    assert 2 ** band_bits == 65536
+    # fingerprints actually use the full width: across a modest corpus
+    # the top 32 bits must not be constant (they were all-zero in the
+    # 32-bit implementation)
+    docs = _docs(spark, [f'word{i} alpha beta gamma text number {i}'
+                         for i in range(20)])
+    sims = [r.s for r in docs.select(
+        textops.simhash64(textops.tokens('text')).alias('s')).collect()]
+    high_halves = {(s >> 32) & 0xFFFFFFFF for s in sims}
+    assert len(high_halves) > 1
+
+
+def test_simhash_bucket_cap_bounds_hot_buckets(spark):
+    # mirror of the minhash cap test: 1000 identical docs share every
+    # band bucket; with the cap those buckets are excluded while a
+    # distinct near-dup pair in its own small buckets survives
+    base = 'alpha beta gamma delta epsilon zeta eta theta iota kappa'
+    rows = [(i, 'spam spam wonderful spam lovely spam baked beans spam')
+            for i in range(1000)]
+    rows += [(5000, base), (5001, base + ' tail')]
+    docs = spark.createDataFrame(rows, 'doc_id long, text string')
+    pairs = {(r.doc_a, r.doc_b)
+             for r in textops.simhash_neardup_pairs(
+                 docs, max_dist=3, max_bucket_size=32).collect()}
+    assert all(a >= 5000 for a, _ in pairs)  # hot bucket fully dropped
+    oversized = textops.oversized_simhash_buckets(
+        docs, max_bucket_size=32).collect()
+    assert len(oversized) == 4  # all 4 bands of the identical docs
+    assert all(r.n_docs == 1000 for r in oversized)
+
+
+def test_auto_banding_meets_miss_target():
+    import math
+
+    from ocrodjvu_spark.functions.similarity import auto_banding
+    # the VERDICT-r2 acceptance case: at threshold 0.9 the computed
+    # banding must push per-pair miss probability under 1e-5
+    n_bands, band_size = auto_banding(0.9, target_miss=1e-5)
+    p1 = 1 - math.acos(0.9) / math.pi
+    miss = (1 - p1 ** band_size) ** n_bands
+    assert miss <= 1e-5
+    assert n_bands <= 64 and 1 <= band_size <= 8
+    # higher threshold -> deeper/cheaper banding than lower threshold
+    nb_hi, bs_hi = auto_banding(0.99, target_miss=1e-5)
+    assert bs_hi >= band_size or nb_hi < n_bands
+    # degenerate inputs are rejected, not silently mis-sized
+    import pytest
+    with pytest.raises(ValueError):
+        auto_banding(1.5)
+    with pytest.raises(ValueError):
+        auto_banding(0.9, target_miss=0.0)
+
+
+def test_neardup_auto_banding_finds_planted_pair(spark):
+    from ocrodjvu_spark.functions import similarity
+    # two nearly-identical vectors (cos ~0.999) plus unrelated noise:
+    # the auto-sized banding at 0.9/1e-5 must surface the planted pair
+    import math
+    rows = []
+    base = [math.sin(0.7 * i) for i in range(64)]
+    rows.append((0, [float(x) for x in base]))
+    rows.append((1, [float(x * 1.001 + (0.001 if i == 3 else 0))
+                     for i, x in enumerate(base)]))
+    for j in range(2, 12):
+        rows.append((j, [float(math.sin(97.0 * j + 3.1 * i))
+                         for i in range(64)]))
+    emb = spark.createDataFrame(
+        rows, 'vec_id long, embedding array<float>')
+    pairs = {(r.vec_a, r.vec_b)
+             for r in similarity.neardup_pairs(
+                 emb, threshold=0.9, n_bands='auto',
+                 target_miss=1e-5).collect()}
+    assert (0, 1) in pairs
 
 
 def test_kmeans_two_blobs(spark):

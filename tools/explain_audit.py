@@ -70,6 +70,16 @@ def main():
              lambda p: p.count('ArrowEvalPython') == 1),
         ])
 
+    from ocrodjvu_spark.kernel.utils import parse_page_numbers
+    audit(
+        'turn_filter_list (page-list grammar pushes as In)',
+        tr.where(F.col('turn_idx').isin(parse_page_numbers('17,37-42')))
+          .select('conv_id', 'turn_idx'),
+        [
+            ("'17,37-42' expands to an In(turn_idx, ...) pushed filter",
+             lambda p: 'In(turn_idx' in p),
+        ])
+
     audit(
         'conversation reassembly (single partial-aggregated shuffle)',
         pipeline.reassemble_conversations(
@@ -123,6 +133,9 @@ def main():
              and 'BroadcastNestedLoopJoin' not in p),
             ('single band self-join, no fingerprint re-join',
              lambda p: p.count('Join') <= 2),
+            ('16-bit band keys: mask 65535 in the band projection '
+             '(2^16 bucket keys per band, not 256)',
+             lambda p: p.count('65535') >= 4),
         ])
 
     audit(
@@ -147,24 +160,25 @@ def main():
             ('exactly one exchange',
              lambda p: p.count('Exchange hashpartitioning') == 1),
         ])
-    # AQE may still *choose* a broadcast at this tiny SF; what must not
-    # happen is a *forced* hint on the vocabulary-sized df side — check
-    # the optimized logical plan, where hints print as
-    # 'Join ..., xxxHint=(strategy=broadcast)'.
+    # df comes from a window count over tf's term partition, so there is
+    # no tf|><|df join to mis-broadcast; the only join left is the 1-row
+    # n_docs cross join (hinted broadcast, which is correct). Hints
+    # print in the optimized logical plan as 'strategy=broadcast'.
     tfidf_df = entrymod.queries()['tfidf_top_terms'](spark, sf_dir)
     tfidf_opt = tfidf_df._jdf.queryExecution().optimizedPlan().toString()
-    term_join_lines = [
-        ln for ln in tfidf_opt.splitlines()
-        if 'Join Inner' in ln and 'term#' in ln]
     checks.append((
         'tfidf top terms',
-        'tf-df join on term carries no broadcast hint',
-        bool(term_join_lines)
-        and all('strategy=broadcast' not in ln for ln in term_join_lines)))
+        'no tf-df join: df is a window count over the term partition',
+        not any('Join Inner' in ln and 'term#' in ln
+                for ln in tfidf_opt.splitlines())))
     checks.append((
         'tfidf top terms',
         'only the 1-row n_docs cross join is broadcast-hinted',
         tfidf_opt.count('strategy=broadcast') == 1))
+    checks.append((
+        'tfidf top terms',
+        'corpus tokenized once (exactly one Generate explode)',
+        tfidf_opt.count('Generate explode') == 1))
     sections.append(('tfidf top terms (optimized logical plan)',
                      tfidf_opt, []))
 
