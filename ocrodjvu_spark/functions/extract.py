@@ -106,7 +106,7 @@ def extract_one(
             'spans': flatten_zone(zone) if emit_spans else None,
             'extracted_text': zone_text(zone),
             'extracted_sexpr': (
-                sexpr.print_compact(zone.sexpr()) if emit_sexpr else None),
+                zone.compact_sexpr() if emit_sexpr else None),
         })
     return {
         'pages': pages,

@@ -277,6 +277,14 @@ class _Mix:
     __slots__ = ('text', 'visible_text', 'chars', 'nonchars')
 
     def __init__(self, items):
+        if len(items) == 1 and isinstance(items[0], str):
+            # dominant case: a word/char element contributing one text
+            # fragment — skip the generic loop
+            it = items[0]
+            self.text = True
+            self.visible_text = bool(it) and not it.isspace()
+            self.chars = self.nonchars = False
+            return
         self.text = self.visible_text = False
         self.chars = self.nonchars = False
         for it in items:
@@ -321,7 +329,11 @@ class _Scanner:
             return []
         title = node.get('title') or ''
         m = _BOX_RE.search(title)
-        box = BBox(*(int(g) for g in m.groups())) if m else BBox()
+        if m:
+            g = m.groups()
+            box = BBox(int(g[0]), int(g[1]), int(g[2]), int(g[3]))
+        else:
+            box = BBox()
         kind = self._kind_of(node, box)
         if not kind:
             return self._splice(node, page_size)

@@ -124,13 +124,20 @@ class _TreeBuilder(html.parser.HTMLParser):
             self._stack = [self.root, elem]
             return
         elem = ET.Element(tag)
-        for k, v in attrs:
-            if k and elem.get(k.lower()) is None:
-                elem.set(k.lower(), v if v is not None else '')
+        if attrs:
+            # both tokenizers hand over lowercased attr names
+            # (html.parser lowercases them itself; _fast_feed lowers in
+            # the attr loop), so write the attrib dict directly —
+            # first-wins like get/set did
+            attrib = elem.attrib
+            for k, v in attrs:
+                if k and k not in attrib:
+                    attrib[k] = v if v is not None else ''
         self._ensure_container(tag)
-        self._append(elem)
+        stack = self._stack
+        stack[-1].append(elem)
         if tag not in VOID_ELEMENTS:
-            self._stack.append(elem)
+            stack.append(elem)
 
     def _ensure_container(self, tag: str):
         """Put stray content under head or body like a recovering parser."""
@@ -188,6 +195,17 @@ _ATTR_RE = re.compile(
     r'\s*([^\s=/>]+)(?:\s*=\s*("[^"]*"|\'[^\']*\'|[^\s>]*))?')
 _SCRIPT_END_RE = re.compile(r'</script', re.IGNORECASE)
 
+# one-shot start-tag matcher for the common well-formed case: name +
+# attribute run + optional '/'. The attr sub-grammar only admits quoted
+# values WITHOUT '<'/'>' inside and unquoted values without quotes, so a
+# hit is guaranteed to agree with the careful _find_tag_end scan; every
+# miss (stray quotes, angle brackets in values, end tags, comments)
+# falls through to the character-exact path below.
+_STARTTAG_RE = re.compile(
+    r'<([a-zA-Z][-a-zA-Z0-9:._]*)'
+    r'((?:\s+[^\s=/>]+(?:\s*=\s*(?:"[^"<>]*"|\'[^\'<>]*\'|[^\s>"\']*))?)*'
+    r'\s*)(/?)>')
+
 
 def _find_tag_end(text: str, pos: int) -> int:
     """Index of the tag-closing '>' from ``pos``, or -1 if unterminated.
@@ -232,6 +250,41 @@ def _fast_feed(builder: '_TreeBuilder', text: str) -> None:
         if lt > pos:
             chunk = text[pos:lt]
             builder.handle_data(unescape(chunk) if '&' in chunk else chunk)
+        m = _STARTTAG_RE.match(text, lt)
+        if m is not None:
+            # fast path: whole start tag recognized in one C-side match
+            name = m.group(1)
+            if not name.islower():
+                name = name.lower()
+            attr_text = m.group(2)
+            attrs = []
+            if attr_text and not attr_text.isspace():
+                for am in _ATTR_RE.finditer(attr_text):
+                    k = am.group(1)
+                    v = am.group(2)
+                    if v is None:
+                        v = ''
+                    elif v[:1] in ('"', "'") and v[-1:] == v[:1]:
+                        v = v[1:-1]
+                    if '&' in v:
+                        v = unescape(v)
+                    attrs.append((k.lower(), v))
+            if m.group(3):
+                builder.handle_startendtag(name, attrs)
+            else:
+                builder.handle_starttag(name, attrs)
+            pos = m.end()
+            if name == 'script' and not m.group(3):
+                sm = _SCRIPT_END_RE.search(text, pos)
+                if sm is None:
+                    builder.handle_data(text[pos:])
+                    builder.handle_endtag('script')
+                    break
+                builder.handle_data(text[pos:sm.start()])
+                gt = text.find('>', sm.end())
+                builder.handle_endtag('script')
+                pos = n if gt < 0 else gt + 1
+            continue
         nxt = text[lt + 1] if lt + 1 < n else ''
         if nxt == '!' or nxt == '?':
             if text.startswith('<!--', lt):

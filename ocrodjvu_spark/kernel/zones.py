@@ -161,6 +161,42 @@ class Zone:
             y1 += 1
         return [ZONE_NAME[self.type], x0, y0, x1, y1] + children
 
+    def compact_sexpr(self) -> str:
+        """Single-line serialization, identical to
+        ``sexpr.print_compact(self.sexpr())`` (pinned by
+        tests/test_kernel_units.py::test_compact_sexpr_equivalence) but
+        walking the zone tree directly — the nested-list intermediate
+        that ``sexpr()`` builds is pure allocation overhead on the
+        extraction hot path."""
+        out: List[str] = []
+        self._compact_into(out)
+        return ''.join(out)
+
+    def _compact_into(self, out: List[str]) -> None:
+        from . import sexpr as _sexpr
+        x0, y0, x1, y1 = self._bbox
+        if x0 > x1:
+            x0, x1 = x1, x0
+        elif x0 == x1:
+            x1 += 1
+        if y0 > y1:
+            y0, y1 = y1, y0
+        elif y0 == y1:
+            y1 += 1
+        out.append(f'({ZONE_NAME[self.type]} {x0} {y0} {x1} {y1}')
+        children = self.children
+        if children:
+            escape = _sexpr._escape_string
+            for child in children:
+                out.append(' ')
+                if isinstance(child, Zone):
+                    child._compact_into(out)
+                else:
+                    out.append(escape(child))
+        else:
+            out.append(' ""')  # sexpr() emits one empty-string leaf
+        out.append(')')
+
     def rotate(self, rotation: int, xform=None):
         """Transform hOCR top-left coords to DjVu bottom-left, rotated.
 

@@ -294,3 +294,31 @@ def test_tesseract_language_tables():
         tesseract_user_to_engine('osd', inventory)
     with pytest.raises(LookupError):
         tesseract_user_to_engine('tlh', inventory)
+
+
+def test_compact_sexpr_equivalence():
+    # the direct zone-tree walk must serialize byte-identically to the
+    # nested-list path across the whole reference corpus (including
+    # degenerate/inverted boxes and empty zones)
+    import glob
+
+    from ocrodjvu_spark.kernel import hocr
+    paths = sorted(glob.glob('/root/reference/tests/hocr2djvused/*.html'))
+    assert paths
+    n_zones = 0
+    for path in paths:
+        data = open(path, 'rb').read()
+        try:
+            zones = hocr.extract_zones(data)
+        except Exception:
+            continue  # malformed fixtures raise in both paths alike
+        for z in zones:
+            assert z.compact_sexpr() == sexpr.print_compact(z.sexpr())
+            n_zones += 1
+    assert n_zones > 0
+    # synthetic edge cases: inverted and degenerate boxes, empty zone
+    z = Zone(type=5, bbox=(10, 20, 10, 5))  # x0==x1 widen, y inverted
+    assert z.compact_sexpr() == sexpr.print_compact(z.sexpr())
+    z2 = Zone(type=1, bbox=(3, 3, 3, 3), children=[
+        Zone(type=5, bbox=(9, 9, 1, 1), children=['a "b"\\'])])
+    assert z2.compact_sexpr() == sexpr.print_compact(z2.sexpr())
