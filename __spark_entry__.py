@@ -361,6 +361,13 @@ def _q_extract_ocropus_surplus(spark, sf_dir):
 UAX29_SUFFIX = ' rabbit-hole u.s. 3.14 over-the-top'
 UAX29_SUFFIX_SEGMENTED = ' rabbit - hole u.s . 3.14 over - the - top'
 
+# CLDR-root colon tailoring (W2 locale hook): ICU's en-US-POSIX drops
+# COLON from MidLetter, so 's:t' splits — the untailored UCD rules
+# (where colon IS MidLetter per WordBreakProperty.txt) would keep 's:t'
+# whole and hash-mismatch this gate
+UAX29_COLON_SUFFIX = ' s:t c:a'
+UAX29_COLON_SEGMENTED = ' s : t c : a'
+
 
 def _q_extract_uax29_segmentation(spark, sf_dir):
     # W2 distinguishing check: hyphens/abbreviation dots split under
@@ -373,6 +380,23 @@ def _q_extract_uax29_segmentation(spark, sf_dir):
         'doc_id',
         T.hocr_markup_col(
             T.tokens_col(F.concat('text', F.lit(UAX29_SUFFIX))))
+         .alias('text'))
+    udf = make_extract_udf(uax29=True, emit_spans=False, emit_sexpr=False)
+    res = suffixed.select('doc_id', udf(F.col('text')).alias('_r'))
+    return res.select(
+        'doc_id',
+        F.element_at('_r.pages', 1)['extracted_text']
+         .alias('extracted_text'))
+
+
+def _q_extract_uax29_colon(spark, sf_dir):
+    # W2 CLDR-locale tailoring through the gate (see UAX29_COLON_SUFFIX)
+    from ocrodjvu_spark.functions.extract import make_extract_udf
+    docs = T.load_table(spark, sf_dir, 'documents').select('doc_id', 'text')
+    suffixed = docs.select(
+        'doc_id',
+        T.hocr_markup_col(
+            T.tokens_col(F.concat('text', F.lit(UAX29_COLON_SUFFIX))))
          .alias('text'))
     udf = make_extract_udf(uax29=True, emit_spans=False, emit_sexpr=False)
     res = suffixed.select('doc_id', udf(F.col('text')).alias('_r'))
@@ -845,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'extract_tesseract_makebox': _q_extract_tesseract_makebox,
         'extract_ocropus_surplus': _q_extract_ocropus_surplus,
         'extract_uax29_segmentation': _q_extract_uax29_segmentation,
+        'extract_uax29_colon': _q_extract_uax29_colon,
         'djvused_script': _q_djvused_script,
         'events_json_props': _q_events_json_props,
         'events_sessionization': _q_events_sessionization,
@@ -1652,6 +1677,11 @@ def oracle_sql() -> dict[str, str]:
         'extract_uax29_segmentation': f'''
             SELECT doc_id,
                    {_NORM} || '{UAX29_SUFFIX_SEGMENTED}' AS extracted_text
+            FROM documents
+        ''',
+        'extract_uax29_colon': f'''
+            SELECT doc_id,
+                   {_NORM} || '{UAX29_COLON_SEGMENTED}' AS extracted_text
             FROM documents
         ''',
         'ann_ivf_topk': f'''

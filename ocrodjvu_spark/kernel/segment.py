@@ -132,12 +132,44 @@ _MIDNUMLETQ = (_MIDNUMLET, _SINGLE_QUOTE)
 _IGNORABLE = (_EXTEND, _FORMAT, _ZWJ)
 
 
-def uax29_word_break_iterator(text: str) -> Iterator[int]:
-    """Yield UAX #29 word-boundary offsets (excluding 0, including len)."""
+# CLDR word-break tailoring (what ICU actually applies on top of UCD):
+# CLDR root REMOVES the colons (COLON, SMALL COLON, FULLWIDTH COLON)
+# from MidLetter, so "S:t" splits in en / en-US-POSIX — the locales the
+# reference passes to ICU (lib/unicode_support.py:40-52). Swedish and
+# Finnish re-add U+003A (abbreviations like "C:a" / "S:t" stay one
+# word). Calling the iterator with locale=None gives the untailored
+# UCD root where colon is still MidLetter.
+_CLDR_COLONS = ':﹕：'
+_CLDR_KEEP_COLON = frozenset(('sv', 'fi'))
+
+
+def _locale_tailoring(locale):
+    """Per-locale char->property override dict (or None for UCD root)."""
+    if locale is None:
+        return None
+    base = str(locale).replace('-', '_').split('_')[0].lower()
+    drop = _CLDR_COLONS[1:] if base in _CLDR_KEEP_COLON else _CLDR_COLONS
+    return {ch: _OTHER for ch in drop}
+
+
+def uax29_word_break_iterator(text: str, locale=None) -> Iterator[int]:
+    """Yield UAX #29 word-boundary offsets (excluding 0, including len).
+
+    ``locale`` applies CLDR segmentation tailorings where they exist
+    (see ``_LOCALE_MIDLETTER_EXTRA``); unknown locales fall back to the
+    root rules.
+    """
     n = len(text)
     if n == 0:
         return
-    props = [_word_break_property(ch) for ch in text]
+    overrides = _locale_tailoring(locale)
+    if overrides:
+        # explicit membership test: a future tailoring may map to the
+        # falsy _OTHER (0)
+        props = [overrides[ch] if ch in overrides
+                 else _word_break_property(ch) for ch in text]
+    else:
+        props = [_word_break_property(ch) for ch in text]
 
     # collapsed view per WB4: positions whose property is Extend/Format/ZWJ
     # attach to the previous character
@@ -249,11 +281,11 @@ def simple_word_break_iterator(text: str) -> Iterator[int]:
 def word_break_iterator(text: str, locale=None) -> Iterator[int]:
     """simple segmentation when locale is None, else UAX #29.
 
-    ``locale`` is accepted for interface parity but the pure-Python UAX #29
-    engine is locale-independent (root rules), which matches ICU for the
-    locales the reference uses (en / en-US-POSIX have no word-break
-    tailorings).
+    The UAX #29 engine applies CLDR per-locale tailorings where they
+    exist (sv/fi colon-as-MidLetter); every other locale — including
+    the reference's en / en-US-POSIX, which have no word-break
+    tailorings in CLDR — gets the root rules, matching ICU.
     """
     if locale is None:
         return simple_word_break_iterator(text)
-    return uax29_word_break_iterator(text)
+    return uax29_word_break_iterator(text, locale=locale)

@@ -322,3 +322,27 @@ def test_compact_sexpr_equivalence():
     z2 = Zone(type=1, bbox=(3, 3, 3, 3), children=[
         Zone(type=5, bbox=(9, 9, 1, 1), children=['a "b"\\'])])
     assert z2.compact_sexpr() == sexpr.print_compact(z2.sexpr())
+
+
+def test_uax29_locale_tailoring_cldr_colon():
+    from ocrodjvu_spark.kernel.segment import uax29_word_break_iterator
+
+    def toks(text, locale=None):
+        out, prev = [], 0
+        for b in uax29_word_break_iterator(text, locale=locale):
+            out.append(text[prev:b])
+            prev = b
+        return [t for t in out if t.strip()]
+
+    # CLDR sv/fi keep the colon as MidLetter: "S:t" stays one word
+    assert toks('S:t Erik', locale='sv') == ['S:t', 'Erik']
+    assert toks('C:a 50', locale='fi_FI') == ['C:a', '50']
+    # CLDR root (what ICU gives en / en-US-POSIX) drops it: colon splits
+    assert toks('S:t Erik', locale='en_US_POSIX') == ['S', ':', 't', 'Erik']
+    assert toks('S:t Erik', locale='en') == ['S', ':', 't', 'Erik']
+    # untailored UCD root (locale=None): colon is MidLetter per
+    # WordBreakProperty.txt, so the raw UAX#29 rules keep it
+    assert toks('S:t Erik') == ['S:t', 'Erik']
+    # tailoring only matters between letters (WB6/7 need AHLetter on
+    # both sides) — a trailing colon splits everywhere
+    assert toks('slut: ja', locale='sv') == ['slut', ':', 'ja']
