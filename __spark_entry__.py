@@ -516,6 +516,47 @@ def _q_corpus_split(spark, sf_dir):
          .otherwise(F.lit('test')).alias('split'))
 
 
+def _q_quality_repetition(spark, sf_dir):
+    # Gopher-style repetition signals; every 11th doc gets a repeated
+    # spam phrase so top_bigram_frac separates spammy from clean rows
+    docs = T.load_table(spark, sf_dir, 'documents')
+    spam = F.concat(F.col('text'),
+                    F.lit(' click here click here click here'))
+    docs = docs.select(
+        'doc_id',
+        F.when(F.col('doc_id') % 11 == 0, spam)
+         .otherwise(F.col('text')).alias('text'))
+    return textops.repetition_stats(docs)
+
+
+def _q_split_contamination(spark, sf_dir):
+    # train/test n-gram leakage over the SAME deterministic split the
+    # corpus_split query produces; min_common=2 prunes one-off shingle
+    # collisions
+    docs = T.load_table(spark, sf_dir, 'documents')
+    bucket = textops.rolling_hash(
+        F.regexp_replace(F.trim('text'), r'\s+', ' ')) % 100
+    with_split = docs.select('doc_id', 'text', bucket.alias('b'))
+    train = with_split.where(F.col('b') < 80)
+    test = with_split.where(F.col('b') >= 90)
+    return textops.contamination_pairs(train, test, min_common=2)
+
+
+def _q_pii_scrub(spark, sf_dir):
+    # PII redaction plumbing: every 5th doc gets a deterministic email +
+    # phone appended; the scrubber must count and replace exactly those
+    docs = T.load_table(spark, sf_dir, 'documents')
+    injected = F.concat(
+        F.col('text'), F.lit(' contact agent-'),
+        F.col('doc_id').cast('string'),
+        F.lit('@example.com or 555-010-0142'))
+    docs = docs.select(
+        'doc_id',
+        F.when(F.col('doc_id') % 5 == 0, injected)
+         .otherwise(F.col('text')).alias('text'))
+    return textops.pii_scrub(docs)
+
+
 def _q_conversation_packing(spark, sf_dir):
     # context-window packing: assign each turn to a fixed-budget chunk
     # by the running token count within its conversation (the sequence
@@ -833,6 +874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'extraction_metrics': _q_extraction_metrics,
         'dedup_exact': _q_dedup_exact,
         'corpus_split': _q_corpus_split,
+        'quality_repetition': _q_quality_repetition,
+        'split_contamination': _q_split_contamination,
+        'pii_scrub': _q_pii_scrub,
         'conversation_packing': _q_conversation_packing,
         'dedup_conversations': _q_dedup_conversations,
         'token_stats': _q_token_stats,
@@ -1152,6 +1196,101 @@ def oracle_sql() -> dict[str, str]:
                         WHEN b < 90 THEN 'validation'
                         ELSE 'test' END AS split
             FROM h
+        ''',
+        'quality_repetition': f'''
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 11 = 0
+                            THEN {_NORM} ||
+                                 ' click here click here click here'
+                            ELSE {_NORM} END AS t
+                FROM documents
+            ),
+            tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM d),
+            big AS (
+                SELECT doc_id, len(toks) AS n_tokens,
+                       len(list_distinct(toks)) AS n_distinct,
+                       unnest(CASE WHEN len(toks) >= 2
+                              THEN list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])
+                              ELSE [NULL] END) AS bigram
+                FROM tok
+            ),
+            pb AS (
+                SELECT doc_id, n_tokens, n_distinct, bigram,
+                       count(*) AS c
+                FROM big GROUP BY 1, 2, 3, 4
+            ),
+            pd AS (
+                SELECT doc_id, n_tokens, n_distinct,
+                       sum(CASE WHEN bigram IS NOT NULL THEN c
+                           ELSE 0 END) AS n_bigrams,
+                       max(CASE WHEN bigram IS NOT NULL THEN c
+                           ELSE 0 END) AS top
+                FROM pb GROUP BY 1, 2, 3
+            )
+            SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+                   round(1.0 - n_distinct * 1.0
+                         / greatest(n_tokens, 1), 6) AS dup_token_frac,
+                   CAST(n_bigrams AS INTEGER) AS n_bigrams,
+                   round(top * 1.0 / greatest(n_bigrams, 1), 6)
+                       AS top_bigram_frac
+            FROM pd
+        ''',
+        'split_contamination': f'''
+            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            th AS ({_sql_token_hashes('tok')}),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest({_SQL_SHINGLE_HASHES}) AS shingle
+                FROM th
+            ),
+            split AS (
+                SELECT doc_id, {_SQL_HASH(_NORM)} % 100 AS b
+                FROM documents
+            ),
+            te AS (SELECT sh.doc_id, shingle FROM sh
+                   JOIN split USING (doc_id) WHERE b >= 90),
+            tr AS (SELECT sh.doc_id, shingle FROM sh
+                   JOIN split USING (doc_id) WHERE b < 80),
+            te_sizes AS (
+                SELECT doc_id AS test_doc, count(*) AS n_test
+                FROM te GROUP BY 1
+            ),
+            pairs AS (
+                SELECT te.doc_id AS test_doc, tr.doc_id AS train_doc,
+                       count(*) AS n_common
+                FROM te JOIN tr ON te.shingle = tr.shingle
+                GROUP BY 1, 2
+                HAVING count(*) >= 2
+            )
+            SELECT test_doc, train_doc,
+                   n_common AS n_common_shingles,
+                   round(n_common * 1.0 / n_test, 6) AS contamination
+            FROM pairs JOIN te_sizes USING (test_doc)
+        ''',
+        'pii_scrub': f'''
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN {_NORM} || ' contact agent-'
+                                 || CAST(doc_id AS VARCHAR)
+                                 || '@example.com or 555-010-0142'
+                            ELSE {_NORM} END AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t,
+                        '{textops.PII_EMAIL_RE}')) AS INTEGER)
+                       AS n_emails,
+                   CAST(len(regexp_extract_all(t,
+                        '{textops.PII_PHONE_RE}')) AS INTEGER)
+                       AS n_phones,
+                   regexp_replace(regexp_replace(t,
+                        '{textops.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{textops.PII_PHONE_RE}', '<PHONE>', 'g')
+                       AS scrubbed_text
+            FROM d
         ''',
         'conversation_packing': f'''
             WITH t AS (

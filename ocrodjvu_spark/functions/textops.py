@@ -691,6 +691,123 @@ def quality_score(docs: DataFrame, id_col='doc_id',
     )
 
 
+def repetition_stats(docs: DataFrame, id_col='doc_id',
+                     text_col='text') -> DataFrame:
+    """Gopher/MassiveText-style repetition quality signals per document.
+
+    * ``dup_token_frac``: 1 - distinct/total tokens — computed as a pure
+      array projection (``array_distinct``), no explode, no shuffle;
+    * ``top_bigram_frac``: share of bigram occurrences taken by the most
+      frequent bigram — the classic boilerplate/spam signal; one explode
+      + (doc, bigram) groupBy with map-side partials, then a doc-level
+      rollup. One tokenize pass total (the token-level stats ride along
+      as grouping-invariant columns, not a second explode — the TF-IDF
+      double-tokenize lesson).
+
+    Repetitive machine-generated text scores high on both; Rae et al.
+    (Gopher, 2021) appendix A cut documents on exactly these families of
+    thresholds.
+    """
+    toks = tokens(text_col)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat(
+                F.element_at(toks, (i + 1).cast('int')), F.lit(' '),
+                F.element_at(toks, (i + 2).cast('int'))))
+    ).otherwise(F.array().cast('array<string>'))
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias('n_tokens'),
+        F.size(F.array_distinct(toks)).alias('n_distinct'),
+        F.explode_outer(bigrams).alias('bigram'))
+    per_bigram = base.groupBy(
+        id_col, 'n_tokens', 'n_distinct', 'bigram').agg(
+        F.count('*').alias('c'))
+    not_null = F.col('bigram').isNotNull()
+    per_doc = per_bigram.groupBy(id_col, 'n_tokens', 'n_distinct').agg(
+        F.sum(F.when(not_null, F.col('c')).otherwise(0))
+         .alias('n_bigrams'),
+        F.max(F.when(not_null, F.col('c')).otherwise(0))
+         .alias('top_bigram_count'))
+    return per_doc.select(
+        id_col,
+        F.col('n_tokens').cast('int').alias('n_tokens'),
+        F.round(1.0 - F.col('n_distinct')
+                / F.greatest(F.col('n_tokens'), F.lit(1)), 6)
+         .alias('dup_token_frac'),
+        F.col('n_bigrams').cast('int').alias('n_bigrams'),
+        F.round(F.col('top_bigram_count')
+                / F.greatest(F.col('n_bigrams'), F.lit(1)), 6)
+         .alias('top_bigram_frac'),
+    )
+
+
+def contamination_pairs(train: DataFrame, test: DataFrame,
+                        id_col='doc_id', text_col='text', n: int = 3,
+                        min_common: int = 1) -> DataFrame:
+    """Cross-split n-gram leakage: (test_doc, train_doc) pairs sharing
+    word shingles, with the contaminated fraction of the test document.
+
+    The train/test contamination check every LLM data pipeline runs
+    before evaluation (n-gram overlap methodology per the GPT-3 /
+    PaLM / Gopher data cards; they use 8-13-gram windows at web scale —
+    ``n`` is the knob). Scale shape: shingle equi-join — the test side
+    is orders of magnitude smaller and pre-aggregated per shingle;
+    ``min_common`` prunes incidental single-shingle collisions before
+    the pair rollup.
+
+    Output: (test_doc, train_doc, n_common_shingles, contamination)
+    where contamination = shared/test-doc-total shingles.
+    """
+    sh_tr = doc_shingle_table(train, id_col, text_col, n).select(
+        F.col(id_col).alias('train_doc'), 'shingle')
+    sh_te = doc_shingle_table(test, id_col, text_col, n).select(
+        F.col(id_col).alias('test_doc'), 'shingle')
+    te_sizes = sh_te.groupBy('test_doc').agg(
+        F.count('*').alias('n_test_shingles'))
+    pairs = (sh_te.join(sh_tr, 'shingle')
+             .groupBy('test_doc', 'train_doc')
+             .agg(F.count('*').alias('n_common_shingles'))
+             .where(F.col('n_common_shingles') >= min_common))
+    return (pairs.join(te_sizes, 'test_doc')
+            .select('test_doc', 'train_doc', 'n_common_shingles',
+                    F.round(F.col('n_common_shingles')
+                            / F.col('n_test_shingles'), 6)
+                     .alias('contamination')))
+
+
+# deliberately narrow, engine-portable patterns (Java regex == RE2 ==
+# POSIX here): the operator's value is the scrub plumbing; production
+# deployments swap in their PII pattern pack
+PII_EMAIL_RE = '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'
+PII_PHONE_RE = '[0-9]{3}-[0-9]{3}-[0-9]{4}'
+
+
+def pii_scrub(docs: DataFrame, id_col='doc_id',
+              text_col='text') -> DataFrame:
+    """Redact emails / phone-shaped numbers, keeping match counts.
+
+    Pure JVM-side ``regexp_replace``/``regexp_count`` projection — no
+    shuffle, no UDF; scales as a map-only stage and pushes column
+    pruning to the scan. Counts feed the pipeline's observability
+    (how much PII a source emits is itself a quality signal).
+    """
+    norm = norm_text(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(norm, PII_EMAIL_RE, '<EMAIL>'),
+        PII_PHONE_RE, '<PHONE>')
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(norm, F.lit(PII_EMAIL_RE)).cast('int')
+         .alias('n_emails'),
+        F.regexp_count(norm, F.lit(PII_PHONE_RE)).cast('int')
+         .alias('n_phones'),
+        scrubbed.alias('scrubbed_text'),
+    )
+
+
 def doc_fingerprint(docs: DataFrame, id_col='doc_id', text_col='text',
                     n: int = 3, k: int = 4) -> DataFrame:
     """Bottom-k sketch fingerprint over shingle hashes (string-joined).

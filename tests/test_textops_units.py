@@ -268,3 +268,50 @@ def test_language_id_ngram_profiles(spark):
     assert rows[0] == 'en'
     assert rows[1] == 'de'
     assert rows[2] == 'und'
+
+
+def test_repetition_stats_separates_spam(spark):
+    docs = _docs(spark, [
+        'spam spam spam spam spam spam',
+        'every word here is completely unique today',
+        'one',
+    ])
+    out = {r.doc_id: r for r in textops.repetition_stats(docs).collect()}
+    assert out[0].dup_token_frac > 0.8
+    assert out[0].top_bigram_frac == 1.0  # 'spam spam' is every bigram
+    assert out[1].dup_token_frac == 0.0
+    assert out[1].top_bigram_frac < 0.5
+    # single-token doc: no bigrams, fractions well-defined
+    assert out[2].n_bigrams == 0 and out[2].top_bigram_frac == 0.0
+
+
+def test_contamination_pairs_detects_leak(spark):
+    train = _docs(spark, [
+        'alpha beta gamma delta epsilon zeta eta theta',
+        'unrelated training document with other words',
+    ])
+    test = spark.createDataFrame(
+        [(100, 'prefix alpha beta gamma delta epsilon suffix'),
+         (101, 'totally clean evaluation document xyz abc')],
+        'doc_id long, text string')
+    out = textops.contamination_pairs(train, test).collect()
+    pairs = {(r.test_doc, r.train_doc): r for r in out}
+    assert (100, 0) in pairs
+    hit = pairs[(100, 0)]
+    assert hit.n_common_shingles >= 3
+    assert 0 < hit.contamination <= 1
+    assert all(t != 101 for t, _ in pairs)
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    docs = _docs(spark, [
+        'mail me at a.b-c@test.org or call 123-456-7890 now',
+        'no pii in this one 3.14 x-y',
+    ])
+    out = {r.doc_id: r for r in textops.pii_scrub(docs).collect()}
+    assert out[0].n_emails == 1 and out[0].n_phones == 1
+    assert '<EMAIL>' in out[0].scrubbed_text
+    assert '<PHONE>' in out[0].scrubbed_text
+    assert 'test.org' not in out[0].scrubbed_text
+    assert out[1].n_emails == 0 and out[1].n_phones == 0
+    assert out[1].scrubbed_text == 'no pii in this one 3.14 x-y'
