@@ -35,7 +35,12 @@ def measure(cpus: int, tpath: str, reps: int) -> dict:
     spark.sparkContext.setLogLevel('ERROR')
     transcripts = spark.read.parquet(tpath)
     n_turns = transcripts.count()
-    extracted = pipeline.extract_turns(transcripts).select(
+    # SPARK_GRAFT_SCALING_SPANS=0 elides the spans payload (the heaviest
+    # Arrow transfer) — separates kernel-compute scaling from
+    # Arrow-serialization scaling in the evidence
+    emit_spans = os.environ.get('SPARK_GRAFT_SCALING_SPANS', '1') != '0'
+    extracted = pipeline.extract_turns(
+        transcripts, emit_spans=emit_spans).select(
         'conv_id', 'turn_idx', 'dialect', 'error',
         'extracted_text', 'extracted_sexpr')
     # warmup: one full untimed run — spins up every python worker (AQE
