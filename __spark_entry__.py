@@ -85,7 +85,7 @@ def _q_turn_filter_list(spark, sf_dir):
 
 
 # deterministic invalid-UTF-8 payloads spliced into an extra word span:
-# doc_id%2==0 rows get two bare invalid bytes (2 x U+FFFD), others a
+# even-turn_idx rows get two bare invalid bytes (2 x U+FFFD), others a
 # truncated 3-byte sequence (ONE U+FFFD — Python's 'replace' handler
 # substitutes maximal subparts, not per byte); both get a control byte
 # 0x01 (sanitized to U+FFFD even though it decodes fine)

@@ -65,7 +65,7 @@ def _zone_to_result(zone, dialect: str):
         'pages': [{
             'spans': flatten_zone(zone),
             'extracted_text': zone_text(zone),
-            'extracted_sexpr': sexpr.print_compact(zone.sexpr()),
+            'extracted_sexpr': zone.compact_sexpr(),
         }],
         'dialect': dialect,
         'error': None,

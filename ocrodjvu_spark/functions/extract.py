@@ -19,7 +19,7 @@ import pandas as pd
 
 from pyspark.sql.functions import pandas_udf
 
-from ..kernel import hocr, sexpr
+from ..kernel import hocr
 from ..kernel.zones import (
     Zone,
     ZONE_LINE,

@@ -709,19 +709,31 @@ def repetition_stats(docs: DataFrame, id_col='doc_id',
     thresholds.
     """
     toks = tokens(text_col)
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat(
-                F.element_at(toks, (i + 1).cast('int')), F.lit(' '),
-                F.element_at(toks, (i + 2).cast('int'))))
-    ).otherwise(F.array().cast('array<string>'))
+
+    # bind the token array ONCE as a lambda variable (the shingle_hashes
+    # pattern): Catalyst inlines duplicated higher-order expressions on
+    # projection collapse, so referencing `toks` inside the per-bigram
+    # lambda would re-tokenize the document per bigram — O(n_tokens^2)
+    def stats(t):
+        bigrams = F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 2),
+                lambda i: F.concat(
+                    F.element_at(t, (i + 1).cast('int')), F.lit(' '),
+                    F.element_at(t, (i + 2).cast('int'))))
+        ).otherwise(F.array().cast('array<string>'))
+        return F.struct(
+            F.size(t).alias('n_tokens'),
+            F.size(F.array_distinct(t)).alias('n_distinct'),
+            bigrams.alias('bigrams'))
+
     base = docs.select(
         F.col(id_col),
-        F.size(toks).alias('n_tokens'),
-        F.size(F.array_distinct(toks)).alias('n_distinct'),
-        F.explode_outer(bigrams).alias('bigram'))
+        F.inline(F.transform(F.array(toks), stats))
+    ).select(
+        F.col(id_col), 'n_tokens', 'n_distinct',
+        F.explode_outer('bigrams').alias('bigram'))
     per_bigram = base.groupBy(
         id_col, 'n_tokens', 'n_distinct', 'bigram').agg(
         F.count('*').alias('c'))

@@ -193,18 +193,24 @@ class _TreeBuilder(html.parser.HTMLParser):
 _NAME_RE = re.compile(r'[a-zA-Z][-a-zA-Z0-9:._]*')
 _ATTR_RE = re.compile(
     r'\s*([^\s=/>]+)(?:\s*=\s*("[^"]*"|\'[^\']*\'|[^\s>]*))?')
-_SCRIPT_END_RE = re.compile(r'</script', re.IGNORECASE)
+# CDATA ends only at an end tag whose NAME is exactly 'script'
+# ('</scripting>' stays script text) — matching html.parser's
+# parse_endtag check against self.cdata_elem
+_SCRIPT_END_RE = re.compile(r'</script(?![-a-zA-Z0-9:._])', re.IGNORECASE)
 
-# one-shot start-tag matcher for the common well-formed case: name +
+# one-shot tag-end finder for the common well-formed case: name +
 # attribute run + optional '/'. The attr sub-grammar only admits quoted
-# values WITHOUT '<'/'>' inside and unquoted values without quotes, so a
-# hit is guaranteed to agree with the careful _find_tag_end scan; every
-# miss (stray quotes, angle brackets in values, end tags, comments)
-# falls through to the character-exact path below.
+# values WITHOUT '<'/'>' inside and unquoted values without quotes, so
+# on a hit the '>' found here is the same character the careful
+# _find_tag_end scan would find; the attr segment itself is then parsed
+# by the shared _emit_starttag, so the two paths agree by construction.
+# Every miss (stray quotes, angle brackets
+# in values, end tags, comments) falls through to the character-exact
+# path below.
 _STARTTAG_RE = re.compile(
     r'<([a-zA-Z][-a-zA-Z0-9:._]*)'
     r'((?:\s+[^\s=/>]+(?:\s*=\s*(?:"[^"<>]*"|\'[^\'<>]*\'|[^\s>"\']*))?)*'
-    r'\s*)(/?)>')
+    r'\s*/?)>')
 
 
 def _find_tag_end(text: str, pos: int) -> int:
@@ -252,38 +258,11 @@ def _fast_feed(builder: '_TreeBuilder', text: str) -> None:
             builder.handle_data(unescape(chunk) if '&' in chunk else chunk)
         m = _STARTTAG_RE.match(text, lt)
         if m is not None:
-            # fast path: whole start tag recognized in one C-side match
-            name = m.group(1)
-            if not name.islower():
-                name = name.lower()
-            attr_text = m.group(2)
-            attrs = []
-            if attr_text and not attr_text.isspace():
-                for am in _ATTR_RE.finditer(attr_text):
-                    k = am.group(1)
-                    v = am.group(2)
-                    if v is None:
-                        v = ''
-                    elif v[:1] in ('"', "'") and v[-1:] == v[:1]:
-                        v = v[1:-1]
-                    if '&' in v:
-                        v = unescape(v)
-                    attrs.append((k.lower(), v))
-            if m.group(3):
-                builder.handle_startendtag(name, attrs)
-            else:
-                builder.handle_starttag(name, attrs)
-            pos = m.end()
-            if name == 'script' and not m.group(3):
-                sm = _SCRIPT_END_RE.search(text, pos)
-                if sm is None:
-                    builder.handle_data(text[pos:])
-                    builder.handle_endtag('script')
-                    break
-                builder.handle_data(text[pos:sm.start()])
-                gt = text.find('>', sm.end())
-                builder.handle_endtag('script')
-                pos = n if gt < 0 else gt + 1
+            # fast path: tag end found in one C-side match; the attr
+            # segment then goes through the IDENTICAL logic as the slow
+            # path below, so the paths cannot diverge on e.g. 'a=x/>'
+            pos = _emit_starttag(
+                builder, m.group(1), m.group(2), text, m.end(), n)
             continue
         nxt = text[lt + 1] if lt + 1 < n else ''
         if nxt == '!' or nxt == '?':
@@ -314,17 +293,31 @@ def _fast_feed(builder: '_TreeBuilder', text: str) -> None:
             pos = lt + 1
             continue
         name = m.group(0)
-        if not name.islower():
-            name = name.lower()
         end = _find_tag_end(text, m.end())
         if end < 0:
             pos = n  # unterminated tag: drop the rest (libxml2-like)
             continue
-        attr_text = text[m.end():end]
-        self_closing = attr_text.endswith('/')
-        if self_closing:
-            attr_text = attr_text[:-1]
-        attrs = []
+        pos = _emit_starttag(
+            builder, name, text[m.end():end], text, end + 1, n)
+
+
+def _emit_starttag(builder: '_TreeBuilder', name: str, attr_text: str,
+                   text: str, pos: int, n: int) -> int:
+    """Shared start-tag emission for both tokenizer paths: parse the
+    attr segment, fire the builder callback, and consume <script>
+    CDATA. Returns the resume position (``n`` ends the feed loop).
+
+    Self-closing matches html.parser/HTML5: the tag is self-closed only
+    when a bare '/' remains AFTER attribute parsing — in '<p a=1/>' the
+    slash is part of the unquoted value (open <p> with a='1/'), while
+    '<p a="1"/>', '<p a=1 />' and '<br/>' self-close.
+    """
+    unescape = html.unescape
+    if not name.islower():
+        name = name.lower()
+    attrs = []
+    last_end = 0
+    if attr_text and not attr_text.isspace():
         for am in _ATTR_RE.finditer(attr_text):
             k = am.group(1)
             v = am.group(2)
@@ -335,21 +328,22 @@ def _fast_feed(builder: '_TreeBuilder', text: str) -> None:
             if '&' in v:
                 v = unescape(v)
             attrs.append((k.lower(), v))
-        if self_closing:
-            builder.handle_startendtag(name, attrs)
-        else:
-            builder.handle_starttag(name, attrs)
-        pos = end + 1
-        if name == 'script' and not self_closing:
-            sm = _SCRIPT_END_RE.search(text, pos)
-            if sm is None:
-                builder.handle_data(text[pos:])
-                builder.handle_endtag('script')
-                break
-            builder.handle_data(text[pos:sm.start()])
-            gt = text.find('>', sm.end())
-            builder.handle_endtag('script')
-            pos = n if gt < 0 else gt + 1
+            last_end = am.end()
+    if attr_text[last_end:].strip() == '/':
+        builder.handle_startendtag(name, attrs)
+        return pos
+    builder.handle_starttag(name, attrs)
+    if name != 'script':
+        return pos
+    sm = _SCRIPT_END_RE.search(text, pos)
+    if sm is None:
+        builder.handle_data(text[pos:])
+        builder.handle_endtag('script')
+        return n
+    builder.handle_data(text[pos:sm.start()])
+    gt = text.find('>', sm.end())
+    builder.handle_endtag('script')
+    return n if gt < 0 else gt + 1
 
 
 def parse_html(text: str, fast: bool = True) -> ET.Element:

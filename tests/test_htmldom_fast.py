@@ -34,6 +34,10 @@ ADVERSARIAL = [
     '<div title="a > b">x</div>',     # '>' inside quoted value
     "<div title='it<>s'>y</div>",
     '<div title=bare"quote>z</div>',
+    '<p a=1/>tail</p>',               # unquoted value before '/>'
+    "<p a=don't/>tail</p>",           # same, via the slow path
+    '<script>var a;</scripting>x</script>tail',  # CDATA non-matching end
+    '<script>y</script >z',
 ]
 
 

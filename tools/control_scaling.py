@@ -57,8 +57,10 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.1'
     levels = [int(a) for a in sys.argv[2:]] or [1, 4, 16, 32]
     corpus = _make_corpus(sf_dir)
-    per_proc_1 = None
-    print('| processes | turns/sec | per process |')
+    baseline = None  # per-process throughput at procs == 1
+    header = ('vs 1-proc' if 1 in levels
+              else f'vs {levels[0]}-proc (NOT a 1-proc baseline)')
+    print(f'| processes | turns/sec | per process ({header}) |')
     print('|---|---|---|')
     for procs in levels:
         # same total work per level as the 1-proc case, scaled so each
@@ -72,10 +74,10 @@ def main():
             done = sum(pool.map(_work, chunks))
             dt = time.perf_counter() - t0
         tps = done / dt
-        if per_proc_1 is None:
-            per_proc_1 = tps / procs
+        if baseline is None:
+            baseline = tps / procs
         print(f'| {procs} | {tps:.0f} | {tps / procs:.0f} '
-              f'({tps / procs / per_proc_1:.2f}) |')
+              f'({tps / procs / baseline:.2f}) |')
 
 
 if __name__ == '__main__':
