@@ -48,7 +48,8 @@ def _q_extract_text(spark, sf_dir):
 
 def _q_extract_word_spans(spark, sf_dir):
     df = T.synthesize_transcripts(spark, sf_dir)
-    extracted = pipeline.extract_turns(df, emit_sexpr=False)
+    extracted = pipeline.extract_turns(df, emit_spans='words',
+                                       emit_sexpr=False)
     return pipeline.word_spans(extracted).select(
         'conv_id', 'turn_idx', 'word_idx', 'word', 'x0', 'y0', 'x1', 'y1')
 
@@ -157,7 +158,8 @@ def _q_extract_uax29(spark, sf_dir):
 def _q_extract_rotated180(spark, sf_dir):
     # T6 rotation: 180-degree page rotation of every word bbox
     df = T.synthesize_transcripts(spark, sf_dir)
-    extracted = pipeline.extract_turns(df, rotation=180, emit_sexpr=False)
+    extracted = pipeline.extract_turns(df, rotation=180, emit_spans='words',
+                                       emit_sexpr=False)
     return pipeline.word_spans(extracted).select(
         'conv_id', 'turn_idx', 'word_idx', 'word', 'x0', 'y0', 'x1', 'y1')
 
@@ -168,7 +170,8 @@ def _q_extract_rotated90(spark, sf_dir):
     # lib/cli/hocr2djvused.py:52-53) — the grid geometry makes the
     # transformed bboxes exact integer arithmetic for the oracle
     df = T.synthesize_transcripts(spark, sf_dir)
-    extracted = pipeline.extract_turns(df, rotation=90, emit_sexpr=False)
+    extracted = pipeline.extract_turns(df, rotation=90, emit_spans='words',
+                                       emit_sexpr=False)
     return pipeline.word_spans(extracted).select(
         'conv_id', 'turn_idx', 'word_idx', 'word', 'x0', 'y0', 'x1', 'y1')
 
@@ -176,7 +179,8 @@ def _q_extract_rotated90(spark, sf_dir):
 def _q_extract_rotated270(spark, sf_dir):
     # T6 rotation, odd k (270): the other dims-swapped branch
     df = T.synthesize_transcripts(spark, sf_dir)
-    extracted = pipeline.extract_turns(df, rotation=270, emit_sexpr=False)
+    extracted = pipeline.extract_turns(df, rotation=270, emit_spans='words',
+                                       emit_sexpr=False)
     return pipeline.word_spans(extracted).select(
         'conv_id', 'turn_idx', 'word_idx', 'word', 'x0', 'y0', 'x1', 'y1')
 

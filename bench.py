@@ -120,10 +120,12 @@ def main():
         extracted.select('conv_id', 'turn_idx', 'dialect', 'error',
                          'extracted_text', 'extracted_sexpr'), reps)
 
-    # q2: word-span explode (spans fan-out path)
+    # q2: word-span explode (spans fan-out path); emit_spans='words'
+    # prunes non-word spans at the UDF — the query reads nothing else
     timings['extract_word_spans'] = run_noop(
         pipeline.word_spans(
-            pipeline.extract_turns(transcripts, emit_sexpr=False)), reps)
+            pipeline.extract_turns(transcripts, emit_spans='words',
+                                   emit_sexpr=False)), reps)
 
     # q3: extraction + stable conversation reassembly (the one shuffle)
     timings['conversation_reassembly'] = run_noop(

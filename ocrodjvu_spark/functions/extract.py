@@ -51,6 +51,37 @@ def flatten_zone(zone: Zone) -> List[tuple]:
     return spans
 
 
+def flatten_word_zones(zone: Zone) -> List[tuple]:
+    """Word-only span list, same tuple shape as ``flatten_zone``.
+
+    The words-mode Arrow pruning knob: consumers like
+    ``pipeline.word_spans`` filter to word zones and read only
+    bbox + text + order, so shipping page/line/para spans (and the
+    per-span ``path`` array — the one nested list in the struct) is
+    pure Arrow transfer cost. Word order is preorder, identical to the
+    filtered ``flatten_zone`` output; ``path`` is None. Intended for
+    ``details='words'`` runs (word zones under chars detail carry
+    their text in child zones, same as flatten_zone's leaf rule).
+    """
+    spans: List[tuple] = []
+
+    def walk(z: Zone, depth: int):
+        if z.type == ZONE_WORD:
+            leaf = ''.join(
+                c for c in z.children if isinstance(c, str)) or None
+            x0, y0, x1, y1 = z.bbox
+            spans.append((
+                'word', depth, None,
+                int(x0), int(y0), int(x1), int(y1), leaf,
+            ))
+        for child in z.children:
+            if isinstance(child, Zone):
+                walk(child, depth + 1)
+
+    walk(zone, 0)
+    return spans
+
+
 def zone_text(zone: Zone) -> str:
     """Flatten a zone tree to plain text.
 
@@ -102,8 +133,14 @@ def extract_one(
         }
     pages = []
     for zone in zones:
+        if emit_spans == 'words':
+            spans = flatten_word_zones(zone)
+        elif emit_spans:
+            spans = flatten_zone(zone)
+        else:
+            spans = None
         pages.append({
-            'spans': flatten_zone(zone) if emit_spans else None,
+            'spans': spans,
             'extracted_text': zone_text(zone),
             'extracted_sexpr': (
                 zone.compact_sexpr() if emit_sexpr else None),

@@ -54,7 +54,7 @@ def extract_turns(
     keep_columns: Sequence[str] = META_COLUMNS,
     salt_buckets: Optional[int] = None,
     num_partitions: Optional[int] = None,
-    emit_spans: bool = True,
+    emit_spans=True,
     emit_sexpr: bool = True,
 ) -> DataFrame:
     """transcripts -> per-page extraction results.
@@ -64,8 +64,10 @@ def extract_turns(
     their row with error set and null payload ("--on-error resume"
     semantics, reference lib/cli/ocrodjvu.py:494-501). Pass
     ``emit_spans=False`` / ``emit_sexpr=False`` to elide the heavy
-    payloads for text-only consumers (the columns stay in the schema
-    but are null — Catalyst cannot prune inside the UDF struct).
+    payloads for text-only consumers, or ``emit_spans='words'`` to ship
+    only word spans (the ``word_spans`` fan-out reads nothing else) —
+    the columns stay in the schema but are null/pruned; Catalyst cannot
+    prune inside the UDF struct.
     """
     if salt_buckets:
         df = salted_repartition(df, num_partitions, salt_buckets)
