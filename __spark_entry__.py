@@ -205,6 +205,51 @@ def _q_streaming_extraction(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+def _q_streaming_dedup(spark, sf_dir):
+    # streaming exact dedup (dropDuplicatesWithinWatermark on the text
+    # hash): the source file carries every turn plus an exact-duplicate
+    # copy (role='dup-copy') of every 7th one, originals first; the
+    # drained output must contain exactly the originals — first-arrival
+    # wins, duplicates suppressed by streaming state
+    from ocrodjvu_spark.streaming import extract_stream as ST
+    import os
+    base = _gate_tempdir('ocrodjvu-spark-streamdedup-')
+    src = os.path.join(base, 'src')
+    out = os.path.join(base, 'out')
+    ckpt = os.path.join(base, 'ckpt')
+    docs = T.load_table(spark, sf_dir, 'documents')
+    root = F.floor(F.sqrt(F.col('doc_id'))).cast('long')
+    turn_idx = (F.col('doc_id') - root * root + 1).cast('int')
+    role = F.element_at(
+        F.array(F.lit('user'), F.lit('assistant'), F.lit('tool')),
+        (turn_idx % 3 + 1).cast('int'))
+    ts = F.expr("timestamp'2025-01-01 00:00:00' "
+                '+ make_interval(0, 0, 0, 0, 0, 0, doc_id)')
+
+    def turns(role_col, is_dup):
+        return docs.select(
+            F.concat(F.lit('conv-'), root.cast('string')).alias('conv_id'),
+            turn_idx.alias('turn_idx'),
+            role_col.alias('role'),
+            F.col('text'),
+            F.lit(None).cast('string').alias('tool'),
+            ts.alias('ts'),
+            F.lit(is_dup).alias('is_dup'),
+            F.col('doc_id'))
+
+    originals = turns(role, 0)
+    dups = turns(F.lit('dup-copy'), 1).where(F.col('doc_id') % 7 == 0)
+    (originals.unionAll(dups)
+     .coalesce(1).sortWithinPartitions('is_dup', 'doc_id')
+     .drop('is_dup', 'doc_id')
+     .write.parquet(src))
+    stream = ST.read_transcripts_stream(spark, src)
+    deduped = ST.dedup_stream(stream).select(
+        'text_hash', 'conv_id', 'turn_idx', 'role')
+    ST.run_to_parquet(deduped, out, ckpt).awaitTermination()
+    return spark.read.parquet(out)
+
+
 def _gate_tempdir(prefix: str) -> str:
     """mkdtemp + exit-time removal (gate runs must not accumulate a
     corpus copy per invocation under /tmp)."""
@@ -906,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'extract_rotated270': _q_extract_rotated270,
         'events_window_agg': _q_events_window_agg,
         'streaming_extraction': _q_streaming_extraction,
+        'streaming_dedup': _q_streaming_dedup,
         'stateful_conversation_state': _q_stateful_conversation_state,
         'multimodal_features': _q_multimodal_features,
         'embedding_neardup_pairs': _q_embedding_neardup_pairs,
@@ -1612,6 +1658,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(60 AS INTEGER) AS x1,
                    CAST(100 + 100 * word_idx AS INTEGER) AS y1
             FROM words
+        ''',
+        # corpus has no natural exact-dup texts (dedup_exact: 500
+        # distinct hashes), so the expected output is every original
+        # turn exactly once, with the ORIGINAL role (a kept 'dup-copy'
+        # row would hash-mismatch)
+        'streaming_dedup': f'''
+            SELECT md5({_NORM}) AS text_hash,
+                   {_CONV} AS conv_id,
+                   {_TIDX} AS turn_idx,
+                   CASE {_TIDX} % 3 WHEN 0 THEN 'user'
+                        WHEN 1 THEN 'assistant'
+                        ELSE 'tool' END AS role
+            FROM documents
         ''',
         'streaming_extraction': f'''
             SELECT {_CONV} AS conv_id, {_TIDX} AS turn_idx,

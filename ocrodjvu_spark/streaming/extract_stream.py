@@ -63,6 +63,27 @@ def live_conversation_metrics(extracted: DataFrame,
     )
 
 
+def dedup_stream(stream: DataFrame,
+                 watermark: str = '10 minutes') -> DataFrame:
+    """Streaming exact dedup: the streaming face of the batch
+    ``dedup_exact`` operator.
+
+    ``dropDuplicatesWithinWatermark`` on the normalized-text hash keeps
+    the FIRST arrival of each key and suppresses re-deliveries and
+    duplicate turns that arrive within the watermark horizon; state for
+    keys older than the watermark is evicted, so memory is bounded by
+    (arrival rate x horizon) instead of growing with the corpus — the
+    only dedup shape that survives an unbounded 10^12-turn feed.
+    Exactly-once upstream delivery composes with this for end-to-end
+    dedup; duplicates farther apart than the horizon belong to the
+    batch compaction pass (``dedup_exact``).
+    """
+    norm = F.regexp_replace(F.trim('text'), r'\s+', ' ')
+    keyed = stream.withColumn('text_hash', F.md5(norm))
+    return (keyed.withWatermark('ts', watermark)
+            .dropDuplicatesWithinWatermark(['text_hash']))
+
+
 def run_to_parquet(extracted: DataFrame, output_path: str,
                    checkpoint_path: str, available_now: bool = True):
     """Drain the stream to parquet (availableNow processes the backlog

@@ -123,3 +123,48 @@ class TestStatefulStreaming:
             assert got['n_pages'] == row['n_pages'], conv_id
             assert got['n_chars'] == row['n_chars'], conv_id
             assert got['max_turn_idx'] == row['max_turn_idx'], conv_id
+
+
+class TestStreamingDedup:
+
+    def test_dedup_suppresses_across_micro_batches(self, spark, tmp_path):
+        # the duplicate arrives in a LATER micro-batch than the
+        # original: suppression must come from streaming state, not
+        # from within-batch dedup
+        import os
+        import time
+
+        inp = str(tmp_path / 'dd_in')
+        out = str(tmp_path / 'dd_out')
+        chk = str(tmp_path / 'dd_chk')
+        os.makedirs(inp)
+        schema = ('conv_id string, turn_idx int, role string, '
+                  'text string, tool string, ts timestamp')
+        import datetime
+        ts = datetime.datetime(2025, 1, 1)
+        first = spark.createDataFrame(
+            [('c1', 1, 'user', 'hello world', None, ts),
+             ('c1', 2, 'assistant', 'unique reply', None, ts)], schema)
+        second = spark.createDataFrame(
+            [('c9', 9, 'dup-copy', 'hello  world ', None, ts),  # dup
+             ('c2', 1, 'user', 'fresh text', None, ts)], schema)
+        # one parquet file per batch; file-source ordering is by
+        # modification time, pinned explicitly
+        first.coalesce(1).write.parquet(inp + '/b0')
+        second.coalesce(1).write.parquet(inp + '/b1')
+        now = time.time()
+        for i, sub in enumerate(('b0', 'b1')):
+            for f in os.listdir(inp + '/' + sub):
+                os.utime(os.path.join(inp, sub, f), (now + i, now + i))
+        stream = (spark.readStream.schema(schema)
+                  .option('maxFilesPerTrigger', 1)
+                  .parquet(inp + '/*'))
+        deduped = ES.dedup_stream(stream).select(
+            'text_hash', 'conv_id', 'turn_idx', 'role')
+        ES.run_to_parquet(deduped, out, chk).awaitTermination()
+        rows = {(r.conv_id, r.turn_idx): r.role
+                for r in spark.read.parquet(out).collect()}
+        # 3 distinct normalized texts survive; the dup-copy (same text
+        # as c1/1 after whitespace normalization) is suppressed
+        assert rows == {('c1', 1): 'user', ('c1', 2): 'assistant',
+                        ('c2', 1): 'user'}
