@@ -78,7 +78,20 @@ def _in_ranges(cp: int, ranges) -> bool:
     return False
 
 
+_PROP_CACHE: dict = {}
+
+
 def _word_break_property(ch: str) -> int:
+    """Memoized property lookup — pure function of the character, and
+    real text reuses a small alphabet, so the unicodedata.category call
+    happens once per distinct char per process."""
+    prop = _PROP_CACHE.get(ch)
+    if prop is None:
+        prop = _PROP_CACHE[ch] = _compute_word_break_property(ch)
+    return prop
+
+
+def _compute_word_break_property(ch: str) -> int:
     cp = ord(ch)
     if ch == '\r':
         return _CR
@@ -161,6 +174,12 @@ def uax29_word_break_iterator(text: str, locale=None) -> Iterator[int]:
     """
     n = len(text)
     if n == 0:
+        return
+    if text.isascii() and text.isalnum():
+        # ASCII [0-9A-Za-z]+ is all ALetter/Numeric: WB5/8/9/10 join
+        # every position, so the only boundary is the end — the
+        # dominant case for space-split tokens, locale-independent
+        yield n
         return
     overrides = _locale_tailoring(locale)
     if overrides:
