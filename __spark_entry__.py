@@ -777,6 +777,14 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, n_queries=10, k=5)
 
 
+def _q_ann_ivf_nprobe2(spark, sf_dir):
+    # the IVF recall knob: probe the 2 nearest lists per query (results
+    # differ from nprobe=1 wherever a true neighbor sits across the
+    # nearest Voronoi boundary — the oracle pins that exactly)
+    emb = T.load_table(spark, sf_dir, 'embeddings')
+    return similarity.ivf_topk(emb, n_queries=10, k=5, nprobe=2)
+
+
 def _q_ann_lsh_topk(spark, sf_dir):
     emb = T.load_table(spark, sf_dir, 'embeddings')
     return similarity.lsh_topk(emb, n_queries=10, k=5)
@@ -943,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'embedding_kmeans': _q_embedding_kmeans,
         'ann_lsh_topk': _q_ann_lsh_topk,
         'ann_ivf_topk': _q_ann_ivf_topk,
+        'ann_ivf_nprobe2': _q_ann_ivf_nprobe2,
         'extract_lines': _q_extract_lines,
         'extract_chars': _q_extract_chars,
         'extract_uax29': _q_extract_uax29,
@@ -1121,6 +1130,59 @@ FROM (
     FROM scored
 ) WHERE rank <= 5
 '''
+
+
+
+
+def _sql_ann_ivf(nprobe: int) -> str:
+    """IVF oracle; ``nprobe`` mirrors similarity.ivf_topk's probe count."""
+    return f'''
+            WITH {_SQL_EMB},
+            corpus AS (
+                SELECT e2.vec_id, e2.label AS list_id, n.v, n.nrm
+                FROM embeddings e2 JOIN n ON n.vec_id = e2.vec_id
+            ),
+            dims AS (
+                SELECT list_id, t.i,
+                       avg(v[t.i]) AS c
+                FROM corpus,
+                     LATERAL (SELECT UNNEST(range(1, len(v) + 1)) AS i) t
+                GROUP BY 1, 2
+            ),
+            centroids AS (
+                SELECT list_id,
+                       list(c ORDER BY i) AS cvec,
+                       sqrt(sum(c * c)) AS cnrm
+                FROM dims GROUP BY 1
+            ),
+            probes AS (
+                SELECT query_id, probe_list FROM (
+                    SELECT q.vec_id AS query_id, c.list_id AS probe_list,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY round(
+                                   list_sum(list_transform(
+                                       range(1, len(q.v) + 1),
+                                       i -> q.v[i] * c.cvec[i]))
+                                   / (q.nrm * c.cnrm), 6) DESC,
+                               c.list_id) AS c_rank
+                    FROM corpus q, centroids c
+                    WHERE q.vec_id < 10
+                ) WHERE c_rank <= {nprobe}
+            ),
+            scored AS (
+                SELECT p.query_id, c.vec_id AS neighbor_id,
+                       round(list_sum(list_transform(
+                                 range(1, len(c.v) + 1),
+                                 i -> c.v[i] * q.v[i]))
+                             / (c.nrm * q.nrm), 6) AS cos_sim
+                FROM probes p
+                JOIN corpus q ON q.vec_id = p.query_id
+                JOIN corpus c ON c.list_id = p.probe_list
+                 AND c.vec_id <> p.query_id
+            )
+            {_SQL_TOPK_TAIL}
+        '''
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1886,53 +1948,8 @@ def oracle_sql() -> dict[str, str]:
                    {_NORM} || '{UAX29_COLON_SEGMENTED}' AS extracted_text
             FROM documents
         ''',
-        'ann_ivf_topk': f'''
-            WITH {_SQL_EMB},
-            corpus AS (
-                SELECT e2.vec_id, e2.label AS list_id, n.v, n.nrm
-                FROM embeddings e2 JOIN n ON n.vec_id = e2.vec_id
-            ),
-            dims AS (
-                SELECT list_id, t.i,
-                       avg(v[t.i]) AS c
-                FROM corpus,
-                     LATERAL (SELECT UNNEST(range(1, len(v) + 1)) AS i) t
-                GROUP BY 1, 2
-            ),
-            centroids AS (
-                SELECT list_id,
-                       list(c ORDER BY i) AS cvec,
-                       sqrt(sum(c * c)) AS cnrm
-                FROM dims GROUP BY 1
-            ),
-            probes AS (
-                SELECT query_id, probe_list FROM (
-                    SELECT q.vec_id AS query_id, c.list_id AS probe_list,
-                           row_number() OVER (
-                               PARTITION BY q.vec_id
-                               ORDER BY round(
-                                   list_sum(list_transform(
-                                       range(1, len(q.v) + 1),
-                                       i -> q.v[i] * c.cvec[i]))
-                                   / (q.nrm * c.cnrm), 6) DESC,
-                               c.list_id) AS c_rank
-                    FROM corpus q, centroids c
-                    WHERE q.vec_id < 10
-                ) WHERE c_rank = 1
-            ),
-            scored AS (
-                SELECT p.query_id, c.vec_id AS neighbor_id,
-                       round(list_sum(list_transform(
-                                 range(1, len(c.v) + 1),
-                                 i -> c.v[i] * q.v[i]))
-                             / (c.nrm * q.nrm), 6) AS cos_sim
-                FROM probes p
-                JOIN corpus q ON q.vec_id = p.query_id
-                JOIN corpus c ON c.list_id = p.probe_list
-                 AND c.vec_id <> p.query_id
-            )
-            {_SQL_TOPK_TAIL}
-        ''',
+        'ann_ivf_topk': _sql_ann_ivf(1),
+        'ann_ivf_nprobe2': _sql_ann_ivf(2),
         'ann_lsh_topk': f'''
             WITH {_SQL_EMB},
             b AS (

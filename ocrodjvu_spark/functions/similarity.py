@@ -100,15 +100,21 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
 
 def ivf_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
              id_col: str = 'vec_id', vec_col: str = 'embedding',
-             label_col: str = 'label', dim: int = 64) -> DataFrame:
+             label_col: str = 'label', dim: int = 64,
+             nprobe: int = 1) -> DataFrame:
     """IVF-style ANN: coarse quantizer = per-label mean centroids.
 
-    Each query probes its single nearest centroid (by cosine) and runs
-    exact top-k only inside that inverted list. At 10^12 scale the
-    centroid table stays broadcast-small while the candidate scan
-    touches ~1/n_lists of the corpus; lists are the natural partition
-    key for the stored table.
+    Each query probes its ``nprobe`` nearest centroids (by cosine) and
+    runs exact top-k only inside those inverted lists — the standard
+    IVF recall/cost knob (probing more lists recovers neighbors that
+    fell just across a Voronoi boundary at nprobe x the scan cost). At
+    10^12 scale the centroid table stays broadcast-small while the
+    candidate scan touches ~nprobe/n_lists of the corpus; lists are
+    the natural partition key for the stored table. Lists are disjoint,
+    so no dedup is needed after the probe join.
     """
+    if nprobe < 1:
+        raise ValueError(f'nprobe must be >= 1 (got {nprobe})')
     corpus = embeddings.select(
         F.col(id_col), F.col(label_col).alias('list_id'),
         as_double(F.col(vec_col)).alias('vec'))
@@ -135,7 +141,7 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
             F.round(dot(F.col('qvec'), F.col('cvec'))
                     / (F.col('qnrm') * F.col('cnrm')), 6))
         .withColumn('c_rank', F.row_number().over(probe_w))
-        .where(F.col('c_rank') == 1)
+        .where(F.col('c_rank') <= nprobe)
         .select('query_id', 'qvec', 'qnrm',
                 F.col('c_list').alias('probe_list'))
     )
