@@ -139,6 +139,35 @@ def main():
         ])
 
     audit(
+        'repetition stats (single tokenize pass, bound-once lambda)',
+        textops.repetition_stats(docs),
+        [
+            ('corpus tokenized once (one regexp_replace in the plan)',
+             lambda p: p.count('regexp_replace') == 1),
+            ('two-level aggregation, no extra scan',
+             lambda p: p.count('FileScan') == 1),
+        ])
+
+    audit(
+        'split contamination (shingle equi-join, test side aggregated)',
+        textops.contamination_pairs(
+            docs.where(F.col('doc_id') % 10 < 8),
+            docs.where(F.col('doc_id') % 10 >= 9), min_common=2),
+        [
+            ('no cartesian product / broadcast nested loop',
+             lambda p: 'CartesianProduct' not in p
+             and 'BroadcastNestedLoopJoin' not in p),
+        ])
+
+    audit(
+        'pii scrub (map-only projection)',
+        textops.pii_scrub(docs),
+        [
+            ('no shuffle at all', lambda p: 'Exchange' not in p),
+            ('no python UDF', lambda p: 'Python' not in p),
+        ])
+
+    audit(
         'k-means final assignment (broadcast-centroid projection)',
         similarity.kmeans_labels(emb, k=4, iterations=1),
         [
