@@ -207,10 +207,14 @@ def _q_streaming_extraction(spark, sf_dir):
 
 def _q_streaming_dedup(spark, sf_dir):
     # streaming exact dedup (dropDuplicatesWithinWatermark on the text
-    # hash): the source file carries every turn plus an exact-duplicate
-    # copy (role='dup-copy') of every 7th one, originals first; the
-    # drained output must contain exactly the originals — first-arrival
-    # wins, duplicates suppressed by streaming state
+    # hash): the source carries every turn plus an exact-duplicate copy
+    # of every 7th one; exactly one row per distinct text must survive.
+    # The duplicate rows are FULL copies (identical in every output
+    # column), so the expected output is independent of which arrival
+    # wins — the gate stays deterministic even if the source file ever
+    # splits into multiple tasks. First-arrival-wins ordering itself is
+    # pinned by the cross-micro-batch unit test with controlled file
+    # mtimes (tests/test_multimodal_streaming.py).
     from ocrodjvu_spark.streaming import extract_stream as ST
     import os
     base = _gate_tempdir('ocrodjvu-spark-streamdedup-')
@@ -218,30 +222,19 @@ def _q_streaming_dedup(spark, sf_dir):
     out = os.path.join(base, 'out')
     ckpt = os.path.join(base, 'ckpt')
     docs = T.load_table(spark, sf_dir, 'documents')
-    root = F.floor(F.sqrt(F.col('doc_id'))).cast('long')
-    turn_idx = (F.col('doc_id') - root * root + 1).cast('int')
-    role = F.element_at(
-        F.array(F.lit('user'), F.lit('assistant'), F.lit('tool')),
-        (turn_idx % 3 + 1).cast('int'))
-    ts = F.expr("timestamp'2025-01-01 00:00:00' "
-                '+ make_interval(0, 0, 0, 0, 0, 0, doc_id)')
-
-    def turns(role_col, is_dup):
-        return docs.select(
-            F.concat(F.lit('conv-'), root.cast('string')).alias('conv_id'),
-            turn_idx.alias('turn_idx'),
-            role_col.alias('role'),
-            F.col('text'),
-            F.lit(None).cast('string').alias('tool'),
-            ts.alias('ts'),
-            F.lit(is_dup).alias('is_dup'),
-            F.col('doc_id'))
-
-    originals = turns(role, 0)
-    dups = turns(F.lit('dup-copy'), 1).where(F.col('doc_id') % 7 == 0)
-    (originals.unionAll(dups)
-     .coalesce(1).sortWithinPartitions('is_dup', 'doc_id')
-     .drop('is_dup', 'doc_id')
+    conv_id, turn_idx, role, ts = T.turn_key_exprs()
+    turns = docs.select(
+        conv_id.alias('conv_id'),
+        turn_idx.alias('turn_idx'),
+        role.alias('role'),
+        F.col('text'),
+        F.lit(None).cast('string').alias('tool'),
+        ts.alias('ts'),
+        F.col('doc_id'))
+    dups = turns.where(F.col('doc_id') % 7 == 0)
+    (turns.unionAll(dups)
+     .coalesce(1).sortWithinPartitions('doc_id')
+     .drop('doc_id')
      .write.parquet(src))
     stream = ST.read_transcripts_stream(spark, src)
     deduped = ST.dedup_stream(stream).select(
@@ -1722,9 +1715,9 @@ def oracle_sql() -> dict[str, str]:
             FROM words
         ''',
         # corpus has no natural exact-dup texts (dedup_exact: 500
-        # distinct hashes), so the expected output is every original
-        # turn exactly once, with the ORIGINAL role (a kept 'dup-copy'
-        # row would hash-mismatch)
+        # distinct hashes), so the expected output is every turn exactly
+        # once — a missed suppression (two rows for a duplicated text)
+        # or an over-drop would mismatch the row count/hash
         'streaming_dedup': f'''
             SELECT md5({_NORM}) AS text_hash,
                    {_CONV} AS conv_id,

@@ -71,7 +71,7 @@ def flatten_word_zones(zone: Zone) -> List[tuple]:
                 c for c in z.children if isinstance(c, str)) or None
             x0, y0, x1, y1 = z.bbox
             spans.append((
-                'word', depth, None,
+                ZONE_NAME[ZONE_WORD], depth, None,
                 int(x0), int(y0), int(x1), int(y1), leaf,
             ))
         for child in z.children:
@@ -110,13 +110,14 @@ def extract_one(
     rotation: int = 0,
     page_size=None,
     fix_utf8: bool = False,
-    emit_spans: bool = True,
+    emit_spans=True,
     emit_sexpr: bool = True,
 ):
     """Extract one turn; returns the EXTRACT_RESULT-shaped dict.
 
-    ``emit_spans`` / ``emit_sexpr`` skip building those payloads (they
-    dominate the Arrow transfer cost when a query only needs text).
+    ``emit_spans`` (True | False | 'words') / ``emit_sexpr`` skip or
+    prune those payloads (they dominate the Arrow transfer cost when a
+    query only needs text or word boxes).
     """
     if markup is None:
         return {'pages': None, 'dialect': None, 'error': 'null input'}
@@ -166,7 +167,7 @@ def make_extract_udf(
     rotation: int = 0,
     page_size=None,
     fix_utf8: bool = False,
-    emit_spans: bool = True,
+    emit_spans=True,
     emit_sexpr: bool = True,
 ):
     """Build the Arrow-batched extraction UDF for a fixed config.

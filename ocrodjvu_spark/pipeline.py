@@ -95,8 +95,9 @@ def extract_turns(
 def word_spans(extracted: DataFrame) -> DataFrame:
     """Explode word-level spans: one row per extracted word, in order.
 
-    Requires an extraction run with ``emit_spans=True`` (the default) —
-    spans elided upstream explode to zero rows.
+    Requires an extraction run with ``emit_spans=True`` or, cheaper,
+    ``emit_spans='words'`` (ships only the word spans this consumer
+    reads); spans elided upstream (``False``) explode to zero rows.
     """
     words = F.filter(F.col('spans'), lambda s: s.zone_type == F.lit('word'))
     return (
@@ -150,13 +151,21 @@ def roundtrip_turns(extracted: DataFrame, details: str = 'words',
                     uax29=None) -> DataFrame:
     """Text-layer round trip: extracted sexpr -> hOCR -> extract again.
 
-    Page dimensions come from the extracted page span (spans[0] is the
-    preorder root). A fixed-point check downstream asserts the re-extracted
-    text equals the original (north-star round-trip semantics).
+    Page dimensions come from the extracted PAGE span (selected by zone
+    type; runs with ``emit_spans='words'`` or ``False`` have none and
+    surface a per-row error instead of wrong geometry). A fixed-point
+    check downstream asserts the re-extracted text equals the original
+    (north-star round-trip semantics).
     """
     from .functions.emit import make_emit_hocr_udf
     emit = make_emit_hocr_udf(full_document=True)
-    page = F.element_at('spans', 1)
+    # the PAGE span, selected by type rather than position: under
+    # emit_spans='words' there is no page span (spans[0] would be the
+    # first word), so this yields null dims and the emit UDF reports an
+    # explicit error instead of silently mis-sizing the page
+    page = F.element_at(
+        F.filter(F.col('spans'),
+                 lambda s: s.zone_type == F.lit('page')), 1)
     markup = extracted.where(F.col('extracted_sexpr').isNotNull()).select(
         'conv_id', 'turn_idx',
         emit(F.col('extracted_sexpr'), page.x1, page.y1).alias('_e'),

@@ -88,26 +88,36 @@ def hocr_markup_col(tokens):
     )
 
 
-def synthesize_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.parquet -> transcripts(conv_id, turn_idx, role, text, tool, ts)."""
-    docs = load_table(spark, sf_dir, 'documents').select('doc_id', 'text')
+def turn_key_exprs():
+    """The deterministic doc_id -> (conv_id, turn_idx, role, ts) mapping
+    shared by every transcripts synthesizer (and mirrored by the SQL
+    fragments below) — one definition, so gate queries that rebuild
+    turns cannot drift from ``synthesize_transcripts``."""
     root = F.floor(F.sqrt(F.col('doc_id'))).cast('long')
     turn_idx = (F.col('doc_id') - root * root + 1).cast('int')
-    tokens = tokens_col('text')
     role = F.element_at(
         F.array(F.lit('user'), F.lit('assistant'), F.lit('tool')),
         (turn_idx % 3 + 1).cast('int'),
     )
+    conv_id = F.concat(F.lit('conv-'), root.cast('string'))
+    ts = F.expr(
+        "timestamp'2025-01-01 00:00:00' "
+        '+ make_interval(0, 0, 0, 0, 0, 0, doc_id)')
+    return conv_id, turn_idx, role, ts
+
+
+def synthesize_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet -> transcripts(conv_id, turn_idx, role, text, tool, ts)."""
+    docs = load_table(spark, sf_dir, 'documents').select('doc_id', 'text')
+    conv_id, turn_idx, role, ts = turn_key_exprs()
+    tokens = tokens_col('text')
     return docs.select(
-        F.concat(F.lit('conv-'), root.cast('string')).alias('conv_id'),
+        conv_id.alias('conv_id'),
         turn_idx.alias('turn_idx'),
         role.alias('role'),
         hocr_markup_col(tokens).alias('text'),
         F.when(role == 'tool', F.lit('search')).alias('tool'),
-        F.expr(
-            "timestamp'2025-01-01 00:00:00' "
-            '+ make_interval(0, 0, 0, 0, 0, 0, doc_id)'
-        ).alias('ts'),
+        ts.alias('ts'),
     )
 
 

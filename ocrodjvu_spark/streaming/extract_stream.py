@@ -78,8 +78,8 @@ def dedup_stream(stream: DataFrame,
     dedup; duplicates farther apart than the horizon belong to the
     batch compaction pass (``dedup_exact``).
     """
-    norm = F.regexp_replace(F.trim('text'), r'\s+', ' ')
-    keyed = stream.withColumn('text_hash', F.md5(norm))
+    from ..functions.textops import norm_text
+    keyed = stream.withColumn('text_hash', F.md5(norm_text('text')))
     return (keyed.withWatermark('ts', watermark)
             .dropDuplicatesWithinWatermark(['text_hash']))
 
