@@ -584,6 +584,14 @@ def _q_split_contamination(spark, sf_dir):
     return textops.contamination_pairs(train, test, min_common=2)
 
 
+def _q_lm_quality(spark, sf_dir):
+    # corpus-trained char-trigram LM scoring; vocab_size=200 makes the
+    # cap bind at sf0.01 (377 distinct trigrams) so the OOV floor path
+    # is exercised too
+    docs = T.load_table(spark, sf_dir, 'documents')
+    return textops.lm_score(docs, vocab_size=200)
+
+
 def _q_pii_scrub(spark, sf_dir):
     # PII redaction plumbing: every 5th doc gets a deterministic email +
     # phone appended; the scrubber must count and replace exactly those
@@ -927,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'quality_repetition': _q_quality_repetition,
         'split_contamination': _q_split_contamination,
         'pii_scrub': _q_pii_scrub,
+        'lm_quality': _q_lm_quality,
         'conversation_packing': _q_conversation_packing,
         'dedup_conversations': _q_dedup_conversations,
         'token_stats': _q_token_stats,
@@ -1373,6 +1382,46 @@ def oracle_sql() -> dict[str, str]:
                    n_common AS n_common_shingles,
                    round(n_common * 1.0 / n_test, 6) AS contamination
             FROM pairs JOIN te_sizes USING (test_doc)
+        ''',
+        # integer-quantized log-probs (1e6 grid): LONG sums are exact
+        # and order-independent, so Spark and DuckDB agree bit-for-bit
+        'lm_quality': f'''
+            WITH d AS (SELECT doc_id, {_NORM} AS t FROM documents),
+            tris AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN length(t) >= 3
+                              THEN list_transform(
+                                  range(1, length(t) - 1),
+                                  i -> substr(t, i, 3))
+                              ELSE [NULL] END) AS tri
+                FROM d
+            ),
+            counts AS (
+                SELECT tri, count(*) AS c FROM tris
+                WHERE tri IS NOT NULL GROUP BY 1
+            ),
+            total AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM counts),
+            vocab AS (
+                SELECT tri,
+                       CAST(round(ln(c / total) * 1000000, 0) AS BIGINT)
+                           AS logp_q
+                FROM counts, total ORDER BY c DESC, tri LIMIT 200
+            ),
+            fl AS (
+                SELECT CAST(round(ln(0.5 / total) * 1000000, 0) AS BIGINT)
+                           AS floor_q
+                FROM total
+            ),
+            lp AS (
+                SELECT t.doc_id, t.tri,
+                       coalesce(v.logp_q, fl.floor_q) AS lp
+                FROM tris t LEFT JOIN vocab v ON t.tri = v.tri, fl
+            )
+            SELECT doc_id,
+                   CAST(count(tri) AS INTEGER) AS n_trigrams,
+                   round(sum(lp) * 1.0 / count(*) / 1000000, 6)
+                       AS lm_score
+            FROM lp GROUP BY 1
         ''',
         'pii_scrub': f'''
             WITH d AS (

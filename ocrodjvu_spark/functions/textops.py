@@ -820,6 +820,72 @@ def pii_scrub(docs: DataFrame, id_col='doc_id',
     )
 
 
+LM_QUANT = 1_000_000  # log-prob quantization grid (1e-6 nats)
+
+
+def lm_score(docs: DataFrame, id_col='doc_id', text_col='text',
+             vocab_size: int = 50000) -> DataFrame:
+    """Corpus char-trigram LM quality score (CCNet/KenLM-style filter).
+
+    The classic model-based quality signal: score each document by the
+    mean log-probability of its character trigrams under a unigram-
+    over-trigrams model trained on the corpus itself — fluent text
+    reuses common trigrams, garbage/binary/boilerplate does not.
+
+    Scale shape: one explode+groupBy builds the trigram counts; the
+    vocabulary is capped at the top ``vocab_size`` trigrams (ties by
+    trigram), so the model table is bounded and broadcastable at any
+    corpus size — AQE picks the broadcast join of doc-trigrams against
+    it. Out-of-vocabulary trigrams get the floor log-prob
+    ln(0.5/total).
+
+    Engine portability: log-probs are quantized to a 1e-6 grid and
+    summed as LONGs — exact, order-independent sums — so the DuckDB
+    oracle matches bit-for-bit with no float summation-order hazard
+    (same trick as the k-means integer grid); only the final division
+    is floating point.
+
+    Output: (id, n_trigrams, lm_score) with lm_score = mean quantized
+    log-prob in nats, rounded to 6dp. If the whole corpus has no
+    trigrams (every doc shorter than 3 chars) there is no model and
+    lm_score is null — mirrored by the SQL oracle (NULL total
+    propagates identically).
+    """
+    norm = norm_text(text_col)
+    trigrams = F.when(
+        F.length(norm) >= 3,
+        F.element_at(F.transform(F.array(norm), lambda t: F.transform(
+            F.sequence(F.lit(1), F.length(t) - 2),
+            lambda i: t.substr(i, F.lit(3)))), 1)
+    ).otherwise(F.array(F.lit(None).cast('string')))
+    tris = docs.select(F.col(id_col), F.explode(trigrams).alias('tri'))
+    counts = tris.where(F.col('tri').isNotNull()) \
+        .groupBy('tri').agg(F.count('*').alias('c'))
+    total = counts.agg(F.sum('c').cast('double').alias('total'))
+    vocab = (counts.crossJoin(F.broadcast(total))
+             .orderBy(F.col('c').desc(), 'tri').limit(vocab_size)
+             .select(
+                 'tri',
+                 F.round(F.log(F.col('c') / F.col('total')) * LM_QUANT, 0)
+                  .cast('long').alias('logp_q')))
+    floor_q = F.round(F.log(0.5 / F.col('total')) * LM_QUANT, 0) \
+        .cast('long')
+    scored = (tris
+              .join(F.broadcast(vocab), 'tri', 'left')
+              .crossJoin(F.broadcast(total))
+              .select(
+                  id_col,
+                  F.col('tri'),
+                  F.coalesce(F.col('logp_q'), floor_q).alias('lp')))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.col('tri')).cast('int').alias('n_trigrams'),
+                 F.sum('lp').alias('_s'), F.count('*').alias('_n'))
+            .select(
+                id_col, 'n_trigrams',
+                F.round(F.col('_s') / F.col('_n') / LM_QUANT, 6)
+                 .alias('lm_score')))
+
+
 def doc_fingerprint(docs: DataFrame, id_col='doc_id', text_col='text',
                     n: int = 3, k: int = 4) -> DataFrame:
     """Bottom-k sketch fingerprint over shingle hashes (string-joined).

@@ -315,3 +315,24 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert 'test.org' not in out[0].scrubbed_text
     assert out[1].n_emails == 0 and out[1].n_phones == 0
     assert out[1].scrubbed_text == 'no pii in this one 3.14 x-y'
+
+
+def test_lm_score_separates_fluent_from_garbage(spark):
+    fluent = 'the quick brown fox jumps over the lazy dog and then '
+    docs = _docs(spark, [
+        fluent * 3,
+        fluent * 3 + 'zq xv qq jzx wqx vvq ',  # mostly fluent
+        'zq{~ #!xv @@qq^ jzx&* %%wqx [] vvq;; ==++ ~~!!',  # garbage
+    ])
+    out = {r.doc_id: r for r in textops.lm_score(docs).collect()}
+    assert out[0].lm_score > out[1].lm_score > out[2].lm_score
+    assert out[0].n_trigrams > 0
+    # degenerate: a corpus with no trigrams at all has no model —
+    # score is null (not a crash, not an arbitrary number)
+    short = _docs(spark, ['ab'])
+    row = textops.lm_score(short).collect()[0]
+    assert row.n_trigrams == 0 and row.lm_score is None
+    # a short doc WITHIN a real corpus gets the corpus floor
+    mixed = _docs(spark, ['ab', 'the quick brown fox jumps here'])
+    rows = {r.doc_id: r for r in textops.lm_score(mixed).collect()}
+    assert rows[0].n_trigrams == 0 and rows[0].lm_score < rows[1].lm_score
