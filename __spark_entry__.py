@@ -584,6 +584,24 @@ def _q_split_contamination(spark, sf_dir):
     return textops.contamination_pairs(train, test, min_common=2)
 
 
+# gate targets: upweight src0, downweight src1, exclude src2 (weight-0
+# path); the rest share the remainder uniformly
+_MIX_TARGETS = {'src0': 0.2, 'src1': 0.01}
+_MIX_TARGETS.update({f'src{i}': 0.79 / 17 for i in range(3, 20)})
+
+
+def _q_domain_mix(spark, sf_dir):
+    docs = T.load_table(spark, sf_dir, 'documents')
+    return textops.domain_mix_weights(docs, _MIX_TARGETS)
+
+
+def _q_doc_chunks(spark, sf_dir):
+    # sliding-window chunking, 64-token windows with stride 48 (25%
+    # overlap): the pretraining/RAG document-splitting step
+    docs = T.load_table(spark, sf_dir, 'documents')
+    return textops.chunk_documents(docs, window=64, stride=48)
+
+
 def _q_lm_quality(spark, sf_dir):
     # corpus-trained char-trigram LM scoring; vocab_size=200 makes the
     # cap bind at sf0.01 (377 distinct trigrams) so the OOV floor path
@@ -936,6 +954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'split_contamination': _q_split_contamination,
         'pii_scrub': _q_pii_scrub,
         'lm_quality': _q_lm_quality,
+        'domain_mix': _q_domain_mix,
+        'doc_chunks': _q_doc_chunks,
         'conversation_packing': _q_conversation_packing,
         'dedup_conversations': _q_dedup_conversations,
         'token_stats': _q_token_stats,
@@ -1135,6 +1155,12 @@ FROM (
 
 
 
+
+
+# the CASE mirror of _MIX_TARGETS (weight-0 for absent domains)
+_SQL_MIX_TARGET = ('CASE source ' + ' '.join(
+    f"WHEN '{k}' THEN {v!r}" for k, v in sorted(_MIX_TARGETS.items()))
+    + ' ELSE 0.0 END')
 
 def _sql_ann_ivf(nprobe: int) -> str:
     """IVF oracle; ``nprobe`` mirrors similarity.ivf_topk's probe count."""
@@ -1382,6 +1408,37 @@ def oracle_sql() -> dict[str, str]:
                    n_common AS n_common_shingles,
                    round(n_common * 1.0 / n_test, 6) AS contamination
             FROM pairs JOIN te_sizes USING (test_doc)
+        ''',
+        'domain_mix': f'''
+            WITH per AS (
+                SELECT source, count(*) AS n_docs,
+                       CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY 1
+            ),
+            total AS (
+                SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM per
+            )
+            SELECT source, n_docs, n_tokens,
+                   round(n_tokens / t, 6) AS token_share,
+                   round(({_SQL_MIX_TARGET}) / (n_tokens / t), 6)
+                       AS mix_weight
+            FROM per, total
+        ''',
+        'doc_chunks': f'''
+            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            ch AS (
+                SELECT doc_id, toks,
+                       unnest(range(0, 1 + CAST(ceil(
+                           greatest(len(toks) - 64, 0) / 48.0)
+                           AS INTEGER))) AS k
+                FROM tok
+            )
+            SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+                   CAST(len(toks[k*48+1 : k*48+64]) AS INTEGER)
+                       AS n_tokens,
+                   array_to_string(toks[k*48+1 : k*48+64], ' ')
+                       AS chunk_text
+            FROM ch
         ''',
         # integer-quantized log-probs (1e6 grid): LONG sums are exact
         # and order-independent, so Spark and DuckDB agree bit-for-bit

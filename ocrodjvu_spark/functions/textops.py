@@ -820,6 +820,78 @@ def pii_scrub(docs: DataFrame, id_col='doc_id',
     )
 
 
+def domain_mix_weights(docs: DataFrame, targets: dict,
+                       domain_col: str = 'source',
+                       text_col: str = 'text') -> DataFrame:
+    """Per-domain sampling weights to hit a target token mix.
+
+    The domain-reweighting step of a pretraining data pipeline (the
+    Pile / Gopher / LLaMA data cards all publish exactly this table):
+    given target token shares per domain, weight = target_share /
+    current_share, so sampling each domain's documents with its weight
+    yields the target mixture. Domains absent from ``targets`` get
+    weight 0 (excluded from the mix).
+
+    Scale shape: one map-side-combined groupBy on the domain key (the
+    output is domains-sized, trivially collectable/broadcastable); the
+    1-row total joins by broadcast.
+    """
+    tgt = F.create_map(*[
+        F.lit(x) for kv in targets.items() for x in kv])
+    per = docs.groupBy(domain_col).agg(
+        F.count('*').alias('n_docs'),
+        F.sum(F.size(tokens(text_col))).alias('n_tokens'))
+    total = per.agg(F.sum('n_tokens').cast('double').alias('_total'))
+    share = F.col('n_tokens') / F.col('_total')
+    return (per.crossJoin(F.broadcast(total))
+            .select(
+                domain_col, 'n_docs', 'n_tokens',
+                F.round(share, 6).alias('token_share'),
+                F.round(
+                    F.coalesce(tgt[F.col(domain_col)], F.lit(0.0)) / share,
+                    6).alias('mix_weight')))
+
+
+def chunk_documents(docs: DataFrame, window: int = 64, stride: int = 48,
+                    id_col='doc_id', text_col='text') -> DataFrame:
+    """Sliding-window token chunks with overlap (pretraining/RAG prep).
+
+    Chunk k covers tokens [k*stride, k*stride + window); the last
+    window clamps at the end of the document, and every document emits
+    at least one chunk. Pure Catalyst — a per-row sequence of slices
+    exploded to rows, no UDF, no shuffle (the array is bound once as a
+    lambda variable; no lambda-CSE recompute).
+
+    Output: (id, chunk_idx, n_tokens, chunk_text).
+    """
+    if not 0 < stride <= window:
+        raise ValueError(
+            f'need 0 < stride <= window (got {stride}, {window})')
+    toks = tokens(text_col)
+
+    def chunks(t):
+        n = F.size(t)
+        n_chunks = (F.lit(1) + F.ceil(
+            F.greatest(n - window, F.lit(0)) / F.lit(stride))
+        ).cast('int')
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda k: F.struct(
+                k.cast('int').alias('chunk_idx'),
+                F.slice(t, (k * stride + 1).cast('int'), window)
+                 .alias('_toks')))
+
+    exploded = docs.select(
+        F.col(id_col),
+        F.explode(F.element_at(
+            F.transform(F.array(toks), chunks), 1)).alias('c'))
+    return exploded.select(
+        id_col,
+        F.col('c.chunk_idx').alias('chunk_idx'),
+        F.size('c._toks').cast('int').alias('n_tokens'),
+        F.array_join('c._toks', ' ').alias('chunk_text'))
+
+
 LM_QUANT = 1_000_000  # log-prob quantization grid (1e-6 nats)
 
 

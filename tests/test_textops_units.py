@@ -336,3 +336,36 @@ def test_lm_score_separates_fluent_from_garbage(spark):
     mixed = _docs(spark, ['ab', 'the quick brown fox jumps here'])
     rows = {r.doc_id: r for r in textops.lm_score(mixed).collect()}
     assert rows[0].n_trigrams == 0 and rows[0].lm_score < rows[1].lm_score
+
+
+def test_domain_mix_weights(spark):
+    docs = spark.createDataFrame(
+        [(0, 'a b c d', 's1'), (1, 'e f', 's1'),
+         (2, 'g h i j k l', 's2'), (3, 'm n o p q r s t', 's3')],
+        'doc_id long, text string, source string')
+    out = {r.source: r for r in textops.domain_mix_weights(
+        docs, {'s1': 0.5, 's2': 0.5}).collect()}
+    # 20 tokens total: s1 has 6 (share .3), s2 has 6 (.3), s3 has 8 (.4)
+    assert out['s1'].n_tokens == 6 and out['s1'].n_docs == 2
+    assert abs(out['s1'].mix_weight - 0.5 / 0.3) < 1e-5
+    assert abs(out['s2'].mix_weight - 0.5 / 0.3) < 1e-5
+    assert out['s3'].mix_weight == 0.0  # absent from targets
+
+
+def test_chunk_documents_overlap_and_clamp(spark):
+    docs = _docs(spark, [' '.join(f't{i}' for i in range(10)), 'solo'])
+    out = textops.chunk_documents(docs, window=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c0 = sorted(by_doc[0], key=lambda r: r.chunk_idx)
+    # 10 tokens, window 4, stride 3 -> starts 0,3,6 -> 3 chunks
+    assert [r.chunk_text for r in c0] == [
+        't0 t1 t2 t3', 't3 t4 t5 t6', 't6 t7 t8 t9']
+    assert [r.n_tokens for r in c0] == [4, 4, 4]
+    # single-token doc -> one (clamped) chunk
+    assert [(r.chunk_idx, r.n_tokens, r.chunk_text)
+            for r in by_doc[1]] == [(0, 1, 'solo')]
+    import pytest
+    with pytest.raises(ValueError):
+        textops.chunk_documents(docs, window=4, stride=5)
