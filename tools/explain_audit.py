@@ -168,6 +168,26 @@ def main():
         ])
 
     audit(
+        'doc chunking (sequence-of-slices explode, map-only)',
+        textops.chunk_documents(docs),
+        [
+            ('no shuffle at all', lambda p: 'Exchange' not in p),
+            ('no python UDF', lambda p: 'Python' not in p),
+            ('single tokenize (one regexp_replace)',
+             lambda p: p.count('regexp_replace') == 1),
+        ])
+
+    audit(
+        'lm quality (capped vocab broadcast to the scoring join)',
+        textops.lm_score(docs, vocab_size=200),
+        [
+            ('vocab side reaches the join via BroadcastExchange',
+             lambda p: 'BroadcastExchange' in p),
+            ('no sort-merge join of doc trigrams against the vocab',
+             lambda p: 'SortMergeJoin' not in p),
+        ])
+
+    audit(
         'k-means final assignment (broadcast-centroid projection)',
         similarity.kmeans_labels(emb, k=4, iterations=1),
         [
