@@ -369,3 +369,33 @@ def test_chunk_documents_overlap_and_clamp(spark):
     import pytest
     with pytest.raises(ValueError):
         textops.chunk_documents(docs, window=4, stride=5)
+
+
+def test_chunk_documents_invariants_random_sizes(spark):
+    # one Spark job over ~60 docs of adversarial sizes: every token
+    # index is covered, every chunk is the exact slice, and the chunk
+    # count matches the closed-form formula
+    import math
+    import random
+    rng = random.Random(42)
+    sizes = [1, 2, 47, 48, 49, 63, 64, 65, 111, 112, 113] + [
+        rng.randint(1, 300) for _ in range(50)]
+    docs = _docs(spark, [' '.join(f'w{j}' for j in range(n))
+                         for n in sizes])
+    window, stride = 64, 48
+    out = textops.chunk_documents(docs, window=window, stride=stride)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r
+    for doc_id, n in enumerate(sizes):
+        toks = [f'w{j}' for j in range(n)]
+        chunks = by_doc[doc_id]
+        expect_k = 1 + math.ceil(max(n - window, 0) / stride)
+        assert sorted(chunks) == list(range(expect_k))
+        covered = set()
+        for k, r in chunks.items():
+            want = toks[k * stride:k * stride + window]
+            assert r.chunk_text.split(' ') == want
+            assert r.n_tokens == len(want)
+            covered.update(range(k * stride, k * stride + len(want)))
+        assert covered == set(range(n))
