@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HASH_MOD = 2147483647  # 2^31 - 1 (Mersenne prime)
@@ -35,6 +35,21 @@ LSH_BAND_SIZE = 4  # 16 hashes -> 4 bands of 4
 
 def norm_text(col='text') -> Column:
     return F.regexp_replace(F.trim(col), r'\s+', ' ')
+
+
+def bind_once(col: Column, fn) -> Column:
+    """Evaluate ``col`` once and hand it to ``fn`` as a bound lambda
+    variable: ``element_at(transform(array(col), fn), 1)``.
+
+    Catalyst performs no CSE for lambda expressions and inlines
+    duplicated higher-order expressions on projection collapse, so an
+    expression referenced K times inside ``fn`` would otherwise be
+    recomputed K times (the trap measured at ~4x on the MinHash
+    pipeline and ~O(n^2) on the bigram transform). Wrapping the value
+    in a 1-element array makes it a lambda-bound variable, evaluated
+    exactly once per row.
+    """
+    return F.element_at(F.transform(F.array(col), fn), 1)
 
 
 def tokens(col='text') -> Column:
@@ -107,7 +122,7 @@ def shingle_hashes(tokens_col: Column, n: int = 3) -> Column:
         return F.array_distinct(
             F.when(F.size(h) >= n, joined).otherwise(F.array(whole)))
 
-    return F.element_at(F.transform(F.array(hs), combos), 1)
+    return bind_once(hs, combos)
 
 
 def minhash_signature(hashes_col: Column) -> Column:
@@ -730,7 +745,7 @@ def repetition_stats(docs: DataFrame, id_col='doc_id',
 
     base = docs.select(
         F.col(id_col),
-        F.inline(F.transform(F.array(toks), stats))
+        F.inline(F.array(bind_once(toks, stats)))
     ).select(
         F.col(id_col), 'n_tokens', 'n_distinct',
         F.explode_outer('bigrams').alias('bigram'))
@@ -832,24 +847,28 @@ def domain_mix_weights(docs: DataFrame, targets: dict,
     yields the target mixture. Domains absent from ``targets`` get
     weight 0 (excluded from the mix).
 
-    Scale shape: one map-side-combined groupBy on the domain key (the
-    output is domains-sized, trivially collectable/broadcastable); the
-    1-row total joins by broadcast.
+    Scale shape: ONE map-side-combined groupBy on the domain key — the
+    corpus is scanned and tokenized once. The grand total is a window
+    sum over the aggregated frame (domains-sized, so its
+    single-partition exchange moves a handful of rows); deriving it
+    with a second agg + cross join would re-execute the whole
+    scan→tokenize subtree, since column pruning makes the two partial
+    aggregates differ and defeats ReuseExchange (the tf/df trap).
     """
     tgt = F.create_map(*[
         F.lit(x) for kv in targets.items() for x in kv])
     per = docs.groupBy(domain_col).agg(
         F.count('*').alias('n_docs'),
         F.sum(F.size(tokens(text_col))).alias('n_tokens'))
-    total = per.agg(F.sum('n_tokens').cast('double').alias('_total'))
-    share = F.col('n_tokens') / F.col('_total')
-    return (per.crossJoin(F.broadcast(total))
-            .select(
-                domain_col, 'n_docs', 'n_tokens',
-                F.round(share, 6).alias('token_share'),
-                F.round(
-                    F.coalesce(tgt[F.col(domain_col)], F.lit(0.0)) / share,
-                    6).alias('mix_weight')))
+    w_all = Window.partitionBy()
+    total = F.sum('n_tokens').over(w_all).cast('double')
+    share = F.col('n_tokens') / total
+    return per.select(
+        domain_col, 'n_docs', 'n_tokens',
+        F.round(share, 6).alias('token_share'),
+        F.round(
+            F.coalesce(tgt[F.col(domain_col)], F.lit(0.0)) / share,
+            6).alias('mix_weight'))
 
 
 def chunk_documents(docs: DataFrame, window: int = 64, stride: int = 48,
@@ -883,8 +902,7 @@ def chunk_documents(docs: DataFrame, window: int = 64, stride: int = 48,
 
     exploded = docs.select(
         F.col(id_col),
-        F.explode(F.element_at(
-            F.transform(F.array(toks), chunks), 1)).alias('c'))
+        F.explode(bind_once(toks, chunks)).alias('c'))
     return exploded.select(
         id_col,
         F.col('c.chunk_idx').alias('chunk_idx'),
@@ -926,9 +944,9 @@ def lm_score(docs: DataFrame, id_col='doc_id', text_col='text',
     norm = norm_text(text_col)
     trigrams = F.when(
         F.length(norm) >= 3,
-        F.element_at(F.transform(F.array(norm), lambda t: F.transform(
+        bind_once(norm, lambda t: F.transform(
             F.sequence(F.lit(1), F.length(t) - 2),
-            lambda i: t.substr(i, F.lit(3)))), 1)
+            lambda i: t.substr(i, F.lit(3))))
     ).otherwise(F.array(F.lit(None).cast('string')))
     tris = docs.select(F.col(id_col), F.explode(trigrams).alias('tri'))
     counts = tris.where(F.col('tri').isNotNull()) \

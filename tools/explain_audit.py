@@ -181,10 +181,24 @@ def main():
         'lm quality (capped vocab broadcast to the scoring join)',
         textops.lm_score(docs, vocab_size=200),
         [
-            ('vocab side reaches the join via BroadcastExchange',
-             lambda p: 'BroadcastExchange' in p),
-            ('no sort-merge join of doc trigrams against the vocab',
-             lambda p: 'SortMergeJoin' not in p),
+            # the scoring join itself must be a BroadcastHashJoin — a
+            # bare 'BroadcastExchange in plan' would be satisfied by the
+            # 1-row total's IdentityBroadcastMode alone
+            ('doc trigrams join the vocab via BroadcastHashJoin',
+             lambda p: 'BroadcastHashJoin' in p),
+            ('no shuffle/sort-merge of doc trigrams against the vocab',
+             lambda p: 'SortMergeJoin' not in p
+             and 'ShuffledHashJoin' not in p),
+        ])
+
+    audit(
+        'domain mix weights (single scan; window total over the '
+        'domains-sized aggregate)',
+        textops.domain_mix_weights(docs.withColumn('source', F.lit('s')),
+                                   {'s': 1.0}),
+        [
+            ('corpus scanned and tokenized once (one FileScan)',
+             lambda p: p.count('FileScan') == 1),
         ])
 
     audit(
