@@ -6,14 +6,22 @@ with executors. Hashes are engine-portable (character-fold rolling hash,
 md5) so every operator has an exact DuckDB oracle.
 
 Operators:
-* word shingles + rolling hash (the shared primitive)
+* word shingles + rolling hash (the shared primitive; ``bind_once`` is
+  the shared no-lambda-CSE idiom)
 * MinHash signatures + LSH banding -> candidate pairs -> exact-Jaccard
-  verification (near-duplicate detection at scale)
+  verification (near-duplicate detection at scale; hot-bucket cap)
 * SimHash (64-bit, Manku WWW'07) fingerprints + banded near-dup pairs
 * n-gram Jaccard similarity pairs (exact, shingle-join)
+* connected components (alternating large/small-star) -> dedup clusters
 * bottom-k document fingerprint
-* language ID (stopword-hit heuristic)
+* language ID (stopword-hit + char-trigram variants)
 * quality scoring (length / token / stopword / non-alpha ratios)
+* Gopher-style repetition stats (dup-token / top-bigram fractions)
+* corpus char-trigram LM quality score (CCNet/KenLM-style)
+* cross-split contamination pairs (train/test n-gram leakage)
+* PII scrub (email/phone redaction + counts)
+* domain mix weights (target token-mixture sampling table)
+* sliding-window document chunking (pretraining/RAG splitting)
 """
 
 from __future__ import annotations
