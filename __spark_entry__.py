@@ -602,6 +602,14 @@ def _q_doc_chunks(spark, sf_dir):
     return textops.chunk_documents(docs, window=64, stride=48)
 
 
+def _q_dedup_substring_spans(spark, sf_dir):
+    # Lee et al. 2022-style exact-substring duplicate regions: token
+    # spans covered by 5-grams shared by >= 2 documents, merged
+    # per-document (gaps-and-islands)
+    docs = T.load_table(spark, sf_dir, 'documents')
+    return textops.duplicated_spans(docs, n=5, min_df=2)
+
+
 def _q_lm_quality(spark, sf_dir):
     # corpus-trained char-trigram LM scoring; vocab_size=200 makes the
     # cap bind at sf0.01 (377 distinct trigrams) so the OOV floor path
@@ -954,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'split_contamination': _q_split_contamination,
         'pii_scrub': _q_pii_scrub,
         'lm_quality': _q_lm_quality,
+        'dedup_substring_spans': _q_dedup_substring_spans,
         'domain_mix': _q_domain_mix,
         'doc_chunks': _q_doc_chunks,
         'conversation_packing': _q_conversation_packing,
@@ -1161,6 +1170,16 @@ FROM (
 _SQL_MIX_TARGET = ('CASE source ' + ' '.join(
     f"WHEN '{k}' THEN {v!r}" for k, v in sorted(_MIX_TARGETS.items()))
     + ' ELSE 0.0 END')
+
+
+def _sql_pos_shingle(n: int) -> str:
+    """Positional n-gram hash combine (mirrors
+    textops.positioned_shingle_hashes: fold acc*1009 + h, mod p)."""
+    expr = 'hs[t.i]'
+    for j in range(1, n):
+        expr = f'({expr} * 1009 + hs[t.i+{j}]) % 2147483647'
+    return expr
+
 
 def _sql_ann_ivf(nprobe: int) -> str:
     """IVF oracle; ``nprobe`` mirrors similarity.ivf_topk's probe count."""
@@ -1442,6 +1461,45 @@ def oracle_sql() -> dict[str, str]:
         ''',
         # integer-quantized log-probs (1e6 grid): LONG sums are exact
         # and order-independent, so Spark and DuckDB agree bit-for-bit
+        'dedup_substring_spans': f'''
+            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            th AS ({_sql_token_hashes('tok')}),
+            pos_sh AS (
+                SELECT doc_id, CAST(t.i - 1 AS INTEGER) AS pos,
+                       {_sql_pos_shingle(5)} AS sh
+                FROM th,
+                     LATERAL (SELECT unnest(range(1, len(hs) - 3)) AS i) t
+                WHERE len(hs) >= 5
+            ),
+            dfc AS (
+                SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM pos_sh)
+                GROUP BY sh HAVING count(*) >= 2
+            ),
+            dup AS (
+                SELECT p.doc_id, p.pos, p.pos + 5 AS end_
+                FROM pos_sh p JOIN dfc USING (sh)
+            ),
+            w AS (
+                SELECT doc_id, pos, end_,
+                       max(end_) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_max
+                FROM dup
+            ),
+            isl AS (
+                SELECT doc_id, pos, end_,
+                       sum(CASE WHEN prev_max IS NULL OR pos >= prev_max
+                           THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS island
+                FROM w
+            )
+            SELECT doc_id,
+                   CAST(min(pos) AS INTEGER) AS span_start,
+                   CAST(max(end_) AS INTEGER) AS span_end,
+                   CAST(max(end_) - min(pos) AS INTEGER) AS n_tokens
+            FROM isl GROUP BY doc_id, island
+        ''',
         'lm_quality': f'''
             WITH d AS (SELECT doc_id, {_NORM} AS t FROM documents),
             tris AS (

@@ -432,6 +432,82 @@ def _verify_pairs(candidates: DataFrame, sh: DataFrame, sizes: DataFrame,
     return _score_pairs(inter, sizes, id_col, threshold)
 
 
+def positioned_shingle_hashes(tokens_col: Column, n: int = 3) -> Column:
+    """Array of (pos, shingle-hash) structs, one per n-gram START
+    position (0-based) — the positional variant of ``shingle_hashes``
+    (no distinct, no short-doc fallback: docs with < n tokens have no
+    n-token substring to report)."""
+    hs = F.transform(tokens_col, lambda t: rolling_hash(t))
+
+    def combos(h):
+        def one(i):
+            out = F.element_at(h, (i + 1).cast('int'))
+            for j in range(1, n):
+                out = (out * SHINGLE_COMBINE
+                       + F.element_at(h, (i + j + 1).cast('int'))) \
+                    % HASH_MOD
+            return F.struct(i.cast('int').alias('pos'),
+                            out.alias('sh'))
+        return F.when(
+            F.size(h) >= n,
+            F.transform(F.sequence(F.lit(0), F.size(h) - n), one)
+        ).otherwise(F.array().cast('array<struct<pos:int,sh:bigint>>'))
+
+    return bind_once(hs, combos)
+
+
+def duplicated_spans(docs: DataFrame, id_col='doc_id', text_col='text',
+                     n: int = 5, min_df: int = 2) -> DataFrame:
+    """Exact-substring duplicate regions: per-document token spans
+    covered by n-grams that appear in >= ``min_df`` distinct documents.
+
+    The span-level exact dedup of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better" — their suffix-array
+    pass removes repeated >= 50-token substrings); the distributed
+    re-expression replaces the suffix array with positioned n-gram
+    hashes: an m-token duplicated region is exactly a maximal run of
+    m-n+1 consecutive duplicated n-grams, so merging overlapping
+    duplicated windows (gaps-and-islands per document) recovers the
+    same spans. ``n`` is the minimum duplicated length reported.
+
+    Scale shape: positioned-shingle explode (corpus token count rows) →
+    distinct (doc, hash) → df count on the hash key → join back on the
+    hash → one window per document for the island merge. Every shuffle
+    is on a high-cardinality key; no driver state.
+
+    Output: (id, span_start, span_end, n_tokens) with end exclusive,
+    spans disjoint per document, ordered by construction.
+    """
+    pos_sh = docs.select(
+        F.col(id_col),
+        F.explode(positioned_shingle_hashes(tokens(text_col), n))
+         .alias('p')
+    ).select(F.col(id_col), F.col('p.pos').alias('pos'),
+             F.col('p.sh').alias('sh'))
+    df_counts = (pos_sh.select(id_col, 'sh').distinct()
+                 .groupBy('sh').agg(F.count('*').alias('df'))
+                 .where(F.col('df') >= min_df)
+                 .select('sh'))
+    dup = pos_sh.join(df_counts, 'sh').select(
+        id_col, 'pos', (F.col('pos') + n).alias('end'))
+    w_order = Window.partitionBy(id_col).orderBy('pos')
+    prev_max = F.max('end').over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1))
+    islands = dup.select(
+        id_col, 'pos', 'end',
+        F.sum(F.when(prev_max.isNull() | (F.col('pos') >= prev_max), 1)
+              .otherwise(0)).over(w_order).alias('island'))
+    return (islands.groupBy(id_col, 'island')
+            .agg(F.min('pos').alias('span_start'),
+                 F.max('end').alias('span_end'))
+            .select(
+                id_col,
+                F.col('span_start').cast('int').alias('span_start'),
+                F.col('span_end').cast('int').alias('span_end'),
+                (F.col('span_end') - F.col('span_start')).cast('int')
+                 .alias('n_tokens')))
+
+
 def oversized_minhash_buckets(docs: DataFrame, max_bucket_size: int,
                               id_col='doc_id', text_col='text',
                               n: int = 3) -> DataFrame:

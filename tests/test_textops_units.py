@@ -399,3 +399,39 @@ def test_chunk_documents_invariants_random_sizes(spark):
             assert r.n_tokens == len(want)
             covered.update(range(k * stride, k * stride + len(want)))
         assert covered == set(range(n))
+
+
+def test_duplicated_spans_merges_overlapping_windows(spark):
+    # docs 0 and 1 share a 7-token run -> one merged span of 7 tokens
+    # (3 overlapping 5-gram windows), plus doc 1's distinct tail is
+    # clean; doc 2 shares nothing
+    shared = 'alpha beta gamma delta epsilon zeta eta'
+    docs = _docs(spark, [
+        'intro words here ' + shared + ' closing bits',
+        shared + ' completely different ending tokens now',
+        'unrelated text with no overlap whatsoever at all',
+    ])
+    out = {}
+    for r in textops.duplicated_spans(docs, n=5, min_df=2).collect():
+        out.setdefault(r.doc_id, []).append(
+            (r.span_start, r.span_end, r.n_tokens))
+    # doc 0: shared run starts at token 3, 7 tokens long
+    assert out[0] == [(3, 10, 7)]
+    # doc 1: shared run at the start
+    assert out[1] == [(0, 7, 7)]
+    assert 2 not in out
+
+
+def test_duplicated_spans_separate_islands(spark):
+    # two disjoint shared regions in one doc stay two spans
+    a = 'one two three four five'
+    b = 'six seven eight nine ten'
+    docs = _docs(spark, [
+        a + ' xxa xxb xxc ' + b,
+        a + ' unrelated middle yyy zzz ' + b,
+    ])
+    out = {}
+    for r in textops.duplicated_spans(docs, n=5, min_df=2).collect():
+        out.setdefault(r.doc_id, []).append(
+            (r.span_start, r.span_end))
+    assert sorted(out[0]) == [(0, 5), (8, 13)]
