@@ -571,6 +571,23 @@ def _q_quality_repetition(spark, sf_dir):
     return textops.repetition_stats(docs)
 
 
+def _q_gopher_quality(spark, sf_dir):
+    # Gopher-rule document filter (Rae et al. 2021). Deterministic spam
+    # injections make every rule fire on some rows: every 7th doc gets
+    # '#'/ellipsis symbol spam (symbol-ratio rule), every 13th a run of
+    # bare digits (alpha-word-frac rule); short docs trip min_words
+    docs = T.load_table(spark, sf_dir, 'documents')
+    symbols = F.concat(F.col('text'), F.lit(' ## ### #### ... ...'))
+    digits = F.concat(F.col('text'),
+                      F.lit(' 0 1 2 3 4 5 6 7 8 9 0 1 2 3 4'))
+    docs = docs.select(
+        'doc_id',
+        F.when(F.col('doc_id') % 7 == 0, symbols)
+         .when(F.col('doc_id') % 13 == 0, digits)
+         .otherwise(F.col('text')).alias('text'))
+    return textops.gopher_rules(docs)
+
+
 def _q_split_contamination(spark, sf_dir):
     # train/test n-gram leakage over the SAME deterministic split the
     # corpus_split query produces; min_common=2 prunes one-off shingle
@@ -959,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_exact': _q_dedup_exact,
         'corpus_split': _q_corpus_split,
         'quality_repetition': _q_quality_repetition,
+        'gopher_quality': _q_gopher_quality,
         'split_contamination': _q_split_contamination,
         'pii_scrub': _q_pii_scrub,
         'lm_quality': _q_lm_quality,
@@ -1537,6 +1555,55 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(lp) * 1.0 / count(*) / 1000000, 6)
                        AS lm_score
             FROM lp GROUP BY 1
+        ''',
+        'gopher_quality': f'''
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN {_NORM} || ' ## ### #### ... ...'
+                            WHEN doc_id % 13 = 0
+                            THEN {_NORM} ||
+                                 ' 0 1 2 3 4 5 6 7 8 9 0 1 2 3 4'
+                            ELSE {_NORM} END AS t
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, t,
+                       string_split_regex(trim(t), '\\s+') AS toks
+                FROM d
+            ),
+            feat AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS INTEGER) AS n_words,
+                       CAST(list_sum(list_transform(toks,
+                            w -> length(w))) AS BIGINT) AS sum_len,
+                       len(list_filter(toks,
+                           w -> regexp_matches(w, '[a-zA-Z]')))
+                           AS n_alpha_words,
+                       {_sql_stop_hits('en')} AS stop_hits,
+                       length(t) - length(replace(t, '#', ''))
+                           AS hash_chars,
+                       len(regexp_extract_all(t, '\\.\\.\\.'))
+                           AS ellipses
+                FROM tok
+            )
+            SELECT doc_id, n_words,
+                   round(sum_len * 1.0 / greatest(n_words, 1), 6)
+                       AS mean_word_len,
+                   round((hash_chars + ellipses) * 1.0
+                         / greatest(n_words, 1), 6) AS symbol_word_ratio,
+                   round(n_alpha_words * 1.0 / greatest(n_words, 1), 6)
+                       AS alpha_word_frac,
+                   CAST(stop_hits AS INTEGER) AS stop_hits,
+                   CAST(n_words BETWEEN 20 AND 100000
+                        AND sum_len * 1.0 / greatest(n_words, 1)
+                            BETWEEN 3.0 AND 10.0
+                        AND (hash_chars + ellipses) * 1.0
+                            / greatest(n_words, 1) <= 0.1
+                        AND n_alpha_words * 1.0 / greatest(n_words, 1)
+                            >= 0.8
+                        AND stop_hits >= 2 AS INTEGER) AS keep
+            FROM feat
         ''',
         'pii_scrub': f'''
             WITH d AS (

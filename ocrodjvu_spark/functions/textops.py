@@ -17,6 +17,8 @@ Operators:
 * language ID (stopword-hit + char-trigram variants)
 * quality scoring (length / token / stopword / non-alpha ratios)
 * Gopher-style repetition stats (dup-token / top-bigram fractions)
+* Gopher-rule document filter (length / symbol / alpha / stopword
+  bounds -> keep verdict)
 * corpus char-trigram LM quality score (CCNet/KenLM-style)
 * cross-split contamination pairs (train/test n-gram leakage)
 * PII scrub (email/phone redaction + counts)
@@ -852,6 +854,66 @@ def repetition_stats(docs: DataFrame, id_col='doc_id',
         F.round(F.col('top_bigram_count')
                 / F.greatest(F.col('n_bigrams'), F.lit(1)), 6)
          .alias('top_bigram_frac'),
+    )
+
+
+def gopher_rules(docs: DataFrame, id_col='doc_id', text_col='text',
+                 min_words: int = 20, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 min_alpha_word_frac: float = 0.8,
+                 min_stop_hits: int = 2) -> DataFrame:
+    """Gopher-style document filter (Rae et al. 2021, appendix A).
+
+    Per document: word-count bounds, mean word length bounds,
+    symbol-to-word ratio (``#`` and ``...``), fraction of words with at
+    least one alphabetic character, and a minimum stopword-hit count —
+    plus the combined ``keep`` verdict. One tokenize pass (every token
+    statistic is folded from a single bound lambda variable), a pure
+    map-side projection: no shuffle, scales linearly with executors.
+    """
+    norm = norm_text(text_col)
+    hash_chars = F.length(norm) - F.length(F.replace(norm, F.lit('#')))
+    ellipses = F.size(F.regexp_extract_all(norm, F.lit(r'\.\.\.'), 0))
+    en_words = F.array(*[F.lit(w) for w in STOPWORDS['en']])
+
+    def stats(t):
+        return F.struct(
+            F.size(t).alias('n_words'),
+            F.aggregate(t, F.lit(0).cast('long'),
+                        lambda acc, w: acc + F.length(w)).alias('sum_len'),
+            F.size(F.filter(t, lambda w: w.rlike('[a-zA-Z]')))
+             .alias('n_alpha_words'),
+            F.size(F.filter(t, lambda w: F.array_contains(en_words, w)))
+             .alias('stop_hits'),
+        )
+
+    feat = docs.select(
+        F.col(id_col),
+        F.inline(F.array(bind_once(tokens(text_col), stats))),
+        hash_chars.alias('hash_chars'), ellipses.alias('ellipses'))
+    n_words = F.col('n_words')
+    mean_word_len = F.col('sum_len') / F.greatest(n_words, F.lit(1))
+    symbol_ratio = ((F.col('hash_chars') + F.col('ellipses'))
+                    / F.greatest(n_words, F.lit(1)))
+    alpha_frac = F.col('n_alpha_words') / F.greatest(n_words, F.lit(1))
+    keep = (
+        (n_words >= min_words) & (n_words <= max_words)
+        & (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (F.col('stop_hits') >= min_stop_hits)
+    )
+    return feat.select(
+        id_col,
+        n_words.cast('int').alias('n_words'),
+        F.round(mean_word_len, 6).alias('mean_word_len'),
+        F.round(symbol_ratio, 6).alias('symbol_word_ratio'),
+        F.round(alpha_frac, 6).alias('alpha_word_frac'),
+        F.col('stop_hits').cast('int').alias('stop_hits'),
+        keep.cast('int').alias('keep'),
     )
 
 

@@ -285,6 +285,26 @@ def test_repetition_stats_separates_spam(spark):
     assert out[2].n_bigrams == 0 and out[2].top_bigram_frac == 0.0
 
 
+def test_gopher_rules_each_rule_fires(spark):
+    long_clean = (
+        'the quick brown fox jumps over lazy dogs and that ' * 3).strip()
+    docs = _docs(spark, [
+        long_clean,                                   # passes everything
+        'short doc the and',                          # < min_words
+        long_clean + ' ## ### #### ... ... ... ...',  # symbol spam
+        long_clean + ' 0 1 2 3 4 5 6 7 8 9 0 1 2 3',  # digit run
+        ('zz ' * 40).strip(),                         # no stopwords
+    ])
+    out = {r.doc_id: r for r in textops.gopher_rules(docs).collect()}
+    assert out[0].keep == 1
+    assert out[1].keep == 0 and out[1].n_words < 20
+    assert out[2].keep == 0 and out[2].symbol_word_ratio > 0.1
+    assert out[3].keep == 0 and out[3].alpha_word_frac < 0.8
+    assert out[4].keep == 0 and out[4].stop_hits == 0
+    # mean word length is a real mean, not chars/words-with-separators
+    assert abs(out[0].mean_word_len - 4.0) < 1e-9
+
+
 def test_contamination_pairs_detects_leak(spark):
     train = _docs(spark, [
         'alpha beta gamma delta epsilon zeta eta theta',

@@ -160,6 +160,16 @@ def main():
         ])
 
     audit(
+        'gopher rules (map-only, single tokenize pass)',
+        textops.gopher_rules(docs),
+        [
+            ('no shuffle at all', lambda p: 'Exchange' not in p),
+            ('no python UDF', lambda p: 'Python' not in p),
+            ('corpus tokenized once (one regexp_replace feeding split)',
+             lambda p: p.count('split(regexp_replace') == 1),
+        ])
+
+    audit(
         'pii scrub (map-only projection)',
         textops.pii_scrub(docs),
         [
