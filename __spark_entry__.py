@@ -558,6 +558,21 @@ def _q_corpus_split(spark, sf_dir):
          .otherwise(F.lit('test')).alias('split'))
 
 
+# sampling-rate targets for the stratified_sample gate: downsample the
+# dominant language, keep a minority language whole, exclude one, and
+# let the rest take the default — all four code paths produce rows
+_SAMPLE_RATES = {'en': 0.25, 'zh': 1.0, 'de': 0.0}
+
+
+def _q_stratified_sample(spark, sf_dir):
+    # deterministic per-language downsampling (data-mix resampling):
+    # salted rolling hash mod 10000 vs per-stratum integer thresholds —
+    # reproducible across runs/engines/partitionings, map-only
+    docs = T.load_table(spark, sf_dir, 'documents')
+    return textops.stratified_sample(docs, _SAMPLE_RATES,
+                                     default_rate=0.5)
+
+
 def _q_quality_repetition(spark, sf_dir):
     # Gopher-style repetition signals; every 11th doc gets a repeated
     # spam phrase so top_bigram_frac separates spammy from clean rows
@@ -975,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'extraction_metrics': _q_extraction_metrics,
         'dedup_exact': _q_dedup_exact,
         'corpus_split': _q_corpus_split,
+        'stratified_sample': _q_stratified_sample,
         'quality_repetition': _q_quality_repetition,
         'gopher_quality': _q_gopher_quality,
         'split_contamination': _q_split_contamination,
@@ -1373,6 +1389,20 @@ def oracle_sql() -> dict[str, str]:
                         WHEN b < 90 THEN 'validation'
                         ELSE 'test' END AS split
             FROM h
+        ''',
+        'stratified_sample': f'''
+            WITH h AS (
+                SELECT doc_id, lang,
+                       {_SQL_HASH(f"'sample:' || lang || ':' || {_NORM}")}
+                           % {textops.SAMPLE_DENOM} AS b
+                FROM documents
+            )
+            SELECT doc_id, lang AS stratum, CAST(b AS INTEGER) AS sample_bucket
+            FROM h
+            WHERE b < CASE lang WHEN 'en' THEN 2500
+                                WHEN 'zh' THEN 10000
+                                WHEN 'de' THEN 0
+                                ELSE 5000 END
         ''',
         'quality_repetition': f'''
             WITH d AS (

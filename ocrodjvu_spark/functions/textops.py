@@ -917,6 +917,39 @@ def gopher_rules(docs: DataFrame, id_col='doc_id', text_col='text',
     )
 
 
+SAMPLE_DENOM = 10_000
+
+
+def stratified_sample(docs: DataFrame, rates: dict,
+                      id_col='doc_id', text_col='text',
+                      stratum_col='lang', default_rate: float = 0.0,
+                      salt: str = 'sample') -> DataFrame:
+    """Deterministic per-stratum downsampling (the data-mix resampling
+    step): keep a document iff its salted rolling text hash mod
+    ``SAMPLE_DENOM`` falls under the stratum's threshold.
+
+    No RNG and no driver state, so the sample is reproducible across
+    runs, engines and repartitionings — the property a training-data
+    card needs. Rates are converted to integer thresholds here (driver
+    side, exact) so both Spark and the SQL oracle compare integers;
+    a rate of 0 excludes the stratum entirely. Map-only filter +
+    projection: no shuffle, scales linearly with executors.
+    """
+    thresholds = {s: int(round(r * SAMPLE_DENOM)) for s, r in rates.items()}
+    thr_map = F.create_map(
+        *[F.lit(x) for kv in thresholds.items() for x in kv])
+    thr = F.coalesce(thr_map[F.col(stratum_col)],
+                     F.lit(int(round(default_rate * SAMPLE_DENOM))))
+    bucket = rolling_hash(
+        F.concat(F.lit(salt + ':'), F.col(stratum_col), F.lit(':'),
+                 norm_text(text_col))) % SAMPLE_DENOM
+    return (docs
+            .select(F.col(id_col), F.col(stratum_col).alias('stratum'),
+                    bucket.cast('int').alias('sample_bucket'), thr.alias('_thr'))
+            .where(F.col('sample_bucket') < F.col('_thr'))
+            .drop('_thr'))
+
+
 def contamination_pairs(train: DataFrame, test: DataFrame,
                         id_col='doc_id', text_col='text', n: int = 3,
                         min_common: int = 1) -> DataFrame:

@@ -372,6 +372,31 @@ def test_domain_mix_weights(spark):
     assert out['s3'].mix_weight == 0.0  # absent from targets
 
 
+def test_stratified_sample_deterministic_rates(spark):
+    rows = [(i, f'document number {i} with some text', lang)
+            for i, lang in enumerate(['en'] * 40 + ['zh'] * 5 + ['de'] * 5)]
+    docs = spark.createDataFrame(
+        rows, 'doc_id long, text string, lang string')
+    rates = {'en': 0.5, 'zh': 1.0, 'de': 0.0}
+    out = textops.stratified_sample(docs, rates).collect()
+    by_stratum = {}
+    for r in out:
+        by_stratum.setdefault(r.stratum, []).append(r)
+    # keep-all stratum keeps every row; rate-0 stratum is excluded
+    assert len(by_stratum['zh']) == 5
+    assert 'de' not in by_stratum
+    # downsampled stratum keeps a strict, hash-determined subset
+    assert 0 < len(by_stratum['en']) < 40
+    for r in out:
+        assert 0 <= r.sample_bucket < textops.SAMPLE_DENOM
+    # deterministic: identical keep-set on re-run and after repartition
+    again = textops.stratified_sample(docs.repartition(7), rates).collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in out)
+    # default_rate covers strata absent from the rate map
+    dflt = textops.stratified_sample(docs, {'zh': 1.0}, default_rate=0.0)
+    assert sorted(r.doc_id for r in dflt.collect()) == [40, 41, 42, 43, 44]
+
+
 def test_chunk_documents_overlap_and_clamp(spark):
     docs = _docs(spark, [' '.join(f't{i}' for i in range(10)), 'solo'])
     out = textops.chunk_documents(docs, window=4, stride=3).collect()
