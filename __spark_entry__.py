@@ -857,6 +857,16 @@ def _q_embedding_kmeans(spark, sf_dir):
     return similarity.kmeans_labels(emb, k=8, iterations=3)
 
 
+def _q_dedup_semantic(spark, sf_dir):
+    # SemDeDup: k-means partition (same deterministic k=8 x 3 rounds the
+    # embedding_kmeans gate pins) then within-cluster exact cosine pairs
+    # -- the equi-join-on-cluster scale shape; threshold 0.4 because the
+    # corpus max pairwise cosine is ~0.54
+    emb = T.load_table(spark, sf_dir, 'embeddings')
+    return similarity.semantic_dedup_pairs(emb, threshold=0.4,
+                                           k=8, iterations=3)
+
+
 def _sql_kmeans(k: int = 8, iterations: int = 3,
                 quant: int = 1000) -> str:
     """Unrolled Lloyd iterations mirroring similarity.kmeans_labels."""
@@ -1014,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_fingerprint': _q_doc_fingerprint,
         'ann_cosine_topk': _q_ann_cosine_topk,
         'embedding_kmeans': _q_embedding_kmeans,
+        'dedup_semantic': _q_dedup_semantic,
         'ann_lsh_topk': _q_ann_lsh_topk,
         'ann_ivf_topk': _q_ann_ivf_topk,
         'ann_ivf_nprobe2': _q_ann_ivf_nprobe2,
@@ -2044,6 +2055,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM n a JOIN n b ON a.vec_id < b.vec_id
             )
             SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.45
+        ''',
+        'dedup_semantic': f'''
+            WITH labels AS (SELECT * FROM ({_sql_kmeans()}) t),
+            {_SQL_EMB.strip()}
+            SELECT la.cluster AS cluster,
+                   a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_sum(list_transform(range(1, len(a.v) + 1),
+                             i -> a.v[i] * b.v[i]))
+                         / (a.nrm * b.nrm), 6) AS cos_sim
+            FROM n a
+            JOIN labels la ON a.vec_id = la.vec_id
+            JOIN labels lb ON la.cluster = lb.cluster
+            JOIN n b ON b.vec_id = lb.vec_id
+            WHERE a.vec_id < b.vec_id
+              AND round(list_sum(list_transform(range(1, len(a.v) + 1),
+                            i -> a.v[i] * b.v[i]))
+                        / (a.nrm * b.nrm), 6) >= 0.4
         ''',
         'djvused_script': f'''
             SELECT {_CONV} AS conv_id, {_TIDX} AS turn_idx,

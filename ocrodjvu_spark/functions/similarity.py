@@ -17,6 +17,7 @@ oracle computes the same fold).
 from __future__ import annotations
 
 import math
+from typing import Optional
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -375,6 +376,62 @@ def kmeans_labels(embeddings: DataFrame, k: int = 8, iterations: int = 3,
     result = assign(centroids).select(id_col, 'cluster')
     pts.unpersist(False)
     return result
+
+
+def semantic_dedup_pairs(embeddings: DataFrame, threshold: float = 0.4,
+                         k: int = 8, iterations: int = 3,
+                         id_col: str = 'vec_id', vec_col: str = 'embedding',
+                         max_cluster_size: Optional[int] = None):
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): k-means partition the embedding space, then exact
+    cosine only *within* each cluster.
+
+    Scale shape: this is the standard fix for embedding dedup when even
+    LSH banding recalls too many candidates — the pairwise stage is an
+    equi-join on the cluster id, so candidate count drops from O(n^2)
+    to sum_c n_c^2 and the join parallelizes across clusters. At 100 TB
+    you scale ``k`` with the corpus (SemDeDup uses k ~ n/5000) so
+    per-cluster sizes stay bounded; ``max_cluster_size`` is the same
+    observability cap the MinHash/SimHash paths have — clusters above
+    the cap are excluded from pairing and reported, not silently
+    quadratic. Returns ``(pairs_df, oversized_df)`` when the cap is set,
+    else the pairs DataFrame.
+
+    Semantics vs ``neardup_pairs``: deliberately *approximate* — a pair
+    above threshold whose members land in different clusters is missed
+    (the paper's trade: within-cluster dups dominate). The gate oracle
+    unrolls the same deterministic k-means, so the approximation itself
+    is pinned exactly.
+
+    Output: (cluster, vec_a, vec_b, cos_sim) with vec_a < vec_b.
+    """
+    labels = kmeans_labels(embeddings, k=k, iterations=iterations,
+                           id_col=id_col, vec_col=vec_col)
+    corpus = _prep(embeddings, id_col, vec_col).join(labels, id_col)
+    oversized = None
+    if max_cluster_size is not None:
+        csize = (labels.groupBy('cluster')
+                 .agg(F.count('*').alias('n_members')))
+        oversized = csize.where(F.col('n_members') > max_cluster_size)
+        corpus = (corpus
+                  .join(F.broadcast(csize), 'cluster')
+                  .where(F.col('n_members') <= max_cluster_size)
+                  .drop('n_members'))
+    a = corpus.select('cluster', F.col(id_col).alias('vec_a'),
+                      F.col('vec').alias('va'), F.col('nrm').alias('na'))
+    b = corpus.select('cluster', F.col(id_col).alias('vec_b'),
+                      F.col('vec').alias('vb'), F.col('nrm').alias('nb'))
+    pairs = (
+        a.join(b, ['cluster'])
+        .where(F.col('vec_a') < F.col('vec_b'))
+        .select('cluster', 'vec_a', 'vec_b',
+                F.round(dot(F.col('va'), F.col('vb'))
+                        / (F.col('na') * F.col('nb')), 6).alias('cos_sim'))
+        .where(F.col('cos_sim') >= threshold)
+    )
+    if max_cluster_size is not None:
+        return pairs, oversized
+    return pairs
 
 
 def lsh_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,

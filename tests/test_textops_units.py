@@ -257,6 +257,32 @@ def test_kmeans_two_blobs(spark):
         assert out[i] == out[i % 2]
 
 
+def test_semantic_dedup_pairs_within_cluster_and_cap(spark):
+    from ocrodjvu_spark.functions import similarity
+    # two orthogonal blobs; within each blob vectors are near-identical
+    # (cos ~ 1), across blobs cos ~ 0 — so SemDeDup must pair within
+    # clusters only
+    rows = []
+    for i in range(12):
+        blob = i % 2
+        base = [4.0, 0.1] if blob == 0 else [0.1, 4.0]
+        vec = [base[0] + 0.01 * i, base[1]] + [0.0] * 62
+        rows.append((i, [float(x) for x in vec]))
+    emb = spark.createDataFrame(rows, 'vec_id long, embedding array<float>')
+    pairs = similarity.semantic_dedup_pairs(
+        emb, threshold=0.99, k=2, iterations=3).collect()
+    assert len(pairs) == 2 * (6 * 5 // 2)  # all within-blob pairs
+    for r in pairs:
+        assert r.vec_a % 2 == r.vec_b % 2 and r.cos_sim > 0.99
+    # cap: both clusters have 6 members; cap at 5 excludes both and
+    # reports them instead of going quadratic
+    capped, oversized = similarity.semantic_dedup_pairs(
+        emb, threshold=0.99, k=2, iterations=3, max_cluster_size=5)
+    assert capped.count() == 0
+    over = {(r.cluster, r.n_members) for r in oversized.collect()}
+    assert over == {(0, 6), (1, 6)}
+
+
 def test_language_id_ngram_profiles(spark):
     docs = _docs(spark, [
         'the cat and the dog sing along with the band',

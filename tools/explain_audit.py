@@ -125,6 +125,15 @@ def main():
         ])
 
     audit(
+        'semantic dedup (within-cluster equi-join, never all-pairs)',
+        similarity.semantic_dedup_pairs(emb, k=4, iterations=1),
+        [
+            ('pairing is an equi-join on cluster id, not a nested loop',
+             lambda p: 'BroadcastNestedLoopJoin' not in p
+             and 'CartesianProduct' not in p),
+        ])
+
+    audit(
         'simhash near-dup pairs (band equi-join carrying fingerprints)',
         textops.simhash_neardup_pairs(docs),
         [
