@@ -603,6 +603,27 @@ def _q_gopher_quality(spark, sf_dir):
     return textops.gopher_rules(docs)
 
 
+def _q_c4_quality(spark, sf_dir):
+    # C4 line-level cleaning (Raffel et al. 2020). The corpus has no
+    # newlines, so deterministic lines are appended to exercise every
+    # rule: two always-kept lines, one too-short line, and a doc_id-keyed
+    # fifth line that trips the brace rule (%4==0), the lorem-ipsum rule
+    # (%4==1), or survives as the third kept line (else). NULL-strict
+    # concat (not concat_ws) keeps parity with SQL ||.
+    docs = T.load_table(spark, sf_dir, 'documents')
+    line_e = (
+        F.when(F.col('doc_id') % 4 == 0, F.lit('stray { brace'))
+        .when(F.col('doc_id') % 4 == 1, F.lit('lorem ipsum dolor sit amet.'))
+        .otherwise(F.lit('the third injected line rounds out the document.')))
+    text2 = F.concat(
+        textops.norm_text('text'), F.lit('\n'),
+        F.lit('the first injected line has enough words.\n'
+              'tiny.\n'
+              'the second injected line also has enough words.\n'),
+        line_e)
+    return textops.c4_rules(docs.select('doc_id', text2.alias('text')))
+
+
 def _q_split_contamination(spark, sf_dir):
     # train/test n-gram leakage over the SAME deterministic split the
     # corpus_split query produces; min_common=2 prunes one-off shingle
@@ -1003,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'stratified_sample': _q_stratified_sample,
         'quality_repetition': _q_quality_repetition,
         'gopher_quality': _q_gopher_quality,
+        'c4_quality': _q_c4_quality,
         'split_contamination': _q_split_contamination,
         'pii_scrub': _q_pii_scrub,
         'lm_quality': _q_lm_quality,
@@ -1645,6 +1667,39 @@ def oracle_sql() -> dict[str, str]:
                             >= 0.8
                         AND stop_hits >= 2 AS INTEGER) AS keep
             FROM feat
+        ''',
+        'c4_quality': f'''
+            WITH d AS (
+                SELECT doc_id,
+                       {_NORM} || chr(10)
+                       || 'the first injected line has enough words.'
+                       || chr(10) || 'tiny.' || chr(10)
+                       || 'the second injected line also has enough words.'
+                       || chr(10)
+                       || CASE WHEN doc_id % 4 = 0 THEN 'stray {{ brace'
+                               WHEN doc_id % 4 = 1
+                                   THEN 'lorem ipsum dolor sit amet.'
+                               ELSE 'the third injected line rounds out '
+                                    || 'the document.' END AS t
+                FROM documents
+            ),
+            k AS (
+                SELECT doc_id, t,
+                       string_split(t, chr(10)) AS lines,
+                       list_filter(string_split(t, chr(10)), ln ->
+                           len(string_split_regex(trim(ln), '\\s+')) >= 5
+                           AND regexp_matches(trim(ln), '[.!?"]$')) AS kept
+                FROM d
+            )
+            SELECT doc_id,
+                   CAST(len(lines) AS INTEGER) AS n_lines,
+                   CAST(len(kept) AS INTEGER) AS n_kept_lines,
+                   array_to_string(kept, chr(10)) AS kept_text,
+                   CAST(len(kept) >= 3
+                        AND NOT contains(t, '{{')
+                        AND NOT contains(lower(t), 'lorem ipsum')
+                        AS INTEGER) AS keep
+            FROM k
         ''',
         'pii_scrub': f'''
             WITH d AS (

@@ -917,6 +917,57 @@ def gopher_rules(docs: DataFrame, id_col='doc_id', text_col='text',
     )
 
 
+def c4_rules(docs: DataFrame, id_col='doc_id', text_col='text',
+             min_line_words: int = 5,
+             min_kept_lines: int = 3) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020, section 2.2): line-level
+    filtering plus document-level exclusions.
+
+    A line survives iff it ends in terminal punctuation (``. ! ? "``)
+    and has at least ``min_line_words`` words; the document survives iff
+    at least ``min_kept_lines`` lines survive AND the text contains no
+    ``{`` (code marker) and no ``lorem ipsum`` (boilerplate marker).
+    The paper's dirty-word list and three-sentence-span dedup are
+    covered elsewhere (``pii_scrub`` / ``duplicated_spans``).
+
+    One pass over the line array (the split and the filtered array are
+    each evaluated exactly once via bound lambda variables — Catalyst
+    has no CSE for lambdas), pure map-side projection: no shuffle,
+    scales linearly with executors.
+
+    Output: (doc_id, n_lines, n_kept_lines, kept_text, keep).
+    """
+    def line_ok(ln):
+        t = F.trim(ln)
+        return ((F.size(F.split(t, r'\s+')) >= min_line_words)
+                & t.rlike('[.!?"]$'))
+
+    def stats(ls):
+        return F.struct(
+            F.size(ls).alias('n_lines'),
+            bind_once(
+                F.filter(ls, line_ok),
+                lambda kept: F.struct(
+                    F.size(kept).alias('n_kept_lines'),
+                    F.array_join(kept, '\n').alias('kept_text'))
+            ).alias('k'))
+
+    feat = docs.select(
+        F.col(id_col),
+        F.inline(F.array(bind_once(F.split(F.col(text_col), '\n'), stats))),
+        F.col(text_col).contains('{').alias('has_brace'),
+        F.lower(F.col(text_col)).contains('lorem ipsum').alias('has_lorem'))
+    keep = ((F.col('k.n_kept_lines') >= min_kept_lines)
+            & ~F.col('has_brace') & ~F.col('has_lorem'))
+    return feat.select(
+        id_col,
+        F.col('n_lines').cast('int').alias('n_lines'),
+        F.col('k.n_kept_lines').cast('int').alias('n_kept_lines'),
+        F.col('k.kept_text').alias('kept_text'),
+        keep.cast('int').alias('keep'),
+    )
+
+
 SAMPLE_DENOM = 10_000
 
 

@@ -331,6 +331,30 @@ def test_gopher_rules_each_rule_fires(spark):
     assert abs(out[0].mean_word_len - 4.0) < 1e-9
 
 
+def test_c4_rules_line_and_doc_filters(spark):
+    good = 'this line has exactly five words no wait seven.'
+    docs = _docs(spark, [
+        '\n'.join([good, 'no terminal punctuation on this line',
+                   'short one.', good, 'he said "stop right there now"']),
+        '\n'.join([good, good, good]) + '\nint main() { return 0; }',
+        ('Lorem Ipsum dolor sit amet consectetur.\n' + good + '\n'
+         + good + '\n' + good),
+        'single line doc without punctuation at all',
+    ])
+    out = {r.doc_id: r for r in textops.c4_rules(docs).collect()}
+    # doc 0: kept = two `good` lines + the quote-terminated line = 3
+    assert out[0].n_lines == 5 and out[0].n_kept_lines == 3
+    assert out[0].keep == 1
+    assert out[0].kept_text.count('\n') == 2
+    # doc 1: 3 kept lines but a brace -> excluded
+    assert out[1].n_kept_lines == 3 and out[1].keep == 0
+    # doc 2: 4 kept lines but lorem ipsum (case-insensitive) -> excluded
+    assert out[2].n_kept_lines == 4 and out[2].keep == 0
+    # doc 3: one line, nothing kept
+    assert out[3].n_lines == 1 and out[3].n_kept_lines == 0
+    assert out[3].keep == 0 and out[3].kept_text == ''
+
+
 def test_contamination_pairs_detects_leak(spark):
     train = _docs(spark, [
         'alpha beta gamma delta epsilon zeta eta theta',
