@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocrodjvu_spark import pipeline
-from ocrodjvu_spark.functions import similarity, textops
+from ocrodjvu_spark.functions import similarity, temporal, textops
 from ocrodjvu_spark.sources import engine_synth as ES
 from ocrodjvu_spark.sources import transcripts as T
 
@@ -955,6 +955,28 @@ def _q_events_sessionization(spark, sf_dir):
     )
 
 
+def _q_events_asof_join(spark, sf_dir):
+    # as-of join: each click picks up the user's most recent prior (or
+    # simultaneous) purchase — union + window carry-forward, one shuffle
+    # on user_id, never a range theta-join; 141 clicks at sf0.01 have no
+    # prior purchase and keep nulls (the left-join path)
+    events = T.load_table(spark, sf_dir, 'events')
+    clicks = events.where(F.col('event_type') == 'click').select(
+        'event_id', 'user_id', 'ts')
+    purchases = events.where(F.col('event_type') == 'purchase')
+    return temporal.asof_join(clicks, purchases)
+
+
+def _q_events_range_join(spark, sf_dir):
+    # bounded range join: (click, error) pairs for the same user within
+    # 10 minutes — interval-bucketed equi-join (floor-second semantics
+    # on both engines), exact recall at one-bucket adjacency
+    events = T.load_table(spark, sf_dir, 'events')
+    clicks = events.where(F.col('event_type') == 'click')
+    errors = events.where(F.col('event_type') == 'error')
+    return temporal.range_join(clicks, errors, window_sec=600)
+
+
 def _q_events_json_props(spark, sf_dir):
     # semi-structured path: JSON property extraction + agg, JVM-side
     events = T.load_table(spark, sf_dir, 'events')
@@ -1057,6 +1079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'extract_rotated90': _q_extract_rotated90,
         'extract_rotated270': _q_extract_rotated270,
         'events_window_agg': _q_events_window_agg,
+        'events_asof_join': _q_events_asof_join,
+        'events_range_join': _q_events_range_join,
         'streaming_extraction': _q_streaming_extraction,
         'streaming_dedup': _q_streaming_dedup,
         'stateful_conversation_state': _q_stateful_conversation_state,
@@ -2150,6 +2174,25 @@ def oracle_sql() -> dict[str, str]:
                    )
                    || '))' || chr(10) || '.' || chr(10) AS djvused_script
             FROM documents
+        ''',
+        'events_asof_join': '''
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.event_id AS matched_event_id,
+                   r.ts AS matched_ts,
+                   r.value AS matched_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'purchase') r
+            ON l.user_id = r.user_id AND l.ts >= r.ts
+        ''',
+        'events_range_join': '''
+            SELECT l.user_id, l.ts, r.ts AS near_ts,
+                   CAST(floor(epoch(r.ts)) - floor(epoch(l.ts)) AS BIGINT)
+                       AS delta_sec
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            JOIN (SELECT * FROM events WHERE event_type = 'error') r
+              ON l.user_id = r.user_id
+             AND abs(floor(epoch(r.ts)) - floor(epoch(l.ts))) <= 600
         ''',
         'events_sessionization': '''
             WITH marks AS (

@@ -530,3 +530,50 @@ def test_duplicated_spans_separate_islands(spark):
         out.setdefault(r.doc_id, []).append(
             (r.span_start, r.span_end))
     assert sorted(out[0]) == [(0, 5), (8, 13)]
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime
+    from ocrodjvu_spark.functions import temporal
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(100, 1, t(10)), (101, 1, t(20)), (102, 2, t(5)), (103, 3, t(9))],
+        'event_id long, user_id long, ts timestamp')
+    right = spark.createDataFrame(
+        [(0, 1, t(8), 1.0), (1, 1, t(20), 2.0), (2, 2, t(6), 3.0)],
+        'event_id long, user_id long, ts timestamp, value double')
+    out = {r.event_id: r for r in temporal.asof_join(left, right).collect()}
+    assert out[100].matched_event_id == 0          # latest ts<=10 is t(8)
+    assert out[101].matched_event_id == 1          # equal ts matches (<=)
+    assert out[101].matched_value == 2.0
+    assert out[102].matched_event_id is None       # right t(6) > left t(5)
+    assert out[103].matched_event_id is None       # user 3: no right rows
+    # strict: the equal-ts right row no longer matches
+    s = {r.event_id: r
+         for r in temporal.asof_join(left, right, strict=True).collect()}
+    assert s[101].matched_event_id == 0
+    # deterministic tie-break among equal-(key, ts) right rows: max payload
+    right2 = right.union(spark.createDataFrame(
+        [(9, 1, t(20), 7.0)], right.schema))
+    t2 = {r.event_id: r for r in temporal.asof_join(left, right2).collect()}
+    assert t2[101].matched_event_id == 9
+
+
+def test_range_join_bucket_boundary_recall(spark):
+    from datetime import datetime
+    from ocrodjvu_spark.functions import temporal
+    # window=60 buckets on the minute; pairs straddling a bucket edge and
+    # pairs exactly at the window bound must both be found
+    ts = lambda m, s: datetime(2024, 1, 1, 0, m, s)
+    left = spark.createDataFrame(
+        [(1, ts(1, 1)), (2, ts(5, 0))], 'user_id long, ts timestamp')
+    right = spark.createDataFrame(
+        [(1, ts(0, 59)),   # adjacent bucket, delta -2
+         (1, ts(2, 1)),    # delta exactly +60 (inclusive bound)
+         (1, ts(2, 2)),    # delta +61 -> out
+         (2, ts(5, 30))],  # same bucket, delta +30
+        'user_id long, ts timestamp')
+    out = {(r.user_id, r.delta_sec)
+           for r in temporal.range_join(left, right, window_sec=60)
+           .collect()}
+    assert out == {(1, -2), (1, 60), (2, 30)}

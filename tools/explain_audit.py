@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from ocrodjvu_spark import pipeline  # noqa: E402
-from ocrodjvu_spark.functions import similarity, textops  # noqa: E402
+from ocrodjvu_spark.functions import similarity, temporal, textops  # noqa: E402
 from ocrodjvu_spark.session import get_spark  # noqa: E402
 from ocrodjvu_spark.sources import transcripts as T  # noqa: E402
 
@@ -122,6 +122,33 @@ def main():
              lambda p: 'BroadcastNestedLoopJoin' not in p),
             ('no cartesian product',
              lambda p: 'CartesianProduct' not in p),
+        ])
+
+    ev = T.load_table(spark, sf_dir, 'events')
+    audit(
+        'as-of join (union + window carry, no range theta-join)',
+        temporal.asof_join(
+            ev.where(F.col('event_type') == 'click')
+              .select('event_id', 'user_id', 'ts'),
+            ev.where(F.col('event_type') == 'purchase')),
+        [
+            ('no nested-loop / cartesian join anywhere',
+             lambda p: 'BroadcastNestedLoopJoin' not in p
+             and 'CartesianProduct' not in p
+             and 'SortMergeJoin' not in p),
+            ('single hash shuffle on the key',
+             lambda p: p.count('Exchange hashpartitioning') == 1),
+        ])
+
+    audit(
+        'range join (interval-bucketed equi-join)',
+        temporal.range_join(
+            ev.where(F.col('event_type') == 'click'),
+            ev.where(F.col('event_type') == 'error')),
+        [
+            ('pairing is an equi-join on (key, bucket), not a theta-join',
+             lambda p: 'BroadcastNestedLoopJoin' not in p
+             and 'CartesianProduct' not in p),
         ])
 
     audit(
