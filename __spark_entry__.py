@@ -977,6 +977,41 @@ def _q_events_range_join(spark, sf_dir):
     return temporal.range_join(clicks, errors, window_sec=600)
 
 
+def _q_events_rollup(spark, sf_dir):
+    # multi-granularity rollup (hypertable-style (type, day) -> type ->
+    # grand total in ONE pass): Catalyst's Expand duplicates rows per
+    # grouping set map-side, so it's still a single shuffle — at 100 TB
+    # that beats three separate aggregations reading the fact table
+    # three times
+    events = T.load_table(spark, sf_dir, 'events')
+    return (
+        events
+        .rollup('event_type',
+                F.date_format('ts', 'yyyy-MM-dd').alias('day'))
+        .agg(F.grouping_id().alias('gid'),
+             F.count('*').alias('n_events'),
+             F.round(F.sum('value'), 4).alias('sum_value'))
+        .select('event_type', 'day', 'gid', 'n_events', 'sum_value'))
+
+
+_PIVOT_TYPES = ['click', 'view', 'purchase', 'signup', 'error']
+
+
+def _q_events_pivot(spark, sf_dir):
+    # pivot with an EXPLICIT value list: passing the values avoids the
+    # hidden distinct-scan job Spark otherwise runs first (an unbounded
+    # extra pass at 100 TB) and keeps the output schema static; absent
+    # (user, type) combos coalesce to 0
+    events = T.load_table(spark, sf_dir, 'events')
+    pivoted = (events.groupBy('user_id')
+               .pivot('event_type', _PIVOT_TYPES)
+               .agg(F.count(F.lit(1))))
+    return pivoted.select(
+        'user_id',
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f'n_{t}')
+          for t in _PIVOT_TYPES])
+
+
 def _q_events_json_props(spark, sf_dir):
     # semi-structured path: JSON property extraction + agg, JVM-side
     events = T.load_table(spark, sf_dir, 'events')
@@ -1081,6 +1116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_window_agg': _q_events_window_agg,
         'events_asof_join': _q_events_asof_join,
         'events_range_join': _q_events_range_join,
+        'events_rollup': _q_events_rollup,
+        'events_pivot': _q_events_pivot,
         'streaming_extraction': _q_streaming_extraction,
         'streaming_dedup': _q_streaming_dedup,
         'stateful_conversation_state': _q_stateful_conversation_state,
@@ -2193,6 +2230,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT * FROM events WHERE event_type = 'error') r
               ON l.user_id = r.user_id
              AND abs(floor(epoch(r.ts)) - floor(epoch(l.ts))) <= 600
+        ''',
+        'events_rollup': '''
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(GROUPING_ID(event_type, strftime(ts, '%Y-%m-%d'))
+                        AS BIGINT) AS gid,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
+        ''',
+        'events_pivot': '''
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'view') AS n_view,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'error') AS n_error
+            FROM events
+            GROUP BY user_id
         ''',
         'events_sessionization': '''
             WITH marks AS (
