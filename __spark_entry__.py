@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ocrodjvu_spark import pipeline
@@ -573,6 +573,33 @@ def _q_stratified_sample(spark, sf_dir):
                                      default_rate=0.5)
 
 
+def _q_length_quantiles(spark, sf_dir):
+    # per-language length distribution (data-card table): exact
+    # interpolating percentiles vs DuckDB quantile_cont; approx=True is
+    # the bounded-memory sketch path at scale (documented, not gated)
+    docs = T.load_table(spark, sf_dir, 'documents')
+    return textops.length_quantiles(docs)
+
+
+def _q_dedup_apply(spark, sf_dir):
+    # the 'apply' face of exact dedup: keep the min-doc_id representative
+    # per normalized-text hash via a window keep-first — one shuffle on
+    # the hash, no join back to the corpus. The raw corpus has no exact
+    # dups, so every 10th doc gets identical boilerplate; those 50 rows
+    # must collapse to the single doc_id=7 representative
+    docs = T.load_table(spark, sf_dir, 'documents')
+    text2 = (F.when(F.col('doc_id') % 10 == 7,
+                    F.lit('shared boilerplate footer text'))
+             .otherwise(F.col('text')))
+    docs = docs.select('doc_id', 'lang', text2.alias('text'))
+    h = F.md5(textops.norm_text('text'))
+    w = Window.partitionBy('content_hash').orderBy('doc_id')
+    return (docs.select('doc_id', 'lang', h.alias('content_hash'))
+            .withColumn('rn', F.row_number().over(w))
+            .where(F.col('rn') == 1)
+            .drop('rn'))
+
+
 def _q_quality_repetition(spark, sf_dir):
     # Gopher-style repetition signals; every 11th doc gets a repeated
     # spam phrase so top_bigram_frac separates spammy from clean rows
@@ -1079,6 +1106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_exact': _q_dedup_exact,
         'corpus_split': _q_corpus_split,
         'stratified_sample': _q_stratified_sample,
+        'length_quantiles': _q_length_quantiles,
+        'dedup_apply': _q_dedup_apply,
         'quality_repetition': _q_quality_repetition,
         'gopher_quality': _q_gopher_quality,
         'c4_quality': _q_c4_quality,
@@ -1728,6 +1757,28 @@ def oracle_sql() -> dict[str, str]:
                             >= 0.8
                         AND stop_hits >= 2 AS INTEGER) AS keep
             FROM feat
+        ''',
+        'length_quantiles': '''
+            SELECT lang AS stratum, count(*) AS n_docs,
+                   round(quantile_cont(n_chars, 0.25), 6) AS p25,
+                   round(quantile_cont(n_chars, 0.5), 6) AS p50,
+                   round(quantile_cont(n_chars, 0.75), 6) AS p75,
+                   round(quantile_cont(n_chars, 0.95), 6) AS p95
+            FROM documents
+            GROUP BY lang
+        ''',
+        'dedup_apply': f'''
+            WITH d AS (
+                SELECT doc_id, lang,
+                       md5(CASE WHEN doc_id % 10 = 7
+                                THEN 'shared boilerplate footer text'
+                                ELSE {_NORM} END) AS content_hash
+                FROM documents
+            )
+            SELECT doc_id, lang, content_hash
+            FROM d
+            QUALIFY row_number() OVER (
+                PARTITION BY content_hash ORDER BY doc_id) = 1
         ''',
         'c4_quality': f'''
             WITH d AS (

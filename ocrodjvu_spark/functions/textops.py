@@ -917,6 +917,36 @@ def gopher_rules(docs: DataFrame, id_col='doc_id', text_col='text',
     )
 
 
+QUANTILE_PROBS = (0.25, 0.5, 0.75, 0.95)
+
+
+def length_quantiles(docs: DataFrame, value_col='n_chars',
+                     stratum_col='lang', approx: bool = False,
+                     accuracy: int = 10_000) -> DataFrame:
+    """Per-stratum length distribution (the data-card table): p25 / p50 /
+    p75 / p95 of ``value_col`` plus the document count.
+
+    ``approx=False`` uses the exact interpolating ``percentile``
+    aggregate — it buffers every group value in the aggregation buffer,
+    fine up to millions of rows per stratum and bit-comparable to the
+    SQL oracle's ``quantile_cont``. At 100 TB use ``approx=True``:
+    ``approx_percentile`` (Greenwald-Khanna sketch, bounded memory,
+    map-side combinable) with ``accuracy`` trading error for buffer
+    size — same output schema, not oracle-exact by construction.
+    """
+    probs = F.array(*[F.lit(p) for p in QUANTILE_PROBS])
+    if approx:
+        q = F.percentile_approx(value_col, probs, F.lit(accuracy))
+    else:
+        q = F.percentile(value_col, probs)
+    return (docs.groupBy(F.col(stratum_col).alias('stratum'))
+            .agg(F.count('*').alias('n_docs'), q.alias('q'))
+            .select('stratum', 'n_docs',
+                    *[F.round(F.element_at('q', i + 1), 6)
+                      .alias(f'p{int(p * 100)}')
+                      for i, p in enumerate(QUANTILE_PROBS)]))
+
+
 def c4_rules(docs: DataFrame, id_col='doc_id', text_col='text',
              min_line_words: int = 5,
              min_kept_lines: int = 3) -> DataFrame:

@@ -577,3 +577,21 @@ def test_range_join_bucket_boundary_recall(spark):
            for r in temporal.range_join(left, right, window_sec=60)
            .collect()}
     assert out == {(1, -2), (1, 60), (2, 30)}
+
+
+def test_length_quantiles_exact_and_approx(spark):
+    docs = spark.createDataFrame(
+        [(i, 'x', 'en', (i + 1) * 10) for i in range(99)]
+        + [(100, 'x', 'de', 7)],
+        'doc_id long, text string, lang string, n_chars long')
+    out = {r.stratum: r for r in textops.length_quantiles(docs).collect()}
+    # 99 values 10..990: interpolated quantiles are exact landmarks
+    assert out['en'].n_docs == 99
+    assert out['en'].p50 == 500.0
+    assert out['en'].p25 == 255.0 and out['en'].p75 == 745.0
+    assert out['de'].p95 == 7.0  # single-value stratum: all quantiles equal
+    # approx path: same schema, near-exact at high accuracy
+    apx = {r.stratum: r
+           for r in textops.length_quantiles(docs, approx=True).collect()}
+    assert set(apx) == set(out)
+    assert abs(apx['en'].p50 - out['en'].p50) <= 10.0
