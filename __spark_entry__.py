@@ -2264,13 +2264,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         ''',
         'events_asof_join': '''
+            -- the right side is deduped to one row per (user_id, ts)
+            -- (max event_id) BEFORE the ASOF join: DuckDB's pick among
+            -- tied frontier rows is implementation-defined, Spark's is
+            -- the lexicographic-max payload struct (= max event_id) --
+            -- pre-deduping pins both engines to the same row
             SELECT l.event_id, l.user_id, l.ts,
                    r.event_id AS matched_event_id,
                    r.ts AS matched_ts,
                    r.value AS matched_value
             FROM (SELECT * FROM events WHERE event_type = 'click') l
             ASOF LEFT JOIN
-                 (SELECT * FROM events WHERE event_type = 'purchase') r
+                 (SELECT * FROM events WHERE event_type = 'purchase'
+                  QUALIFY row_number() OVER (
+                      PARTITION BY user_id, ts
+                      ORDER BY event_id DESC) = 1) r
             ON l.user_id = r.user_id AND l.ts >= r.ts
         ''',
         'events_range_join': '''

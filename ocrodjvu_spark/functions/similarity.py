@@ -381,7 +381,8 @@ def kmeans_labels(embeddings: DataFrame, k: int = 8, iterations: int = 3,
 def semantic_dedup_pairs(embeddings: DataFrame, threshold: float = 0.4,
                          k: int = 8, iterations: int = 3,
                          id_col: str = 'vec_id', vec_col: str = 'embedding',
-                         max_cluster_size: Optional[int] = None):
+                         max_cluster_size: Optional[int] = None
+                         ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     arXiv:2303.09540): k-means partition the embedding space, then exact
     cosine only *within* each cluster.
@@ -392,10 +393,9 @@ def semantic_dedup_pairs(embeddings: DataFrame, threshold: float = 0.4,
     to sum_c n_c^2 and the join parallelizes across clusters. At 100 TB
     you scale ``k`` with the corpus (SemDeDup uses k ~ n/5000) so
     per-cluster sizes stay bounded; ``max_cluster_size`` is the same
-    observability cap the MinHash/SimHash paths have — clusters above
-    the cap are excluded from pairing and reported, not silently
-    quadratic. Returns ``(pairs_df, oversized_df)`` when the cap is set,
-    else the pairs DataFrame.
+    cap convention the MinHash/SimHash paths have — clusters above the
+    cap are excluded from pairing rather than going quadratic, and the
+    companion ``oversized_semantic_clusters`` reports what was dropped.
 
     Semantics vs ``neardup_pairs``: deliberately *approximate* — a pair
     above threshold whose members land in different clusters is missed
@@ -408,11 +408,9 @@ def semantic_dedup_pairs(embeddings: DataFrame, threshold: float = 0.4,
     labels = kmeans_labels(embeddings, k=k, iterations=iterations,
                            id_col=id_col, vec_col=vec_col)
     corpus = _prep(embeddings, id_col, vec_col).join(labels, id_col)
-    oversized = None
     if max_cluster_size is not None:
         csize = (labels.groupBy('cluster')
                  .agg(F.count('*').alias('n_members')))
-        oversized = csize.where(F.col('n_members') > max_cluster_size)
         corpus = (corpus
                   .join(F.broadcast(csize), 'cluster')
                   .where(F.col('n_members') <= max_cluster_size)
@@ -429,9 +427,22 @@ def semantic_dedup_pairs(embeddings: DataFrame, threshold: float = 0.4,
                         / (F.col('na') * F.col('nb')), 6).alias('cos_sim'))
         .where(F.col('cos_sim') >= threshold)
     )
-    if max_cluster_size is not None:
-        return pairs, oversized
     return pairs
+
+
+def oversized_semantic_clusters(embeddings: DataFrame,
+                                max_cluster_size: int, k: int = 8,
+                                iterations: int = 3,
+                                id_col: str = 'vec_id',
+                                vec_col: str = 'embedding') -> DataFrame:
+    """Observability companion to ``semantic_dedup_pairs`` (same shape
+    as ``oversized_minhash_buckets``): the clusters the cap excluded
+    from pairing, as (cluster, n_members)."""
+    labels = kmeans_labels(embeddings, k=k, iterations=iterations,
+                           id_col=id_col, vec_col=vec_col)
+    return (labels.groupBy('cluster')
+            .agg(F.count('*').alias('n_members'))
+            .where(F.col('n_members') > max_cluster_size))
 
 
 def lsh_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,

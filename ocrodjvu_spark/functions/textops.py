@@ -982,9 +982,13 @@ def c4_rules(docs: DataFrame, id_col='doc_id', text_col='text',
                     F.array_join(kept, '\n').alias('kept_text'))
             ).alias('k'))
 
+    # split on \r?\n so CRLF documents don't leave a trailing \r on each
+    # line: F.trim strips only spaces, and Java's `$` would still match
+    # before a final \r while the documented RE2/oracle semantics don't
+    lines = F.split(F.col(text_col), r'\r?\n')
     feat = docs.select(
         F.col(id_col),
-        F.inline(F.array(bind_once(F.split(F.col(text_col), '\n'), stats))),
+        F.inline(F.array(bind_once(lines, stats))),
         F.col(text_col).contains('{').alias('has_brace'),
         F.lower(F.col(text_col)).contains('lorem ipsum').alias('has_lorem'))
     keep = ((F.col('k.n_kept_lines') >= min_kept_lines)

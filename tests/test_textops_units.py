@@ -276,10 +276,12 @@ def test_semantic_dedup_pairs_within_cluster_and_cap(spark):
         assert r.vec_a % 2 == r.vec_b % 2 and r.cos_sim > 0.99
     # cap: both clusters have 6 members; cap at 5 excludes both and
     # reports them instead of going quadratic
-    capped, oversized = similarity.semantic_dedup_pairs(
+    capped = similarity.semantic_dedup_pairs(
         emb, threshold=0.99, k=2, iterations=3, max_cluster_size=5)
     assert capped.count() == 0
-    over = {(r.cluster, r.n_members) for r in oversized.collect()}
+    over = {(r.cluster, r.n_members)
+            for r in similarity.oversized_semantic_clusters(
+                emb, max_cluster_size=5, k=2, iterations=3).collect()}
     assert over == {(0, 6), (1, 6)}
 
 
