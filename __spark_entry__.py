@@ -1039,6 +1039,37 @@ def _q_events_pivot(spark, sf_dir):
           for t in _PIVOT_TYPES])
 
 
+_EVENTS_DDL = ('event_id long, ts timestamp, user_id long, '
+               'event_type string, value double, props string')
+
+
+def _q_streaming_join(spark, sf_dir):
+    # watermarked stream-stream interval join: clicks stream x errors
+    # stream, same user, error within 60 min after the click. The
+    # watermark horizon (24h) exceeds the corpus time-span, so the
+    # drained result equals the batch join exactly, independent of
+    # micro-batch arrival order — while still giving the engine the
+    # state-eviction bound a real deployment needs
+    import os
+    from ocrodjvu_spark.streaming import extract_stream as ST
+    from ocrodjvu_spark.streaming import joins as SJ
+    base = _gate_tempdir('ocrodjvu-spark-streamjoin-')
+    events = T.load_table(spark, sf_dir, 'events')
+    for etype, sub in (('click', 'left'), ('error', 'right')):
+        (events.where(F.col('event_type') == etype)
+         .coalesce(1).sortWithinPartitions('event_id')
+         .write.parquet(os.path.join(base, sub)))
+    read = lambda sub: (spark.readStream.schema(_EVENTS_DDL)
+                        .option('maxFilesPerTrigger', 16)
+                        .parquet(os.path.join(base, sub)))
+    joined = SJ.interval_join_stream(read('left'), read('right'),
+                                     interval='60 minutes')
+    out = os.path.join(base, 'out')
+    ST.run_to_parquet(joined, out,
+                      os.path.join(base, 'ckpt')).awaitTermination()
+    return spark.read.parquet(out)
+
+
 def _q_events_json_props(spark, sf_dir):
     # semi-structured path: JSON property extraction + agg, JVM-side
     events = T.load_table(spark, sf_dir, 'events')
@@ -1147,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_range_join': _q_events_range_join,
         'events_rollup': _q_events_rollup,
         'events_pivot': _q_events_pivot,
+        'streaming_join': _q_streaming_join,
         'streaming_extraction': _q_streaming_extraction,
         'streaming_dedup': _q_streaming_dedup,
         'stateful_conversation_state': _q_stateful_conversation_state,
@@ -2289,6 +2321,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT * FROM events WHERE event_type = 'error') r
               ON l.user_id = r.user_id
              AND abs(floor(epoch(r.ts)) - floor(epoch(l.ts))) <= 600
+        ''',
+        'streaming_join': '''
+            SELECT l.event_id AS left_id, l.user_id,
+                   l.ts AS left_ts,
+                   r.event_id AS right_id, r.ts AS right_ts
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            JOIN (SELECT * FROM events WHERE event_type = 'error') r
+              ON l.user_id = r.user_id
+             AND r.ts >= l.ts
+             AND r.ts <= l.ts + INTERVAL 60 MINUTE
         ''',
         'events_rollup': '''
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

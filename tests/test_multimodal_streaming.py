@@ -168,3 +168,45 @@ class TestStreamingDedup:
         # as c1/1 after whitespace normalization) is suppressed
         assert rows == {('c1', 1): 'user', ('c1', 2): 'assistant',
                         ('c2', 1): 'user'}
+
+    def test_interval_join_across_micro_batches(self, spark, tmp_path):
+        # a matching right row arrives in a LATER micro-batch than its
+        # left partner: the pair must still be emitted (join state holds
+        # the left row until the watermark passes), and a right row
+        # outside the interval must not pair
+        import datetime
+        import os
+        import time
+
+        from ocrodjvu_spark.streaming import joins as SJ
+
+        t0 = datetime.datetime(2025, 1, 1, 12, 0, 0)
+        mins = lambda m: t0 + datetime.timedelta(minutes=m)
+        schema = ('event_id long, ts timestamp, user_id long, '
+                  'event_type string, value double, props string')
+        lrows = [(1, mins(0), 7, 'click', 0.0, None),
+                 (2, mins(0), 8, 'click', 0.0, None)]
+        r_first = [(10, mins(5), 7, 'error', 0.0, None)]
+        r_second = [(11, mins(30), 7, 'error', 0.0, None),
+                    (12, mins(90), 8, 'error', 0.0, None)]  # outside 60m
+        base = str(tmp_path)
+        spark.createDataFrame(lrows, schema).coalesce(1).write.parquet(
+            base + '/left/b0')
+        spark.createDataFrame(r_first, schema).coalesce(1).write.parquet(
+            base + '/right/b0')
+        spark.createDataFrame(r_second, schema).coalesce(1).write.parquet(
+            base + '/right/b1')
+        now = time.time()
+        for i, sub in enumerate(('right/b0', 'right/b1')):
+            for f in os.listdir(os.path.join(base, sub)):
+                os.utime(os.path.join(base, sub, f), (now + i, now + i))
+        read = lambda sub: (spark.readStream.schema(schema)
+                            .option('maxFilesPerTrigger', 1)
+                            .parquet(base + '/' + sub + '/*'))
+        joined = SJ.interval_join_stream(read('left'), read('right'),
+                                         interval='60 minutes')
+        ES.run_to_parquet(joined, base + '/out',
+                          base + '/chk').awaitTermination()
+        got = {(r.left_id, r.right_id)
+               for r in spark.read.parquet(base + '/out').collect()}
+        assert got == {(1, 10), (1, 11)}
