@@ -994,6 +994,18 @@ def _q_events_asof_join(spark, sf_dir):
     return temporal.asof_join(clicks, purchases)
 
 
+def _q_events_asof_join_bucketed(spark, sf_dir):
+    # the skew-proof segmented variant must produce byte-identical
+    # results to the plain as-of join (same oracle); hourly buckets make
+    # the sf0.01 corpus exercise in-bucket, cross-bucket and
+    # cross-empty-bucket carries
+    events = T.load_table(spark, sf_dir, 'events')
+    clicks = events.where(F.col('event_type') == 'click').select(
+        'event_id', 'user_id', 'ts')
+    purchases = events.where(F.col('event_type') == 'purchase')
+    return temporal.asof_join_bucketed(clicks, purchases, bucket_sec=3600)
+
+
 def _q_events_range_join(spark, sf_dir):
     # bounded range join: (click, error) pairs for the same user within
     # 10 minutes — interval-bucketed equi-join (floor-second semantics
@@ -1041,6 +1053,26 @@ def _q_events_pivot(spark, sf_dir):
 
 _EVENTS_DDL = ('event_id long, ts timestamp, user_id long, '
                'event_type string, value double, props string')
+
+# shared by the plain and bucketed as-of gates (identical semantics).
+# The right side is deduped to one row per (user_id, ts) (max event_id)
+# BEFORE the ASOF join: DuckDB's pick among tied frontier rows is
+# implementation-defined, Spark's is the lexicographic-max payload
+# struct (= max event_id) — pre-deduping pins both engines to the same
+# row.
+_ASOF_SQL = '''
+    SELECT l.event_id, l.user_id, l.ts,
+           r.event_id AS matched_event_id,
+           r.ts AS matched_ts,
+           r.value AS matched_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN
+         (SELECT * FROM events WHERE event_type = 'purchase'
+          QUALIFY row_number() OVER (
+              PARTITION BY user_id, ts
+              ORDER BY event_id DESC) = 1) r
+    ON l.user_id = r.user_id AND l.ts >= r.ts
+'''
 
 
 def _q_streaming_join(spark, sf_dir):
@@ -1175,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'extract_rotated270': _q_extract_rotated270,
         'events_window_agg': _q_events_window_agg,
         'events_asof_join': _q_events_asof_join,
+        'events_asof_join_bucketed': _q_events_asof_join_bucketed,
         'events_range_join': _q_events_range_join,
         'events_rollup': _q_events_rollup,
         'events_pivot': _q_events_pivot,
@@ -2295,24 +2328,8 @@ def oracle_sql() -> dict[str, str]:
                    || '))' || chr(10) || '.' || chr(10) AS djvused_script
             FROM documents
         ''',
-        'events_asof_join': '''
-            -- the right side is deduped to one row per (user_id, ts)
-            -- (max event_id) BEFORE the ASOF join: DuckDB's pick among
-            -- tied frontier rows is implementation-defined, Spark's is
-            -- the lexicographic-max payload struct (= max event_id) --
-            -- pre-deduping pins both engines to the same row
-            SELECT l.event_id, l.user_id, l.ts,
-                   r.event_id AS matched_event_id,
-                   r.ts AS matched_ts,
-                   r.value AS matched_value
-            FROM (SELECT * FROM events WHERE event_type = 'click') l
-            ASOF LEFT JOIN
-                 (SELECT * FROM events WHERE event_type = 'purchase'
-                  QUALIFY row_number() OVER (
-                      PARTITION BY user_id, ts
-                      ORDER BY event_id DESC) = 1) r
-            ON l.user_id = r.user_id AND l.ts >= r.ts
-        ''',
+        'events_asof_join': _ASOF_SQL,
+        'events_asof_join_bucketed': _ASOF_SQL,
         'events_range_join': '''
             SELECT l.user_id, l.ts, r.ts AS near_ts,
                    CAST(floor(epoch(r.ts)) - floor(epoch(l.ts)) AS BIGINT)

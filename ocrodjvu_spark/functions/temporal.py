@@ -60,6 +60,66 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str = 'user_id',
                       for c in payload_cols]))
 
 
+def asof_join_bucketed(left: DataFrame, right: DataFrame,
+                       key_col: str = 'user_id', ts_col: str = 'ts',
+                       payload_cols: Sequence[str] = ('event_id', 'ts',
+                                                      'value'),
+                       prefix: str = 'matched_', strict: bool = False,
+                       bucket_sec: int = 86_400) -> DataFrame:
+    """Skew-proof as-of join: identical semantics to ``asof_join``, but
+    the carry-forward runs as a segmented scan over (key, time-bucket).
+
+    Why: ``asof_join``'s window partitions by key alone, so one hot key
+    (a bot user with 10^9 events) becomes a single sort task — the
+    classic window-skew ceiling. Here the running carry happens within
+    (key, ``floor(epoch/bucket_sec)``) segments, and a second,
+    bucket-LEVEL pass (one row per non-empty (key, bucket) — orders of
+    magnitude smaller) carries each bucket's final right payload across
+    bucket boundaries. Rows whose segment had no prior right row
+    coalesce to their key's latest earlier-bucket payload. Parallelism
+    becomes key x bucket; the extra shuffles are on the same
+    (key, bucket) grain and all operate on bounded segments. This is
+    the standard segmented prefix-scan decomposition; pick
+    ``bucket_sec`` so a (key, bucket) segment fits a task comfortably.
+    """
+    b_of = lambda c: F.floor(F.unix_timestamp(c) / bucket_sec)
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    rt = right.select(
+        F.col(key_col), F.col(ts_col), payload.alias('_rp'),
+        F.lit(0).alias('_side'))
+    lt = left.withColumn('_side', F.lit(1))
+    unioned = lt.unionByName(rt, allowMissingColumns=True).withColumn(
+        '_b', b_of(F.col(ts_col)))
+    side = F.col('_side').desc() if strict else F.col('_side').asc()
+    w_seg = (Window.partitionBy(key_col, '_b')
+             .orderBy(F.col(ts_col).asc(), side, F.col('_rp').asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    seg = unioned.withColumn(
+        '_partial', F.last('_rp', ignorenulls=True).over(w_seg))
+
+    # bucket-level pass: final right payload per (key, bucket) — max by
+    # (ts, payload) matches the row-level tiebreak — carried to every
+    # later bucket that appears on either side
+    rb = (rt.withColumn('_b', b_of(F.col(ts_col)))
+          .groupBy(key_col, '_b')
+          .agg(F.max(F.struct(F.col(ts_col), F.col('_rp'))).alias('_m')))
+    buckets = unioned.select(key_col, '_b').distinct()
+    w_carry = (Window.partitionBy(key_col).orderBy('_b')
+               .rowsBetween(Window.unboundedPreceding, -1))
+    prev = (buckets.join(rb, [key_col, '_b'], 'left')
+            .withColumn('_prev',
+                        F.last('_m', ignorenulls=True).over(w_carry))
+            .select(key_col, '_b', F.col('_prev._rp').alias('_pp')))
+
+    joined = (seg.where(F.col('_side') == 1)
+              .join(prev, [key_col, '_b'], 'left')
+              .withColumn('_match', F.coalesce('_partial', '_pp')))
+    return joined.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f'_match.{c}').alias(f'{prefix}{c}')
+          for c in payload_cols])
+
+
 def range_join(left: DataFrame, right: DataFrame, key_col: str = 'user_id',
                ts_col: str = 'ts', window_sec: int = 600,
                prefix: str = 'near_') -> DataFrame:

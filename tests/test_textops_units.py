@@ -597,3 +597,33 @@ def test_length_quantiles_exact_and_approx(spark):
            for r in textops.length_quantiles(docs, approx=True).collect()}
     assert set(apx) == set(out)
     assert abs(apx['en'].p50 - out['en'].p50) <= 10.0
+
+
+def test_asof_join_bucketed_equals_plain(spark):
+    from datetime import datetime, timedelta
+    from ocrodjvu_spark.functions import temporal
+    # adversarial layout for the segmented scan: matches within a
+    # bucket, across one bucket gap, across MANY empty buckets, and
+    # none at all; bucket_sec=60 forces all cross-bucket paths
+    t0 = datetime(2024, 1, 1)
+    at = lambda s: t0 + timedelta(seconds=s)
+    left = spark.createDataFrame(
+        [(i, u, at(s)) for i, (u, s) in enumerate(
+            [(1, 30), (1, 95), (1, 1000), (2, 10), (3, 50), (1, 65)])],
+        'event_id long, user_id long, ts timestamp')
+    right = spark.createDataFrame(
+        [(100, 1, at(20), 1.0), (101, 1, at(64), 2.0),
+         (102, 1, at(65), 3.0), (103, 2, at(11), 4.0)],
+        'event_id long, user_id long, ts timestamp, value double')
+    for strict in (False, True):
+        plain = sorted(map(tuple, temporal.asof_join(
+            left, right, strict=strict).collect()))
+        seg = sorted(map(tuple, temporal.asof_join_bucketed(
+            left, right, strict=strict, bucket_sec=60).collect()))
+        assert seg == plain
+    # spot-check the cross-empty-bucket carry explicitly
+    out = {r.event_id: r.matched_event_id
+           for r in temporal.asof_join_bucketed(
+               left, right, bucket_sec=60).collect()}
+    assert out[2] == 102   # left at s=1000 reaches back many buckets
+    assert out[4] is None  # user 3 has no right rows
