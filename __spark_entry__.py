@@ -905,6 +905,13 @@ def _q_embedding_kmeans(spark, sf_dir):
     return similarity.kmeans_labels(emb, k=8, iterations=3)
 
 
+def _q_embedding_quantize(spark, sf_dir):
+    # int8 symmetric per-vector quantization: scale, md5 fingerprint of
+    # the exact code vector, and worst reconstruction error — map-only
+    emb = T.load_table(spark, sf_dir, 'embeddings')
+    return similarity.quantize_embeddings(emb)
+
+
 def _q_dedup_semantic(spark, sf_dir):
     # SemDeDup: k-means partition (same deterministic k=8 x 3 rounds the
     # embedding_kmeans gate pins) then within-cluster exact cosine pairs
@@ -1196,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ann_cosine_topk': _q_ann_cosine_topk,
         'embedding_kmeans': _q_embedding_kmeans,
         'dedup_semantic': _q_dedup_semantic,
+        'embedding_quantize': _q_embedding_quantize,
         'ann_lsh_topk': _q_ann_lsh_topk,
         'ann_ivf_topk': _q_ann_ivf_topk,
         'ann_ivf_nprobe2': _q_ann_ivf_nprobe2,
@@ -2287,6 +2295,33 @@ def oracle_sql() -> dict[str, str]:
                 FROM n a JOIN n b ON a.vec_id < b.vec_id
             )
             SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.45
+        ''',
+        'embedding_quantize': '''
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ),
+            m AS (
+                SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) AS mx
+                FROM e
+            ),
+            q AS (
+                SELECT vec_id, v, mx,
+                       list_transform(v,
+                           x -> CAST(round(x * 127 / mx) AS INTEGER)) AS qv
+                FROM m
+            )
+            SELECT vec_id,
+                   round(mx / 127, 6) AS scale,
+                   md5(array_to_string(list_transform(qv,
+                       i -> CAST(i AS VARCHAR)), ',')) AS q_hash,
+                   round(list_max(list_transform(range(1, len(v) + 1),
+                       i -> abs(v[i] - qv[i] * mx / 127))), 6)
+                       AS max_abs_err
+            FROM q
         ''',
         'dedup_semantic': f'''
             WITH labels AS (SELECT * FROM ({_sql_kmeans()}) t),

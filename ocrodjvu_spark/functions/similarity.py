@@ -430,6 +430,47 @@ def semantic_dedup_pairs(embeddings: DataFrame, threshold: float = 0.4,
     return pairs
 
 
+def quantize_embeddings(embeddings: DataFrame, id_col: str = 'vec_id',
+                        vec_col: str = 'embedding',
+                        bits: int = 8) -> DataFrame:
+    """Symmetric per-vector integer quantization (the embedding
+    storage/IO compressor: float32 -> int8 is a 4x scan-volume cut at
+    100 TB, the standard trade for ANN candidate generation with
+    full-precision re-ranking).
+
+    Per vector: ``scale = max|x| / (2^(bits-1) - 1)``,
+    ``q_i = round(x_i / scale)``. Map-only projection, no shuffle. The
+    three derived quantities (max-abs, quantized codes, reconstruction
+    error) are computed under nested bound lambda variables so each is
+    evaluated exactly once per row — Catalyst has no CSE for lambda
+    expressions, and the naive formulation recomputes the array max
+    per element.
+
+    Output: (vec_id, scale, q_hash, max_abs_err) — ``q_hash`` is
+    md5 over the comma-joined codes (engine-portable fingerprint of
+    the exact quantized vector; emitting the raw code array would
+    compare numpy-vs-list reprs in the gate), ``max_abs_err`` the
+    worst per-dimension reconstruction error. A zero vector yields
+    null scale/codes (no meaningful quantization); the gate corpus has
+    none.
+    """
+    from .textops import bind_once
+    levels = 2 ** (bits - 1) - 1
+    out = bind_once(as_double(F.col(vec_col)), lambda vec: bind_once(
+        F.array_max(F.transform(vec, F.abs)), lambda m: bind_once(
+            F.transform(vec,
+                        lambda x: F.round(x * levels / m).cast('int')),
+            lambda q: F.struct(
+                F.round(m / levels, 6).alias('scale'),
+                F.md5(F.array_join(
+                    F.transform(q, lambda i: i.cast('string')), ','))
+                 .alias('q_hash'),
+                F.round(F.array_max(F.zip_with(
+                    vec, q, lambda x, i: F.abs(x - i * m / levels))), 6)
+                 .alias('max_abs_err')))))
+    return embeddings.select(F.col(id_col), F.inline(F.array(out)))
+
+
 def oversized_semantic_clusters(embeddings: DataFrame,
                                 max_cluster_size: int, k: int = 8,
                                 iterations: int = 3,

@@ -627,3 +627,23 @@ def test_asof_join_bucketed_equals_plain(spark):
                left, right, bucket_sec=60).collect()}
     assert out[2] == 102   # left at s=1000 reaches back many buckets
     assert out[4] is None  # user 3 has no right rows
+
+
+def test_quantize_embeddings_bounds_and_determinism(spark):
+    from ocrodjvu_spark.functions import similarity
+    emb = spark.createDataFrame(
+        [(0, [1.0, -0.5, 0.25, 0.127]),
+         (1, [0.001, 0.002, -0.003, 0.0005])],
+        'vec_id long, embedding array<float>')
+    out = {r.vec_id: r
+           for r in similarity.quantize_embeddings(emb).collect()}
+    # scale = max|x| / 127 (output rounded to 6dp); reconstruction
+    # error bounded by half a quantization step
+    assert abs(out[0].scale - 1.0 / 127) < 5e-7
+    for r in out.values():
+        assert r.max_abs_err <= r.scale / 2 + 5e-7
+    # fingerprint is stable and code-exact: the max component quantizes
+    # to exactly +/-127, so identical inputs give identical hashes
+    again = {r.vec_id: r.q_hash
+             for r in similarity.quantize_embeddings(emb).collect()}
+    assert again == {k: v.q_hash for k, v in out.items()}
