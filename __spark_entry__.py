@@ -905,6 +905,20 @@ def _q_embedding_kmeans(spark, sf_dir):
     return similarity.kmeans_labels(emb, k=8, iterations=3)
 
 
+def _q_semantic_clusters(spark, sf_dir):
+    # the full embedding-dedup pipeline face: SemDeDup pairs -> O(log n)
+    # alternating-star connected components -> (vec_id, cluster_id);
+    # composition of two already-gated operators, pinned end-to-end by
+    # a recursive-CTE oracle over the same pair set
+    emb = T.load_table(spark, sf_dir, 'embeddings')
+    pairs = similarity.semantic_dedup_pairs(emb, threshold=0.4,
+                                            k=8, iterations=3)
+    edges = pairs.select(F.col('vec_a').alias('doc_a'),
+                         F.col('vec_b').alias('doc_b'))
+    return (textops.connected_components(edges)
+            .select(F.col('v').alias('vec_id'), 'cluster_id'))
+
+
 def _q_embedding_quantize(spark, sf_dir):
     # int8 symmetric per-vector quantization: scale, md5 fingerprint of
     # the exact code vector, and worst reconstruction error — map-only
@@ -1204,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'embedding_kmeans': _q_embedding_kmeans,
         'dedup_semantic': _q_dedup_semantic,
         'embedding_quantize': _q_embedding_quantize,
+        'semantic_clusters': _q_semantic_clusters,
         'ann_lsh_topk': _q_ann_lsh_topk,
         'ann_ivf_topk': _q_ann_ivf_topk,
         'ann_ivf_nprobe2': _q_ann_ivf_nprobe2,
@@ -2322,6 +2337,37 @@ def oracle_sql() -> dict[str, str]:
                        i -> abs(v[i] - qv[i] * mx / 127))), 6)
                        AS max_abs_err
             FROM q
+        ''',
+        'semantic_clusters': f'''
+            WITH RECURSIVE
+            labels AS (SELECT * FROM ({_sql_kmeans()}) t),
+            {_SQL_EMB.strip()},
+            pairs AS (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+                FROM n a
+                JOIN labels la ON a.vec_id = la.vec_id
+                JOIN labels lb ON la.cluster = lb.cluster
+                JOIN n b ON b.vec_id = lb.vec_id
+                WHERE a.vec_id < b.vec_id
+                  AND round(list_sum(list_transform(
+                          range(1, len(a.v) + 1),
+                          i -> a.v[i] * b.v[i]))
+                        / (a.nrm * b.nrm), 6) >= 0.4
+            ),
+            adj AS (
+                SELECT vec_a AS u, vec_b AS v FROM pairs
+                UNION ALL
+                SELECT vec_b AS u, vec_a AS v FROM pairs
+            ),
+            verts AS (SELECT DISTINCT u AS v FROM adj),
+            walk(v, root) AS (
+                SELECT v, v FROM verts
+                UNION
+                SELECT a.v, w.root
+                FROM walk w JOIN adj a ON a.u = w.v
+            )
+            SELECT v AS vec_id, min(root) AS cluster_id
+            FROM walk GROUP BY v
         ''',
         'dedup_semantic': f'''
             WITH labels AS (SELECT * FROM ({_sql_kmeans()}) t),

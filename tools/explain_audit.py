@@ -152,6 +152,14 @@ def main():
         ])
 
     audit(
+        'embedding quantization (map-only projection)',
+        similarity.quantize_embeddings(emb),
+        [
+            ('no shuffle, no join — pure projection over the scan',
+             lambda p: 'Exchange' not in p and 'Join' not in p),
+        ])
+
+    audit(
         'semantic dedup (within-cluster equi-join, never all-pairs)',
         similarity.semantic_dedup_pairs(emb, k=4, iterations=1),
         [
