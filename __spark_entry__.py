@@ -1099,10 +1099,11 @@ _ASOF_SQL = '''
 def _q_streaming_join(spark, sf_dir):
     # watermarked stream-stream interval join: clicks stream x errors
     # stream, same user, error within 60 min after the click. The
-    # watermark horizon (24h) exceeds the corpus time-span, so the
-    # drained result equals the batch join exactly, independent of
-    # micro-batch arrival order — while still giving the engine the
-    # state-eviction bound a real deployment needs
+    # watermark horizon (90 days) exceeds the corpus time-span (~30
+    # days), so NO row can ever be dropped as late and the drained
+    # result equals the batch join exactly, independent of how the
+    # files split into micro-batches — the determinism must not hinge
+    # on everything landing in one trigger
     import os
     from ocrodjvu_spark.streaming import extract_stream as ST
     from ocrodjvu_spark.streaming import joins as SJ
@@ -1116,7 +1117,8 @@ def _q_streaming_join(spark, sf_dir):
                         .option('maxFilesPerTrigger', 16)
                         .parquet(os.path.join(base, sub)))
     joined = SJ.interval_join_stream(read('left'), read('right'),
-                                     interval='60 minutes')
+                                     interval='60 minutes',
+                                     watermark='90 days')
     out = os.path.join(base, 'out')
     ST.run_to_parquet(joined, out,
                       os.path.join(base, 'ckpt')).awaitTermination()
@@ -2330,12 +2332,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM m
             )
             SELECT vec_id,
-                   round(mx / 127, 6) AS scale,
-                   md5(array_to_string(list_transform(qv,
-                       i -> CAST(i AS VARCHAR)), ',')) AS q_hash,
-                   round(list_max(list_transform(range(1, len(v) + 1),
-                       i -> abs(v[i] - qv[i] * mx / 127))), 6)
-                       AS max_abs_err
+                   CASE WHEN mx = 0 THEN NULL
+                        ELSE round(mx / 127, 6) END AS scale,
+                   CASE WHEN mx = 0 THEN NULL
+                        ELSE md5(array_to_string(list_transform(qv,
+                            i -> CAST(i AS VARCHAR)), ',')) END AS q_hash,
+                   CASE WHEN mx = 0 THEN NULL
+                        ELSE round(list_max(list_transform(
+                            range(1, len(v) + 1),
+                            i -> abs(v[i] - qv[i] * mx / 127))), 6)
+                        END AS max_abs_err
             FROM q
         ''',
         'semantic_clusters': f'''

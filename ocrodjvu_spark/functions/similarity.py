@@ -444,20 +444,26 @@ def quantize_embeddings(embeddings: DataFrame, id_col: str = 'vec_id',
     error) are computed under nested bound lambda variables so each is
     evaluated exactly once per row — Catalyst has no CSE for lambda
     expressions, and the naive formulation recomputes the array max
-    per element.
+    per element. A zero vector has no meaningful quantization and
+    yields a null (scale, q_hash, max_abs_err) row — guarded
+    explicitly, since ANSI mode would otherwise raise DIVIDE_BY_ZERO.
 
     Output: (vec_id, scale, q_hash, max_abs_err) — ``q_hash`` is
     md5 over the comma-joined codes (engine-portable fingerprint of
     the exact quantized vector; emitting the raw code array would
     compare numpy-vs-list reprs in the gate), ``max_abs_err`` the
-    worst per-dimension reconstruction error. A zero vector yields
-    null scale/codes (no meaningful quantization); the gate corpus has
-    none.
+    worst per-dimension reconstruction error.
     """
     from .textops import bind_once
     levels = 2 ** (bits - 1) - 1
+    null_row = F.struct(
+        F.lit(None).cast('double').alias('scale'),
+        F.lit(None).cast('string').alias('q_hash'),
+        F.lit(None).cast('double').alias('max_abs_err'))
     out = bind_once(as_double(F.col(vec_col)), lambda vec: bind_once(
-        F.array_max(F.transform(vec, F.abs)), lambda m: bind_once(
+        F.array_max(F.transform(vec, F.abs)), lambda m: F.when(
+            m == 0, null_row
+        ).otherwise(bind_once(
             F.transform(vec,
                         lambda x: F.round(x * levels / m).cast('int')),
             lambda q: F.struct(
@@ -467,7 +473,7 @@ def quantize_embeddings(embeddings: DataFrame, id_col: str = 'vec_id',
                  .alias('q_hash'),
                 F.round(F.array_max(F.zip_with(
                     vec, q, lambda x, i: F.abs(x - i * m / levels))), 6)
-                 .alias('max_abs_err')))))
+                 .alias('max_abs_err'))))))
     return embeddings.select(F.col(id_col), F.inline(F.array(out)))
 
 

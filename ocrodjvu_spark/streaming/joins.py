@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 def interval_join_stream(left: DataFrame, right: DataFrame,
                          key_col: str = 'user_id', ts_col: str = 'ts',
+                         id_col: str = 'event_id',
                          interval: str = '60 minutes',
                          watermark: str = '24 hours') -> DataFrame:
     """Streaming interval join: (left, right) pairs with the same key
@@ -25,17 +26,19 @@ def interval_join_stream(left: DataFrame, right: DataFrame,
 
     Both sides are watermarked on event time; the range predicate bounds
     how long each side's rows are retained as join state. ``watermark``
-    is the lateness budget — rows later than it can be dropped, so gate
-    runs use a horizon wider than the corpus time-span to stay exactly
-    equal to the batch join regardless of micro-batch arrival order.
+    is the lateness budget: a row arriving more than that behind the
+    stream's max seen event time can be dropped, so a drained replay is
+    guaranteed equal to the batch join only when the horizon exceeds
+    the replayed data's full time-span (the gate passes one explicitly)
+    — with a production-sized horizon, equality instead relies on
+    arrival order being roughly event-time order.
 
-    Output: (left_id, key, left_ts, right_id, right_ts) — event_id
-    columns disambiguated by prefix.
+    Output: (left_id, key, left_ts, right_id, right_ts).
     """
-    lt = (left.select(F.col('event_id').alias('left_id'),
+    lt = (left.select(F.col(id_col).alias('left_id'),
                       F.col(key_col), F.col(ts_col).alias('left_ts'))
           .withWatermark('left_ts', watermark))
-    rt = (right.select(F.col('event_id').alias('right_id'),
+    rt = (right.select(F.col(id_col).alias('right_id'),
                        F.col(key_col).alias('_rk'),
                        F.col(ts_col).alias('right_ts'))
           .withWatermark('right_ts', watermark))

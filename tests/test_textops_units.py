@@ -647,3 +647,8 @@ def test_quantize_embeddings_bounds_and_determinism(spark):
     again = {r.vec_id: r.q_hash
              for r in similarity.quantize_embeddings(emb).collect()}
     assert again == {k: v.q_hash for k, v in out.items()}
+    # a zero vector must yield a null row, not an ANSI DIVIDE_BY_ZERO
+    zero = spark.createDataFrame([(9, [0.0, 0.0, 0.0])],
+                                 'vec_id long, embedding array<float>')
+    z = similarity.quantize_embeddings(zero).collect()[0]
+    assert z.scale is None and z.q_hash is None and z.max_abs_err is None
