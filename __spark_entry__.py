@@ -1889,8 +1889,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, t,
                        string_split(t, chr(10)) AS lines,
                        list_filter(string_split(t, chr(10)), ln ->
-                           len(string_split_regex(trim(ln), '\\s+')) >= 5
-                           AND regexp_matches(trim(ln), '[.!?"]$')) AS kept
+                           regexp_replace(ln, '^\\s+|\\s+$', '', 'g') <> ''
+                           AND len(string_split_regex(regexp_replace(ln,
+                               '^\\s+|\\s+$', '', 'g'), '\\s+')) >= 5
+                           AND regexp_matches(regexp_replace(ln,
+                               '^\\s+|\\s+$', '', 'g'), '[.!?"]$')) AS kept
                 FROM d
             )
             SELECT doc_id,

@@ -968,9 +968,16 @@ def c4_rules(docs: DataFrame, id_col='doc_id', text_col='text',
     Output: (doc_id, n_lines, n_kept_lines, kept_text, keep).
     """
     def line_ok(ln):
-        t = F.trim(ln)
-        return ((F.size(F.split(t, r'\s+')) >= min_line_words)
-                & t.rlike('[.!?"]$'))
+        # full whitespace trim (bound once), not F.trim: a bare trailing
+        # \r (no \n after it) would otherwise both let Java's `$` match
+        # before the \r AND add a trailing empty token that inflates the
+        # word count past min_line_words; an all-whitespace line counts
+        # as zero words
+        return bind_once(
+            F.regexp_replace(ln, r'^\s+|\s+$', ''),
+            lambda t: ((t != '')
+                       & (F.size(F.split(t, r'\s+')) >= min_line_words)
+                       & t.rlike('[.!?"]$')))
 
     def stats(ls):
         return F.struct(

@@ -1,0 +1,76 @@
+"""Randomized equivalence for the newer document operators, against
+plain-Python references (beyond the synthetic-injection oracle gates).
+"""
+
+import hashlib
+import random
+import re
+
+import pytest
+
+from ocrodjvu_spark.functions import similarity, textops
+
+_WORDS = ['alpha', 'beta', 'it', 'x', 'the', 'gamma', 'word', 'no']
+_ENDINGS = ['.', '!', '?', '"', '', ' ', ':']
+
+
+def _random_doc(rng):
+    lines = []
+    for _ in range(rng.randrange(1, 7)):
+        words = [rng.choice(_WORDS) for _ in range(rng.randrange(0, 8))]
+        line = ' ' * rng.randrange(0, 2) + ' '.join(words) \
+            + rng.choice(_ENDINGS)
+        if rng.random() < 0.2:
+            line += '\r'
+        lines.append(line)
+    text = '\n'.join(lines)
+    if rng.random() < 0.2:
+        text += ' { brace'
+    if rng.random() < 0.2:
+        text += ' Lorem IPSUM'
+    return text
+
+
+def _brute_c4(text, min_words=5, min_kept=3):
+    lines = re.split(r'\r?\n', text)
+    kept = [ln for ln in lines
+            if len(ln.strip().split()) >= min_words
+            and re.search(r'[.!?"]$', ln.strip())]
+    keep = int(len(kept) >= min_kept
+               and '{' not in text
+               and 'lorem ipsum' not in text.lower())
+    return (len(lines), len(kept), '\n'.join(kept), keep)
+
+
+def test_c4_rules_matches_brute_force(spark):
+    rng = random.Random(7)
+    texts = [_random_doc(rng) for _ in range(120)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], 'doc_id long, text string')
+    got = {r.doc_id: (r.n_lines, r.n_kept_lines, r.kept_text, r.keep)
+           for r in textops.c4_rules(docs).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _brute_c4(t), f'doc {i}: {t!r}'
+    # sanity: the random corpus exercises both verdicts
+    assert {v[3] for v in got.values()} == {0, 1}
+
+
+def test_quantize_matches_numpy_reference(spark):
+    import numpy as np
+    rng = random.Random(11)
+    vecs = [[rng.uniform(-2, 2) for _ in range(16)] for _ in range(60)]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        'vec_id long, embedding array<float>')
+    got = {r.vec_id: r for r in
+           similarity.quantize_embeddings(emb).collect()}
+    for i, v in enumerate(vecs):
+        # mirror the float32 storage the operator reads
+        v32 = np.array(v, dtype=np.float32).astype(np.float64)
+        m = float(np.max(np.abs(v32)))
+        q = [int(np.floor(x * 127 / m + 0.5)) for x in v32]  # HALF_UP
+        err = max(abs(x - qi * m / 127) for x, qi in zip(v32, q))
+        q_hash = hashlib.md5(','.join(map(str, q)).encode()).hexdigest()
+        assert abs(got[i].scale - m / 127) < 5e-7
+        assert got[i].q_hash == q_hash, f'vec {i}'
+        assert abs(got[i].max_abs_err - err) < 5e-7
