@@ -74,3 +74,45 @@ def test_quantize_matches_numpy_reference(spark):
         assert abs(got[i].scale - m / 127) < 5e-7
         assert got[i].q_hash == q_hash, f'vec {i}'
         assert abs(got[i].max_abs_err - err) < 5e-7
+
+
+def _brute_spans(token_lists, n=5, min_df=2):
+    from collections import defaultdict
+    df = defaultdict(set)
+    for d, toks in enumerate(token_lists):
+        for p in range(max(0, len(toks) - n + 1)):
+            df[tuple(toks[p:p + n])].add(d)
+    out = []
+    for d, toks in enumerate(token_lists):
+        hits = [p for p in range(max(0, len(toks) - n + 1))
+                if len(df[tuple(toks[p:p + n])]) >= min_df]
+        start = end = None
+        for p in hits:
+            # merge rule mirrors the operator: strictly overlapping
+            # windows merge; an adjacent window (p == end) starts a new
+            # island
+            if end is not None and p < end:
+                end = max(end, p + n)
+            else:
+                if end is not None:
+                    out.append((d, start, end, end - start))
+                start, end = p, p + n
+        if end is not None:
+            out.append((d, start, end, end - start))
+    return sorted(out)
+
+
+def test_duplicated_spans_matches_brute_force(spark):
+    rng = random.Random(5)
+    vocab = ['a', 'b', 'c', 'd']
+    token_lists = [[rng.choice(vocab)
+                    for _ in range(rng.randrange(0, 25))]
+                   for _ in range(40)]
+    docs = spark.createDataFrame(
+        [(i, ' '.join(t)) for i, t in enumerate(token_lists)],
+        'doc_id long, text string')
+    got = sorted((r.doc_id, r.span_start, r.span_end, r.n_tokens)
+                 for r in textops.duplicated_spans(
+                     docs, n=5, min_df=2).collect())
+    assert got == _brute_spans(token_lists, n=5, min_df=2)
+    assert len(got) > 10  # the random corpus genuinely exercises it
