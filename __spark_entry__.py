@@ -690,6 +690,20 @@ def _q_dedup_substring_spans(spark, sf_dir):
     return textops.duplicated_spans(docs, n=5, min_df=2)
 
 
+def _q_dedup_substring_capped(spark, sf_dir):
+    # stop-gram cap bound: max_df=2 excludes the 5-grams shared by >= 3
+    # docs (74 hashes at sf0.01), the skew guard for boilerplate
+    # n-grams whose join-back rows would all land on one key at scale
+    docs = T.load_table(spark, sf_dir, 'documents')
+    return textops.duplicated_spans(docs, n=5, min_df=2, max_df=2)
+
+
+def _q_oversized_ngrams(spark, sf_dir):
+    # observability companion: which n-gram hashes a max_df=2 cap drops
+    docs = T.load_table(spark, sf_dir, 'documents')
+    return textops.oversized_ngrams(docs, max_df=2, n=5)
+
+
 def _q_lm_quality(spark, sf_dir):
     # corpus-trained char-trigram LM scoring; vocab_size=200 makes the
     # cap bind at sf0.01 (377 distinct trigrams) so the OOV floor path
@@ -1177,57 +1191,13 @@ def _q_orders_per_nation(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the driver records verdicts for roughly the
+    # first 50 entries of this dict per round.  Keep the dict ordered
+    # (1) gates with no driver verdict yet, (2) gates added or changed
+    # this round, (3) previously-verified gates, oldest verdict first.
+    # When adding a gate, insert it at the top of block (2).
     return {
-        'extract_text': _q_extract_text,
-        'extract_word_spans': _q_extract_word_spans,
-        'extract_sexpr': _q_extract_sexpr,
-        'extract_roundtrip': _q_extract_roundtrip,
-        'turn_filter': _q_turn_filter,
-        'turn_filter_list': _q_turn_filter_list,
-        'extract_fix_utf8': _q_extract_fix_utf8,
-        'error_channel': _q_error_channel,
-        'turns_per_conv': _q_turns_per_conv,
-        'conversation_reassembly': _q_conversation_reassembly,
-        'extraction_metrics': _q_extraction_metrics,
-        'dedup_exact': _q_dedup_exact,
-        'corpus_split': _q_corpus_split,
-        'stratified_sample': _q_stratified_sample,
-        'length_quantiles': _q_length_quantiles,
-        'dedup_apply': _q_dedup_apply,
-        'quality_repetition': _q_quality_repetition,
-        'gopher_quality': _q_gopher_quality,
-        'c4_quality': _q_c4_quality,
-        'split_contamination': _q_split_contamination,
-        'pii_scrub': _q_pii_scrub,
-        'lm_quality': _q_lm_quality,
-        'dedup_substring_spans': _q_dedup_substring_spans,
-        'domain_mix': _q_domain_mix,
-        'doc_chunks': _q_doc_chunks,
-        'conversation_packing': _q_conversation_packing,
-        'dedup_conversations': _q_dedup_conversations,
-        'token_stats': _q_token_stats,
-        'dedup_minhash_lsh': _q_dedup_minhash_lsh,
-        'dedup_ngram_jaccard': _q_dedup_ngram_jaccard,
-        'dedup_clusters': _q_dedup_clusters,
-        'simhash': _q_simhash,
-        'dedup_simhash_pairs': _q_dedup_simhash_pairs,
-        'language_id': _q_language_id,
-        'language_id_ngram': _q_language_id_ngram,
-        'tfidf_top_terms': _q_tfidf_top_terms,
-        'quality_score': _q_quality_score,
-        'doc_fingerprint': _q_doc_fingerprint,
-        'ann_cosine_topk': _q_ann_cosine_topk,
-        'embedding_kmeans': _q_embedding_kmeans,
-        'dedup_semantic': _q_dedup_semantic,
-        'embedding_quantize': _q_embedding_quantize,
-        'semantic_clusters': _q_semantic_clusters,
-        'ann_lsh_topk': _q_ann_lsh_topk,
-        'ann_ivf_topk': _q_ann_ivf_topk,
-        'ann_ivf_nprobe2': _q_ann_ivf_nprobe2,
-        'extract_lines': _q_extract_lines,
-        'extract_chars': _q_extract_chars,
-        'extract_uax29': _q_extract_uax29,
-        'extract_rotated180': _q_extract_rotated180,
+        # -- block 1: no driver verdict before round 4 ------------------
         'extract_rotated90': _q_extract_rotated90,
         'extract_rotated270': _q_extract_rotated270,
         'events_window_agg': _q_events_window_agg,
@@ -1256,6 +1226,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_sessionization': _q_events_sessionization,
         'lineitem_pricing_summary': _q_lineitem_pricing_summary,
         'orders_per_nation': _q_orders_per_nation,
+        # -- block 2: added or changed in round 4 -----------------------
+        'lm_quality': _q_lm_quality,
+        'dedup_substring_spans': _q_dedup_substring_spans,
+        'dedup_substring_capped': _q_dedup_substring_capped,
+        'oversized_ngrams': _q_oversized_ngrams,
+        # -- block 3: previously verified, oldest verdict first ---------
+        'extract_text': _q_extract_text,
+        'extract_word_spans': _q_extract_word_spans,
+        'extract_sexpr': _q_extract_sexpr,
+        'extract_roundtrip': _q_extract_roundtrip,
+        'turn_filter': _q_turn_filter,
+        'turn_filter_list': _q_turn_filter_list,
+        'extract_fix_utf8': _q_extract_fix_utf8,
+        'error_channel': _q_error_channel,
+        'turns_per_conv': _q_turns_per_conv,
+        'conversation_reassembly': _q_conversation_reassembly,
+        'extraction_metrics': _q_extraction_metrics,
+        'dedup_exact': _q_dedup_exact,
+        'corpus_split': _q_corpus_split,
+        'stratified_sample': _q_stratified_sample,
+        'length_quantiles': _q_length_quantiles,
+        'dedup_apply': _q_dedup_apply,
+        'quality_repetition': _q_quality_repetition,
+        'gopher_quality': _q_gopher_quality,
+        'c4_quality': _q_c4_quality,
+        'split_contamination': _q_split_contamination,
+        'pii_scrub': _q_pii_scrub,
+        'domain_mix': _q_domain_mix,
+        'doc_chunks': _q_doc_chunks,
+        'conversation_packing': _q_conversation_packing,
+        'dedup_conversations': _q_dedup_conversations,
+        'token_stats': _q_token_stats,
+        'dedup_minhash_lsh': _q_dedup_minhash_lsh,
+        'dedup_ngram_jaccard': _q_dedup_ngram_jaccard,
+        'dedup_clusters': _q_dedup_clusters,
+        'simhash': _q_simhash,
+        'dedup_simhash_pairs': _q_dedup_simhash_pairs,
+        'language_id': _q_language_id,
+        'language_id_ngram': _q_language_id_ngram,
+        'tfidf_top_terms': _q_tfidf_top_terms,
+        'quality_score': _q_quality_score,
+        'doc_fingerprint': _q_doc_fingerprint,
+        'ann_cosine_topk': _q_ann_cosine_topk,
+        'embedding_kmeans': _q_embedding_kmeans,
+        'dedup_semantic': _q_dedup_semantic,
+        'embedding_quantize': _q_embedding_quantize,
+        'semantic_clusters': _q_semantic_clusters,
+        'ann_lsh_topk': _q_ann_lsh_topk,
+        'ann_ivf_topk': _q_ann_ivf_topk,
+        'ann_ivf_nprobe2': _q_ann_ivf_nprobe2,
+        'extract_lines': _q_extract_lines,
+        'extract_chars': _q_extract_chars,
+        'extract_uax29': _q_extract_uax29,
+        'extract_rotated180': _q_extract_rotated180,
     }
 
 
@@ -1426,6 +1450,51 @@ def _sql_pos_shingle(n: int) -> str:
     for j in range(1, n):
         expr = f'({expr} * 1009 + hs[t.i+{j}]) % 2147483647'
     return expr
+
+
+def _sql_dup_spans(max_df: int | None = None) -> str:
+    """Lee-et-al duplicated-spans oracle (mirrors
+    textops.duplicated_spans); ``max_df`` is the stop-gram cap."""
+    cap = f'AND count(*) <= {max_df}' if max_df is not None else ''
+    return f'''
+            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            th AS ({_sql_token_hashes('tok')}),
+            pos_sh AS (
+                SELECT doc_id, CAST(t.i - 1 AS INTEGER) AS pos,
+                       {_sql_pos_shingle(5)} AS sh
+                FROM th,
+                     LATERAL (SELECT unnest(range(1, len(hs) - 3)) AS i) t
+                WHERE len(hs) >= 5
+            ),
+            dfc AS (
+                SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM pos_sh)
+                GROUP BY sh HAVING count(*) >= 2 {cap}
+            ),
+            dup AS (
+                SELECT p.doc_id, p.pos, p.pos + 5 AS end_
+                FROM pos_sh p JOIN dfc USING (sh)
+            ),
+            w AS (
+                SELECT doc_id, pos, end_,
+                       max(end_) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_max
+                FROM dup
+            ),
+            isl AS (
+                SELECT doc_id, pos, end_,
+                       sum(CASE WHEN prev_max IS NULL OR pos >= prev_max
+                           THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS island
+                FROM w
+            )
+            SELECT doc_id,
+                   CAST(min(pos) AS INTEGER) AS span_start,
+                   CAST(max(end_) AS INTEGER) AS span_end,
+                   CAST(max(end_) - min(pos) AS INTEGER) AS n_tokens
+            FROM isl GROUP BY doc_id, island
+        '''
 
 
 def _sql_ann_ivf(nprobe: int) -> str:
@@ -1722,44 +1791,20 @@ def oracle_sql() -> dict[str, str]:
         ''',
         # integer-quantized log-probs (1e6 grid): LONG sums are exact
         # and order-independent, so Spark and DuckDB agree bit-for-bit
-        'dedup_substring_spans': f'''
+        'dedup_substring_spans': _sql_dup_spans(),
+        'dedup_substring_capped': _sql_dup_spans(max_df=2),
+        'oversized_ngrams': f'''
             WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             th AS ({_sql_token_hashes('tok')}),
             pos_sh AS (
-                SELECT doc_id, CAST(t.i - 1 AS INTEGER) AS pos,
-                       {_sql_pos_shingle(5)} AS sh
+                SELECT doc_id, {_sql_pos_shingle(5)} AS sh
                 FROM th,
                      LATERAL (SELECT unnest(range(1, len(hs) - 3)) AS i) t
                 WHERE len(hs) >= 5
-            ),
-            dfc AS (
-                SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM pos_sh)
-                GROUP BY sh HAVING count(*) >= 2
-            ),
-            dup AS (
-                SELECT p.doc_id, p.pos, p.pos + 5 AS end_
-                FROM pos_sh p JOIN dfc USING (sh)
-            ),
-            w AS (
-                SELECT doc_id, pos, end_,
-                       max(end_) OVER (PARTITION BY doc_id ORDER BY pos
-                           ROWS BETWEEN UNBOUNDED PRECEDING
-                           AND 1 PRECEDING) AS prev_max
-                FROM dup
-            ),
-            isl AS (
-                SELECT doc_id, pos, end_,
-                       sum(CASE WHEN prev_max IS NULL OR pos >= prev_max
-                           THEN 1 ELSE 0 END)
-                           OVER (PARTITION BY doc_id ORDER BY pos)
-                           AS island
-                FROM w
             )
-            SELECT doc_id,
-                   CAST(min(pos) AS INTEGER) AS span_start,
-                   CAST(max(end_) AS INTEGER) AS span_end,
-                   CAST(max(end_) - min(pos) AS INTEGER) AS n_tokens
-            FROM isl GROUP BY doc_id, island
+            SELECT sh, count(*) AS df
+            FROM (SELECT DISTINCT doc_id, sh FROM pos_sh)
+            GROUP BY sh HAVING count(*) > 2
         ''',
         'lm_quality': f'''
             WITH d AS (SELECT doc_id, {_NORM} AS t FROM documents),
@@ -1795,8 +1840,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    CAST(count(tri) AS INTEGER) AS n_trigrams,
-                   round(sum(lp) * 1.0 / count(*) / 1000000, 6)
-                       AS lm_score
+                   CASE WHEN count(tri) > 0
+                        THEN round(sum(lp) * 1.0 / count(*) / 1000000, 6)
+                   END AS lm_score
             FROM lp GROUP BY 1
         ''',
         'gopher_quality': f'''

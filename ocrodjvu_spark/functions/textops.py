@@ -459,7 +459,8 @@ def positioned_shingle_hashes(tokens_col: Column, n: int = 3) -> Column:
 
 
 def duplicated_spans(docs: DataFrame, id_col='doc_id', text_col='text',
-                     n: int = 5, min_df: int = 2) -> DataFrame:
+                     n: int = 5, min_df: int = 2,
+                     max_df: Optional[int] = None) -> DataFrame:
     """Exact-substring duplicate regions: per-document token spans
     covered by n-grams that appear in >= ``min_df`` distinct documents.
 
@@ -472,13 +473,30 @@ def duplicated_spans(docs: DataFrame, id_col='doc_id', text_col='text',
     duplicated windows (gaps-and-islands per document) recovers the
     same spans. ``n`` is the minimum duplicated length reported.
 
+    ``max_df`` is the stop-gram cap, the skew guard for the join-back:
+    an n-gram occurring in more than ``max_df`` documents (a
+    boilerplate phrase in 10^8 docs) would land every one of its
+    occurrence rows on a single join key, so hashes with
+    df > ``max_df`` are excluded from the duplicated set — mirroring
+    Lee et al.'s practice of dropping ultra-common substrings.  Use
+    :func:`oversized_ngrams` to observe what a given cap excludes.
+    Default ``None`` (no cap) keeps the exact semantics for
+    moderate-scale corpora.
+
     Scale shape: positioned-shingle explode (corpus token count rows) →
     distinct (doc, hash) → df count on the hash key → join back on the
     hash → one window per document for the island merge. Every shuffle
-    is on a high-cardinality key; no driver state.
+    is on a high-cardinality key; no driver state. Output rows are
+    linear in duplicated-occurrence count (no pair explosion).
 
     Output: (id, span_start, span_end, n_tokens) with end exclusive,
-    spans disjoint per document, ordered by construction.
+    spans disjoint per document, ordered by construction. Two maximal
+    runs that touch without overlapping (previous span's exclusive end
+    == next duplicated window's start) are reported as two adjacent
+    spans, not merged into one: the island break is ``pos >=
+    prev_max``, which is what the SQL oracle and the randomized
+    brute-force reference pin. Coverage (the union of reported token
+    ranges) is identical either way.
     """
     pos_sh = docs.select(
         F.col(id_col),
@@ -488,8 +506,10 @@ def duplicated_spans(docs: DataFrame, id_col='doc_id', text_col='text',
              F.col('p.sh').alias('sh'))
     df_counts = (pos_sh.select(id_col, 'sh').distinct()
                  .groupBy('sh').agg(F.count('*').alias('df'))
-                 .where(F.col('df') >= min_df)
-                 .select('sh'))
+                 .where(F.col('df') >= min_df))
+    if max_df is not None:
+        df_counts = df_counts.where(F.col('df') <= max_df)
+    df_counts = df_counts.select('sh')
     dup = pos_sh.join(df_counts, 'sh').select(
         id_col, 'pos', (F.col('pos') + n).alias('end'))
     w_order = Window.partitionBy(id_col).orderBy('pos')
@@ -508,6 +528,23 @@ def duplicated_spans(docs: DataFrame, id_col='doc_id', text_col='text',
                 F.col('span_end').cast('int').alias('span_end'),
                 (F.col('span_end') - F.col('span_start')).cast('int')
                  .alias('n_tokens')))
+
+
+def oversized_ngrams(docs: DataFrame, max_df: int, id_col='doc_id',
+                     text_col='text', n: int = 5) -> DataFrame:
+    """(sh, df) for n-gram hashes above the stop-gram cap —
+    observability hook for what ``duplicated_spans(max_df=...)``
+    excludes. Same shuffle shape as the df-count stage itself (one
+    distinct + one groupBy on the hash key), so it is safe to run at
+    any corpus size before committing to a cap."""
+    pos_sh = docs.select(
+        F.col(id_col),
+        F.explode(positioned_shingle_hashes(tokens(text_col), n))
+         .alias('p')
+    ).select(F.col(id_col), F.col('p.sh').alias('sh'))
+    return (pos_sh.distinct()
+            .groupBy('sh').agg(F.count('*').alias('df'))
+            .where(F.col('df') > max_df))
 
 
 def oversized_minhash_buckets(docs: DataFrame, max_bucket_size: int,
@@ -1207,10 +1244,12 @@ def lm_score(docs: DataFrame, id_col='doc_id', text_col='text',
     is floating point.
 
     Output: (id, n_trigrams, lm_score) with lm_score = mean quantized
-    log-prob in nats, rounded to 6dp. If the whole corpus has no
-    trigrams (every doc shorter than 3 chars) there is no model and
-    lm_score is null — mirrored by the SQL oracle (NULL total
-    propagates identically).
+    log-prob in nats, rounded to 6dp. A document with no trigrams at
+    all (shorter than 3 chars after normalization) has no evidence to
+    score, so ``lm_score`` is NULL — not the OOV floor; a quality
+    filter should treat contentless docs as unscored, not as
+    worst-possible. The corpus-wide degenerate case (no doc has any
+    trigram → no model) also yields NULL via the NULL ``total``.
     """
     norm = norm_text(text_col)
     trigrams = F.when(
@@ -1243,7 +1282,8 @@ def lm_score(docs: DataFrame, id_col='doc_id', text_col='text',
                  F.sum('lp').alias('_s'), F.count('*').alias('_n'))
             .select(
                 id_col, 'n_trigrams',
-                F.round(F.col('_s') / F.col('_n') / LM_QUANT, 6)
+                F.when(F.col('n_trigrams') > 0,
+                       F.round(F.col('_s') / F.col('_n') / LM_QUANT, 6))
                  .alias('lm_score')))
 
 

@@ -404,10 +404,13 @@ def test_lm_score_separates_fluent_from_garbage(spark):
     short = _docs(spark, ['ab'])
     row = textops.lm_score(short).collect()[0]
     assert row.n_trigrams == 0 and row.lm_score is None
-    # a short doc WITHIN a real corpus gets the corpus floor
+    # a short doc WITHIN a real corpus is unscored (NULL), not floored:
+    # zero trigrams is zero evidence, and a quality filter must be able
+    # to tell "contentless" apart from "confidently garbage"
     mixed = _docs(spark, ['ab', 'the quick brown fox jumps here'])
     rows = {r.doc_id: r for r in textops.lm_score(mixed).collect()}
-    assert rows[0].n_trigrams == 0 and rows[0].lm_score < rows[1].lm_score
+    assert rows[0].n_trigrams == 0 and rows[0].lm_score is None
+    assert rows[1].n_trigrams > 0 and rows[1].lm_score is not None
 
 
 def test_domain_mix_weights(spark):
@@ -532,6 +535,35 @@ def test_duplicated_spans_separate_islands(spark):
         out.setdefault(r.doc_id, []).append(
             (r.span_start, r.span_end))
     assert sorted(out[0]) == [(0, 5), (8, 13)]
+
+
+def test_duplicated_spans_stop_gram_cap(spark):
+    # the boilerplate-phrase skew case: a 5-gram shared by EVERY doc
+    # (df = n_docs) would put all its occurrence rows on one join key;
+    # max_df excludes it while genuinely-duplicated low-df runs survive
+    boiler = 'standard footer text applies here'      # df = 39
+    rare = 'alpha beta gamma delta epsilon'           # df = 2
+    texts = [boiler + ' filler%d extra words' % i for i in range(40)]
+    texts[0] = rare + ' ' + boiler + ' more words'
+    texts[1] = rare + ' other unique closing tokens now'  # no boiler
+    docs = _docs(spark, texts)
+    capped = {}
+    for r in textops.duplicated_spans(
+            docs, n=5, min_df=2, max_df=10).collect():
+        capped.setdefault(r.doc_id, []).append(
+            (r.span_start, r.span_end))
+    # boilerplate span gone everywhere; the df=2 run is still reported
+    assert capped == {0: [(0, 5)], 1: [(0, 5)]}
+    # uncapped: every doc reports its boilerplate span
+    uncapped = textops.duplicated_spans(docs, n=5, min_df=2).collect()
+    assert len({r.doc_id for r in uncapped}) == 40
+    # observability companion sees exactly the dropped hash
+    over = textops.oversized_ngrams(docs, max_df=10, n=5).collect()
+    assert len(over) == 1 and over[0].df == 39
+    # cap above every df: identical to uncapped (same row multiset)
+    wide = textops.duplicated_spans(
+        docs, n=5, min_df=2, max_df=1000).collect()
+    assert sorted(map(tuple, wide)) == sorted(map(tuple, uncapped))
 
 
 def test_asof_join_semantics(spark):

@@ -232,6 +232,23 @@ def main():
         ])
 
     audit(
+        'duplicated spans w/ stop-gram cap (df filter before join-back)',
+        textops.duplicated_spans(docs, n=5, min_df=2, max_df=64),
+        [
+            # the cap must reach the df-count side BEFORE the join back
+            # onto occurrences — that filter is what keeps a boilerplate
+            # n-gram's 10^8 occurrence rows off a single join key
+            ('df cap filters the build side before the join-back',
+             lambda p: '(df' in p and '<= 64)' in p),
+            ('no cartesian product / broadcast nested loop',
+             lambda p: 'CartesianProduct' not in p
+             and 'BroadcastNestedLoopJoin' not in p),
+            ('all shuffles on hash keys (no single-partition exchange '
+             'outside the final island window)',
+             lambda p: p.count('SinglePartition') == 0),
+        ])
+
+    audit(
         'lm quality (capped vocab broadcast to the scoring join)',
         textops.lm_score(docs, vocab_size=200),
         [
