@@ -292,13 +292,27 @@ def _q_stateful_conversation_state(spark, sf_dir):
 
 
 def _q_multimodal_features(spark, sf_dir):
-    # binary multimodal plumbing end-to-end: opaque payload column ->
-    # mapInPandas feature extraction (the decoder itself is the
-    # documented stub; the gate pins the Spark-side schema, batching,
-    # and the deterministic stub features)
+    # binary multimodal pipeline end-to-end: real netpbm/BMP payloads ->
+    # mapInPandas decode (stdlib codecs, kernel/image_codecs.py) with
+    # exact geometry + integer pixel sums; audio/video stay stubs (no
+    # codecs in this container). checksum (md5 of raw payload bytes) is
+    # pinned by unit tests instead — DuckDB cannot rebuild the binary
+    # payload to hash it.
     from ocrodjvu_spark.functions import multimodal as MM
     media = MM.synthesize_media(spark, sf_dir)
-    return MM.extract_features(media)
+    return MM.extract_features(media).drop('checksum')
+
+
+def _q_multimodal_resize(spark, sf_dir):
+    # real nearest-neighbor downscale of the raw-PNM images (floor
+    # source mapping, exactly reproducible in integer SQL), then decode
+    # the resized payloads: geometry + pixel sums prove the resample
+    from ocrodjvu_spark.functions import multimodal as MM
+    media = MM.synthesize_media(spark, sf_dir)
+    resized = MM.resize_images(media, max_side=4)
+    return (MM.extract_features(resized)
+            .where(F.col('kind') == 'image')
+            .drop('checksum'))
 
 
 def _q_events_window_agg(spark, sf_dir):
@@ -1231,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_substring_spans': _q_dedup_substring_spans,
         'dedup_substring_capped': _q_dedup_substring_capped,
         'oversized_ngrams': _q_oversized_ngrams,
+        'multimodal_resize': _q_multimodal_resize,
         # -- block 3: previously verified, oldest verdict first ---------
         'extract_text': _q_extract_text,
         'extract_word_spans': _q_extract_word_spans,
@@ -1450,6 +1465,56 @@ def _sql_pos_shingle(n: int) -> str:
     for j in range(1, n):
         expr = f'({expr} * 1009 + hs[t.i+{j}]) % 2147483647'
     return expr
+
+
+# shared fragments for the multimodal oracles: the generative layout of
+# functions/multimodal.synthesize_media re-derived in closed form
+_SQL_MEDIA_BASE = '''base AS (
+    SELECT doc_id, text, doc_id % 3 AS k3,
+           CAST(4 + doc_id % 5 AS INTEGER) AS w,
+           CAST(3 + doc_id % 4 AS INTEGER) AS h,
+           (doc_id // 3) % 4 AS fmt
+    FROM documents
+)'''
+
+_SQL_MEDIA_IMG = '''SELECT doc_id, w, h, fmt,
+           CAST(CASE WHEN fmt IN (1, 3) THEN 1 ELSE 3 END AS INTEGER)
+               AS ch,
+           CASE WHEN fmt = 2 THEN 'bmp' ELSE 'pnm' END AS dec
+    FROM base WHERE k3 = 0'''
+
+# per-format container size (headers + padded/packed body) and the
+# closed-form pixel sum of the generative sample pattern
+_SQL_MEDIA_IMGF = f'''SELECT doc_id, w, h, ch, dec,
+           CAST(CASE fmt
+             WHEN 0 THEN length('P6 ' || w || ' ' || h || ' 255'
+                          || chr(10)) + w * h * 3
+             WHEN 1 THEN length('P5 ' || w || ' ' || h || ' 255'
+                          || chr(10)) + w * h
+             WHEN 2 THEN 54 + h * (((3 * w + 3) // 4) * 4)
+             ELSE length('P4 ' || w || ' ' || h || chr(10))
+                  + h * ((w + 7) // 8)
+           END AS INTEGER) AS n_bytes,
+           CASE WHEN fmt = 3 THEN
+               CAST(list_sum(list_transform(range(0, w * h),
+                    i -> ((i % w) + (i // w) + doc_id) % 2)) AS BIGINT)
+           ELSE
+               CAST(list_sum(list_transform(range(0, w * h * ch),
+                    i -> (i + doc_id) % 256)) AS BIGINT)
+           END AS pixel_sum
+    FROM ({_SQL_MEDIA_IMG}) i'''
+
+_SQL_MEDIA_STUB = '''
+            SELECT doc_id AS media_id,
+                   CASE WHEN k3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+                   CAST(length(repeat(text, 4)) AS INTEGER) AS n_bytes,
+                   CAST(NULL AS INTEGER) AS width,
+                   CAST(NULL AS INTEGER) AS height,
+                   CAST(NULL AS INTEGER) AS channels,
+                   CAST(NULL AS BIGINT) AS n_samples,
+                   CAST(NULL AS BIGINT) AS pixel_sum,
+                   'stub' AS decoder
+            FROM base WHERE k3 <> 0'''
 
 
 def _sql_dup_spans(max_df: int | None = None) -> str:
@@ -2318,20 +2383,72 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY 1
         ''',
-        'multimodal_features': '''
-            WITH t AS (SELECT doc_id, repeat(text, 4) AS t4 FROM documents)
-            SELECT doc_id AS media_id,
-                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                        ELSE 'video' END AS kind,
-                   CAST(length(t4) AS INTEGER) AS n_bytes,
-                   md5(t4) AS checksum,
-                   CAST(CAST(list_sum(list_transform(
-                            string_split(substr(t4, 1, 4096), ''),
-                            c -> ascii(c))) AS BIGINT)
-                        // greatest(least(length(t4), 4096), 1)
-                        AS INTEGER) AS mean_byte,
-                   'stub' AS decoder
-            FROM t
+        # the image features are re-derived from the generative pattern
+        # (sample i = (i + doc_id) % 256; PBM = (x+y+doc_id) % 2
+        # checkerboard), NOT by decoding — so Spark's stdlib decoder and
+        # the SQL closed form agree only if the codec layout
+        # (headers, strides, padding, bit packing) is byte-correct.
+        'multimodal_features': f'''
+            WITH {_SQL_MEDIA_BASE},
+            imgf AS ({_SQL_MEDIA_IMGF})
+            SELECT doc_id AS media_id, 'image' AS kind, n_bytes,
+                   w AS width, h AS height, ch AS channels,
+                   CAST(w * h * ch AS BIGINT) AS n_samples,
+                   pixel_sum, dec AS decoder
+            FROM imgf
+            UNION ALL {_SQL_MEDIA_STUB}
+        ''',
+        'multimodal_resize': f'''
+            WITH {_SQL_MEDIA_BASE},
+            -- raw-PNM formats (ppm/pgm) whose long side exceeds 4 are
+            -- floor-resampled to long side 4; bmp/pbm pass through
+            geo AS (
+                SELECT img.*,
+                       CASE WHEN fmt IN (0, 1) AND greatest(w, h) > 4
+                            THEN greatest(w * 4 // greatest(w, h), 1)
+                            ELSE w END AS nw,
+                       CASE WHEN fmt IN (0, 1) AND greatest(w, h) > 4
+                            THEN greatest(h * 4 // greatest(w, h), 1)
+                            ELSE h END AS nh
+                FROM ({_SQL_MEDIA_IMG}) img
+            ),
+            feats AS (
+                SELECT doc_id, fmt, w, h, ch, dec,
+                       CAST(nw AS INTEGER) AS nw, CAST(nh AS INTEGER) AS nh,
+                       CASE fmt
+                         WHEN 0 THEN length('P6 ' || nw || ' ' || nh
+                                     || ' 255' || chr(10)) + nw * nh * 3
+                         WHEN 1 THEN length('P5 ' || nw || ' ' || nh
+                                     || ' 255' || chr(10)) + nw * nh
+                         WHEN 2 THEN 54 + h * (((3 * w + 3) // 4) * 4)
+                         ELSE length('P4 ' || w || ' ' || h || chr(10))
+                              + h * ((w + 7) // 8)
+                       END AS n_bytes,
+                       CASE WHEN fmt IN (0, 1) THEN
+                           CAST(list_sum(list_transform(
+                                range(0, nw * nh * ch),
+                                i -> ((((i // (ch * nw)) * h // nh) * w
+                                       + ((i // ch) % nw) * w // nw)
+                                      * ch + (i % ch) + doc_id) % 256))
+                                AS BIGINT)
+                       WHEN fmt = 2 THEN
+                           CAST(list_sum(list_transform(
+                                range(0, w * h * ch),
+                                i -> (i + doc_id) % 256)) AS BIGINT)
+                       ELSE
+                           CAST(list_sum(list_transform(
+                                range(0, w * h),
+                                i -> ((i % w) + (i // w) + doc_id) % 2))
+                                AS BIGINT)
+                       END AS pixel_sum
+                FROM geo
+            )
+            SELECT doc_id AS media_id, 'image' AS kind,
+                   CAST(n_bytes AS INTEGER) AS n_bytes,
+                   nw AS width, nh AS height, ch AS channels,
+                   CAST(nw * nh * ch AS BIGINT) AS n_samples,
+                   pixel_sum, dec AS decoder
+            FROM feats
         ''',
         'events_window_agg': '''
             SELECT date_trunc('hour', ts) AS window_start, event_type,

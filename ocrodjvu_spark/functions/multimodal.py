@@ -5,13 +5,15 @@ metadata struct; decode / feature-extraction / resize / frame-sampling
 run as Arrow-batched ``mapInPandas`` stages so payload bytes never leave
 the executor (only one Python hop per batch).
 
-The actual codec work is STUBBED in this environment (no image/audio
-libraries in the container): ``decode_media`` tries the real decoders
-behind import guards and otherwise falls back to a clearly-marked
-deterministic fake that still exercises the full Spark plumbing —
-schema, partitioning, UDF signature, Arrow batch shape. Swap
-``_fake_decode`` for a real decoder (PIL / torchaudio / pyav) in
-production; nothing else changes.
+Image payloads are decoded for real: the stdlib codecs in
+``ocrodjvu_spark.kernel.image_codecs`` read the same container formats
+the reference writes for its OCR engines — raw PBM/PPM and uncompressed
+BMP (``/root/reference/lib/image_io.py:53-133``) plus the other netpbm
+variants — and the feature stage reports decoded geometry and exact
+integer pixel sums. Audio/video codecs are not available in this
+container, so those kinds fall back to a clearly-marked deterministic
+stub (byte-level features only); swap ``_stub_features`` for a real
+decoder (torchaudio / pyav) in production and nothing else changes.
 
 Scale notes: payloads dominate row size, so batches are bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` and stages repartition
@@ -31,6 +33,8 @@ from pyspark.sql.types import (
     BinaryType, IntegerType, LongType, StringType, StructField, StructType,
 )
 
+from ocrodjvu_spark.kernel import image_codecs as IC
+
 MEDIA_SCHEMA = StructType([
     StructField('media_id', LongType()),
     StructField('kind', StringType()),          # image | audio | video
@@ -44,8 +48,12 @@ FEATURE_SCHEMA = StructType([
     StructField('media_id', LongType()),
     StructField('kind', StringType()),
     StructField('n_bytes', IntegerType()),
+    StructField('width', IntegerType()),        # decoded geometry
+    StructField('height', IntegerType()),
+    StructField('channels', IntegerType()),
+    StructField('n_samples', LongType()),
+    StructField('pixel_sum', LongType()),
     StructField('checksum', StringType()),
-    StructField('mean_byte', IntegerType()),
     StructField('decoder', StringType()),
 ])
 
@@ -55,44 +63,84 @@ FRAME_SCHEMA = StructType([
     StructField('frame', BinaryType()),
 ])
 
+# deterministic synthetic-image geometry, shared with the SQL oracle
+_IMG_FORMATS = ('ppm', 'pgm', 'bmp', 'pbm')
+
+
+def _image_dims(doc_id: int) -> tuple[int, int]:
+    return 4 + doc_id % 5, 3 + doc_id % 4
+
+
+def _make_image(doc_id: int) -> bytes:
+    """Deterministic real image payload for media_id ``doc_id``.
+
+    Formats rotate through PPM/PGM/BMP/PBM; sample ``i`` of the
+    truecolor/gray variants is ``(i + doc_id) % 256`` and PBM pixels
+    form a ``(x + y + doc_id) % 2`` checkerboard — closed forms the SQL
+    oracle reproduces with a ``generate_series`` lateral.
+    """
+    w, h = _image_dims(doc_id)
+    fmt = _IMG_FORMATS[(doc_id // 3) % 4]
+    if fmt == 'pbm':
+        bits = [(x + y + doc_id) % 2
+                for y in range(h) for x in range(w)]
+        return IC.encode_pbm(w, h, bits)
+    ch = 1 if fmt == 'pgm' else 3
+    samples = bytes((i + doc_id) % 256 for i in range(w * h * ch))
+    if fmt == 'pgm':
+        return IC.encode_pgm(w, h, samples)
+    if fmt == 'ppm':
+        return IC.encode_ppm(w, h, samples)
+    return IC.encode_bmp24(w, h, samples)
+
 
 def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic opaque binary payloads derived from documents."""
-    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
-    kind = F.element_at(
-        F.array(F.lit('image'), F.lit('audio'), F.lit('video')),
-        (F.col('doc_id') % 3 + 1).cast('int'))
-    return docs.select(
-        F.col('doc_id').alias('media_id'),
-        kind.alias('kind'),
-        F.encode(F.repeat(F.col('text'), 4), 'UTF-8').alias('payload'),
-        (F.col('doc_id') % 640 + 16).cast('int').alias('width'),
-        (F.col('doc_id') % 480 + 16).cast('int').alias('height'),
-        F.lit('raw').alias('codec'),
-    )
+    """Deterministic media payloads derived from documents.
+
+    ``doc_id % 3 == 0`` rows carry real image bytes (netpbm / BMP);
+    audio/video rows carry opaque text-derived bytes (their decoders
+    are stubs in this container, so only byte-level features apply).
+    """
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet') \
+        .select('doc_id', 'text')
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf['doc_id'], pdf['text']):
+                doc_id = int(doc_id)
+                if doc_id % 3 == 0:
+                    payload = _make_image(doc_id)
+                    w, h = _image_dims(doc_id)
+                    rows.append({'media_id': doc_id, 'kind': 'image',
+                                 'payload': payload, 'width': w,
+                                 'height': h,
+                                 'codec': _IMG_FORMATS[(doc_id // 3) % 4]})
+                else:
+                    kind = 'audio' if doc_id % 3 == 1 else 'video'
+                    rows.append({'media_id': doc_id, 'kind': kind,
+                                 'payload': (text * 4).encode('utf-8'),
+                                 'width': None, 'height': None,
+                                 'codec': 'raw'})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return docs.mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
-def _fake_decode(payload: bytes) -> dict:
-    """Deterministic STUB decoder (no media libs in this container)."""
-    checksum = hashlib.md5(payload).hexdigest()
-    mean = sum(payload[:4096]) // max(min(len(payload), 4096), 1)
-    return {'checksum': checksum, 'mean_byte': int(mean),
-            'decoder': 'stub'}
-
-
-def _real_decode(payload: bytes, kind: str):
-    """Try real decoders; raise NotImplementedError when libs are absent."""
-    if kind == 'image':
-        try:
-            import PIL.Image  # noqa: F401
-        except ImportError:
-            raise NotImplementedError('image decode requires Pillow')
-        raise NotImplementedError('real image decode not wired up yet')
-    raise NotImplementedError(f'no decoder for kind={kind}')
+def _stub_features(payload: bytes) -> dict:
+    """Byte-level STUB for kinds with no decoder in this container."""
+    return {'width': None, 'height': None, 'channels': None,
+            'n_samples': None, 'pixel_sum': None, 'decoder': 'stub'}
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction over binary payloads."""
+    """mapInPandas feature extraction over binary payloads.
+
+    Image rows are decoded with the stdlib netpbm/BMP readers (exact
+    geometry + integer pixel sums); undecodable payloads and non-image
+    kinds get NULL decode columns with ``decoder = 'stub'``.
+    """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -100,14 +148,18 @@ def extract_features(media: DataFrame) -> DataFrame:
             for media_id, kind, payload in zip(
                     pdf['media_id'], pdf['kind'], pdf['payload']):
                 data = bytes(payload) if payload is not None else b''
-                try:
-                    feats = _real_decode(data, kind)
-                except NotImplementedError:
-                    feats = _fake_decode(data)
+                if kind == 'image':
+                    try:
+                        feats = IC.decode_image(data)
+                    except IC.ImageDecodeError:
+                        feats = _stub_features(data)
+                else:
+                    feats = _stub_features(data)
                 rows.append({
                     'media_id': media_id,
                     'kind': kind,
                     'n_bytes': len(data),
+                    'checksum': hashlib.md5(data).hexdigest(),
                     **feats,
                 })
             yield pd.DataFrame(
@@ -118,25 +170,54 @@ def extract_features(media: DataFrame) -> DataFrame:
             .mapInPandas(batches, schema=FEATURE_SCHEMA))
 
 
-def resize_images(media: DataFrame, max_bytes: int = 1024) -> DataFrame:
-    """STUB resize: truncate payloads (plumbing for a real resampler)."""
+def resize_images(media: DataFrame, max_side: int = 4) -> DataFrame:
+    """Real nearest-neighbor downscale for raw P5/P6 image payloads.
+
+    Images whose longest side exceeds ``max_side`` are resampled so it
+    equals ``max_side`` (floor-scaled short side, min 1) — the standard
+    pre-embedding normalization pass. Non-PNM images and other kinds
+    pass through unchanged; the width/height metadata columns track the
+    new geometry.
+    """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             pdf = pdf.copy()
-            pdf['payload'] = [
-                bytes(p)[:max_bytes] if p is not None else None
-                for p in pdf['payload']
-            ]
+            payloads, widths, heights = [], [], []
+            for kind, payload, w, h in zip(
+                    pdf['kind'], pdf['payload'], pdf['width'],
+                    pdf['height']):
+                data = bytes(payload) if payload is not None else None
+                if (kind == 'image' and data is not None
+                        and data[:2] in (b'P5', b'P6')):
+                    info = IC.decode_pnm(data)
+                    ow, oh = info['width'], info['height']
+                    side = max(ow, oh)
+                    if side > max_side:
+                        nw = max(ow * max_side // side, 1)
+                        nh = max(oh * max_side // side, 1)
+                        data = IC.resize_pnm_nearest(data, nw, nh)
+                        ow, oh = nw, nh
+                    payloads.append(data)
+                    widths.append(ow)
+                    heights.append(oh)
+                else:
+                    payloads.append(data)
+                    widths.append(w)
+                    heights.append(h)
+            pdf['payload'] = payloads
+            pdf['width'] = pd.array(widths, dtype='Int32')
+            pdf['height'] = pd.array(heights, dtype='Int32')
             yield pdf
 
-    return media.where(F.col('kind') == 'image') \
-        .mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 def sample_frames(media: DataFrame, frame_bytes: int = 256,
                   every_n: int = 2) -> DataFrame:
-    """STUB frame sampling: fixed-size windows of the payload, every Nth."""
+    """STUB frame sampling: fixed-size windows of the payload, every Nth
+    (video codecs are unavailable in this container; the plumbing —
+    explode shape, Arrow batching, binary frames — is the real part)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

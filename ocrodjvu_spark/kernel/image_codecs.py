@@ -1,0 +1,262 @@
+"""Pure-stdlib raster image codecs: netpbm (P1–P6) and uncompressed BMP.
+
+The reference emits page images in exactly these container formats —
+raw PBM/PPM (``/root/reference/lib/image_io.py:53-83``, header
+``P4 {w} {h}`` / ``P6 {w} {h} 255``) and uncompressed Windows BMP with
+an optional 2-color palette (``image_io.py:85-133``) — as input for the
+OCR engines.  This module is the *inverse* direction: byte-exact readers
+(plus the matching writers used by the test fixtures), so the Spark
+multimodal stage can decode real payloads with no third-party imaging
+library.
+
+Decoded result contract (:func:`decode_image`)::
+
+    {'width': int, 'height': int, 'channels': int,
+     'n_samples': int, 'pixel_sum': int, 'decoder': 'pnm' | 'bmp'}
+
+``pixel_sum`` is the sum of all decoded sample values — gray bytes for
+P2/P5, R,G,B bytes for P3/P6 and 24/32-bpp BMP, palette-resolved B,G,R
+bytes for 1/8-bpp BMP, and raw bits (1 = black, netpbm convention) for
+P1/P4.  Integer sums are order-independent and exact, which is what
+lets the SQL oracle reproduce them bit-for-bit from the generative
+pattern without a decoder of its own.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+class ImageDecodeError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------------------
+# netpbm
+# --------------------------------------------------------------------------
+
+def _pnm_header_tokens(data: bytes, count: int):
+    """Yield ``count`` header tokens + the offset just past them.
+
+    netpbm headers are whitespace-separated tokens with ``#`` comments
+    running to end-of-line; the pixel data starts after exactly one
+    whitespace byte following the last header token.
+    """
+    toks = []
+    i = 0
+    n = len(data)
+    while len(toks) < count:
+        while i < n and data[i:i + 1].isspace():
+            i += 1
+        if i < n and data[i] == ord('#'):
+            while i < n and data[i] not in (10, 13):
+                i += 1
+            continue
+        j = i
+        while j < n and not data[j:j + 1].isspace() and data[j] != ord('#'):
+            j += 1
+        if j == i:
+            raise ImageDecodeError('truncated netpbm header')
+        toks.append(data[i:j])
+        i = j
+    if i >= n or not data[i:i + 1].isspace():
+        raise ImageDecodeError('netpbm header not terminated')
+    return toks, i + 1
+
+
+def decode_pnm(data: bytes) -> dict:
+    if len(data) < 2 or data[0] != ord('P') or data[1] not in b'123456':
+        raise ImageDecodeError('not a netpbm payload')
+    kind = chr(data[1])
+    bitmap = kind in '14'
+    n_header = 3 if bitmap else 4  # magic, w, h[, maxval]
+    toks, off = _pnm_header_tokens(data, n_header)
+    width, height = int(toks[1]), int(toks[2])
+    maxval = 1 if bitmap else int(toks[3])
+    if width <= 0 or height <= 0 or not (1 <= maxval <= 65535):
+        raise ImageDecodeError('bad netpbm dimensions')
+    channels = 3 if kind in '36' else 1
+    n_samples = width * height * channels
+
+    if kind in '123':                      # ASCII ("plain") variants
+        body = data[off - 1:]
+        if kind == '1':
+            # P1 bits may run together with no separators
+            vals = [c - ord('0') for c in body
+                    if c in (ord('0'), ord('1'))]
+        else:
+            vals = [int(t) for t in body.split()]
+        if len(vals) < n_samples:
+            raise ImageDecodeError('truncated ASCII netpbm body')
+        vals = vals[:n_samples]
+        if any(v < 0 or v > maxval for v in vals):
+            raise ImageDecodeError('netpbm sample out of range')
+        pixel_sum = sum(vals)
+    elif kind == '4':                      # packed bits, row-padded to byte
+        stride = (width + 7) // 8
+        if len(data) - off < stride * height:
+            raise ImageDecodeError('truncated P4 body')
+        pixel_sum = 0
+        full, rem = divmod(width, 8)
+        for y in range(height):
+            row = data[off + y * stride:off + (y + 1) * stride]
+            for b in row[:full]:
+                pixel_sum += _POPCOUNT[b]
+            if rem:
+                pixel_sum += _POPCOUNT[row[full] >> (8 - rem) << (8 - rem)]
+    else:                                  # P5 / P6 raw bytes
+        bpsample = 2 if maxval > 255 else 1
+        need = n_samples * bpsample
+        if len(data) - off < need:
+            raise ImageDecodeError('truncated raw netpbm body')
+        body = data[off:off + need]
+        if bpsample == 1:
+            pixel_sum = sum(body)
+        else:
+            pixel_sum = sum((body[i] << 8) | body[i + 1]
+                            for i in range(0, need, 2))
+    return {'width': width, 'height': height, 'channels': channels,
+            'n_samples': n_samples, 'pixel_sum': pixel_sum,
+            'decoder': 'pnm'}
+
+
+_POPCOUNT = bytes(bin(i).count('1') for i in range(256))
+
+
+def encode_pgm(width: int, height: int, samples: bytes) -> bytes:
+    assert len(samples) == width * height
+    return b'P5 %d %d 255\n' % (width, height) + samples
+
+
+def encode_ppm(width: int, height: int, samples: bytes) -> bytes:
+    assert len(samples) == width * height * 3
+    return b'P6 %d %d 255\n' % (width, height) + samples
+
+
+def encode_pbm(width: int, height: int, bits) -> bytes:
+    """``bits`` is row-major 0/1 (1 = black), packed MSB-first per row."""
+    assert len(bits) == width * height
+    stride = (width + 7) // 8
+    out = bytearray(b'P4 %d %d\n' % (width, height))
+    for y in range(height):
+        row = bytearray(stride)
+        for x in range(width):
+            if bits[y * width + x]:
+                row[x >> 3] |= 0x80 >> (x & 7)
+        out += row
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# BMP (uncompressed BI_RGB; 1/8-bpp palette, 24/32-bpp truecolor)
+# --------------------------------------------------------------------------
+
+def decode_bmp(data: bytes) -> dict:
+    if len(data) < 54 or data[:2] != b'BM':
+        raise ImageDecodeError('not a BMP payload')
+    pix_off = struct.unpack_from('<I', data, 10)[0]
+    hdr_size = struct.unpack_from('<I', data, 14)[0]
+    if hdr_size < 40:                      # BITMAPCOREHEADER unsupported
+        raise ImageDecodeError('unsupported BMP header size %d' % hdr_size)
+    width, height_raw = struct.unpack_from('<ii', data, 18)
+    bpp = struct.unpack_from('<H', data, 28)[0]
+    compression = struct.unpack_from('<I', data, 30)[0]
+    if compression != 0:
+        raise ImageDecodeError('compressed BMP unsupported')
+    if width <= 0 or height_raw == 0:
+        raise ImageDecodeError('bad BMP dimensions')
+    height = abs(height_raw)               # height < 0 => top-down rows
+    if bpp not in (1, 8, 24, 32):
+        raise ImageDecodeError('unsupported BMP bpp %d' % bpp)
+
+    palette = None
+    if bpp in (1, 8):
+        n_colors = struct.unpack_from('<I', data, 46)[0] or (1 << bpp)
+        pal_off = 14 + hdr_size
+        if len(data) < pal_off + 4 * n_colors:
+            raise ImageDecodeError('truncated BMP palette')
+        palette = [data[pal_off + 4 * i:pal_off + 4 * i + 3]  # B,G,R
+                   for i in range(n_colors)]
+
+    stride = ((bpp * width + 31) // 32) * 4
+    if len(data) - pix_off < stride * height:
+        raise ImageDecodeError('truncated BMP pixel data')
+
+    pixel_sum = 0
+    for y in range(height):                # row order is sum-irrelevant
+        row = data[pix_off + y * stride:pix_off + (y + 1) * stride]
+        if bpp == 24:
+            pixel_sum += sum(row[:3 * width])
+        elif bpp == 32:
+            px = row[:4 * width]
+            pixel_sum += sum(px) - sum(px[3::4])   # drop the pad byte
+        elif bpp == 8:
+            for idx in row[:width]:
+                pixel_sum += sum(palette[idx])
+        else:                              # 1-bpp, MSB-first
+            for x in range(width):
+                idx = (row[x >> 3] >> (7 - (x & 7))) & 1
+                pixel_sum += sum(palette[idx])
+    return {'width': width, 'height': height, 'channels': 3,
+            'n_samples': width * height * 3, 'pixel_sum': pixel_sum,
+            'decoder': 'bmp'}
+
+
+def encode_bmp24(width: int, height: int, samples: bytes) -> bytes:
+    """24-bpp bottom-up BMP; ``samples`` is row-major top-down B,G,R.
+
+    Mirrors the reference writer's layout (54-byte headers, rows padded
+    to 4 bytes, bottom-up row order — ``image_io.py:99-133``).
+    """
+    assert len(samples) == width * height * 3
+    stride = ((3 * width + 3) // 4) * 4
+    data_size = stride * height
+    out = bytearray()
+    out += struct.pack('<2sIHHI', b'BM', 54 + data_size, 0, 0, 54)
+    out += struct.pack('<IiiHHIIiiII', 40, width, height, 1, 24, 0,
+                       data_size, 2835, 2835, 0, 0)
+    pad = b'\0' * (stride - 3 * width)
+    for y in range(height - 1, -1, -1):    # bottom-up
+        out += samples[y * 3 * width:(y + 1) * 3 * width] + pad
+    return bytes(out)
+
+
+def decode_image(data: bytes) -> dict:
+    """Sniff the container magic and decode. Raises ImageDecodeError."""
+    if data[:2] == b'BM':
+        return decode_bmp(data)
+    if len(data) >= 2 and data[0] == ord('P') and data[1] in b'123456':
+        return decode_pnm(data)
+    raise ImageDecodeError('unrecognized image container')
+
+
+# --------------------------------------------------------------------------
+# resize (nearest neighbor) for the raw netpbm truecolor/gray formats
+# --------------------------------------------------------------------------
+
+def resize_pnm_nearest(data: bytes, new_width: int, new_height: int) -> bytes:
+    """Nearest-neighbor resample of a raw P5/P6 payload (maxval 255).
+
+    Source pixel for target ``(x', y')`` is ``(x'*w//w', y'*h//h')`` —
+    the floor mapping, chosen because it is exactly reproducible in
+    plain integer SQL (the oracle re-derives every output sample).
+    """
+    if data[:2] not in (b'P5', b'P6'):
+        raise ImageDecodeError('resize supports raw P5/P6 only')
+    toks, off = _pnm_header_tokens(data, 4)
+    width, height, maxval = int(toks[1]), int(toks[2]), int(toks[3])
+    if maxval != 255:
+        raise ImageDecodeError('resize supports maxval 255 only')
+    ch = 3 if data[1] == ord('6') else 1
+    body = data[off:off + width * height * ch]
+    if len(body) < width * height * ch:
+        raise ImageDecodeError('truncated netpbm body')
+    out = bytearray()
+    for y in range(new_height):
+        sy = y * height // new_height
+        rbase = sy * width * ch
+        for x in range(new_width):
+            sx = x * width // new_width
+            out += body[rbase + sx * ch:rbase + (sx + 1) * ch]
+    header = b'%s %d %d 255\n' % (data[:2], new_width, new_height)
+    return header + bytes(out)

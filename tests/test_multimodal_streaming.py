@@ -1,8 +1,9 @@
-"""Multimodal plumbing (stubbed decode) + streaming extraction tests."""
+"""Multimodal decode (real stdlib image codecs) + streaming tests."""
 
 from pyspark.sql import functions as F
 
 from ocrodjvu_spark.functions import multimodal
+from ocrodjvu_spark.kernel import image_codecs as IC
 from ocrodjvu_spark.sources import transcripts as T
 from ocrodjvu_spark.streaming import extract_stream as ES
 
@@ -10,24 +11,41 @@ SF_DIR = '/root/testdata/sf0.001'
 
 
 class TestMultimodal:
-    def test_features_deterministic(self, spark):
+    def test_image_features_are_real_decodes(self, spark):
         media = multimodal.synthesize_media(spark, SF_DIR)
-        feats = multimodal.extract_features(media)
-        rows = {r.media_id: r for r in feats.collect()}
-        again = {r.media_id: r for r in
-                 multimodal.extract_features(media).collect()}
-        assert rows.keys() == again.keys()
-        sample = next(iter(rows))
-        assert rows[sample].checksum == again[sample].checksum
-        assert rows[sample].decoder == 'stub'
-        assert rows[sample].n_bytes > 0
+        rows = {r.media_id: r for r in
+                multimodal.extract_features(media).collect()}
+        imgs = [r for r in rows.values() if r.kind == 'image']
+        others = [r for r in rows.values() if r.kind != 'image']
+        assert imgs and others
+        for r in imgs:
+            # decoded geometry matches the generator and an independent
+            # local decode of the same deterministic payload
+            want = IC.decode_image(multimodal._make_image(r.media_id))
+            assert r.decoder in ('pnm', 'bmp') and r.decoder != 'stub'
+            assert (r.width, r.height) == multimodal._image_dims(r.media_id)
+            assert (r.channels, r.n_samples, r.pixel_sum) == \
+                (want['channels'], want['n_samples'], want['pixel_sum'])
+        # every synthesized format appears (ppm/pgm/bmp/pbm rotation)
+        assert {r.decoder for r in imgs} == {'pnm', 'bmp'}
+        # audio/video remain byte-level stubs with NULL decode columns
+        for r in others:
+            assert r.decoder == 'stub' and r.pixel_sum is None
+            assert r.n_bytes > 0 and r.checksum
 
-    def test_resize_truncates_images_only(self, spark):
+    def test_resize_downscales_pnm_images(self, spark):
         media = multimodal.synthesize_media(spark, SF_DIR)
-        resized = multimodal.resize_images(media, max_bytes=64)
-        out = resized.select('kind', F.length('payload').alias('n')).collect()
+        resized = multimodal.resize_images(media, max_side=4)
+        out = resized.where(F.col('kind') == 'image').collect()
         assert out
-        assert all(r.kind == 'image' and r.n <= 64 for r in out)
+        for r in out:
+            if bytes(r.payload)[:2] in (b'P5', b'P6'):
+                info = IC.decode_pnm(bytes(r.payload))
+                assert max(info['width'], info['height']) <= 4
+                assert (info['width'], info['height']) == (r.width, r.height)
+            else:  # bmp/pbm pass through untouched
+                assert (r.width, r.height) == \
+                    multimodal._image_dims(r.media_id)
 
     def test_frame_sampling_shape(self, spark):
         media = multimodal.synthesize_media(spark, SF_DIR)
