@@ -424,6 +424,24 @@ UAX29_SUFFIX_SEGMENTED = ' rabbit - hole u.s . 3.14 over - the - top'
 UAX29_COLON_SUFFIX = ' s:t c:a'
 UAX29_COLON_SEGMENTED = ' s : t c : a'
 
+# W2 dictionary segmentation (Thai locale hook): space-less Thai runs
+# segment by greedy longest-match against the embedded lexicon
+# (kernel/segment.py:_THAI_LEXICON); the 'ฒฒ' pair matches no entry and
+# must merge into ONE unmatched chunk, pinning the ICU-shaped
+# unknown-run rule. The reference gets this from ICU's Thai dictionary
+# (lib/unicode_support.py:40-52).
+UAX29_THAI_SUFFIX = ' สวัสดีครับ ภาษาไทยดีมาก ผมรักฒฒประเทศไทย'
+UAX29_THAI_SEGMENTED = (' สวัสดี ครับ ภาษา ไทย ดี มาก'
+                        ' ผม รัก ฒฒ ประเทศ ไทย')
+
+# W2 CJK divergence pin: the reference's ICU applies CJ dictionary
+# segmentation to Han/Hiragana; this engine intentionally keeps the
+# UAX #29 root behavior (one word per ideograph, Katakana runs joined
+# by WB13) — a DOCUMENTED divergence (SURVEY §2 W2 note), recorded here
+# so it can never drift silently
+UAX29_CJK_SUFFIX = ' 漢字カタカナかな 日本語テスト'
+UAX29_CJK_SEGMENTED = ' 漢 字 カタカナ か な 日 本 語 テスト'
+
 
 def _q_extract_uax29_segmentation(spark, sf_dir):
     # W2 distinguishing check: hyphens/abbreviation dots split under
@@ -453,6 +471,41 @@ def _q_extract_uax29_colon(spark, sf_dir):
         'doc_id',
         T.hocr_markup_col(
             T.tokens_col(F.concat('text', F.lit(UAX29_COLON_SUFFIX))))
+         .alias('text'))
+    udf = make_extract_udf(uax29=True, emit_spans=False, emit_sexpr=False)
+    res = suffixed.select('doc_id', udf(F.col('text')).alias('_r'))
+    return res.select(
+        'doc_id',
+        F.element_at('_r.pages', 1)['extracted_text']
+         .alias('extracted_text'))
+
+
+def _q_extract_uax29_thai(spark, sf_dir):
+    # W2 Thai dictionary segmentation through the full pipeline
+    # (uax29='th' locale reaches kernel/segment.py's lexicon hook)
+    from ocrodjvu_spark.functions.extract import make_extract_udf
+    docs = T.load_table(spark, sf_dir, 'documents').select('doc_id', 'text')
+    suffixed = docs.select(
+        'doc_id',
+        T.hocr_markup_col(
+            T.tokens_col(F.concat('text', F.lit(UAX29_THAI_SUFFIX))))
+         .alias('text'))
+    udf = make_extract_udf(uax29='th', emit_spans=False, emit_sexpr=False)
+    res = suffixed.select('doc_id', udf(F.col('text')).alias('_r'))
+    return res.select(
+        'doc_id',
+        F.element_at('_r.pages', 1)['extracted_text']
+         .alias('extracted_text'))
+
+
+def _q_extract_uax29_cjk(spark, sf_dir):
+    # W2 CJK divergence pin (root rules; see UAX29_CJK_SUFFIX comment)
+    from ocrodjvu_spark.functions.extract import make_extract_udf
+    docs = T.load_table(spark, sf_dir, 'documents').select('doc_id', 'text')
+    suffixed = docs.select(
+        'doc_id',
+        T.hocr_markup_col(
+            T.tokens_col(F.concat('text', F.lit(UAX29_CJK_SUFFIX))))
          .alias('text'))
     udf = make_extract_udf(uax29=True, emit_spans=False, emit_sexpr=False)
     res = suffixed.select('doc_id', udf(F.col('text')).alias('_r'))
@@ -1246,6 +1299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_substring_capped': _q_dedup_substring_capped,
         'oversized_ngrams': _q_oversized_ngrams,
         'multimodal_resize': _q_multimodal_resize,
+        'extract_uax29_thai': _q_extract_uax29_thai,
+        'extract_uax29_cjk': _q_extract_uax29_cjk,
         # -- block 3: previously verified, oldest verdict first ---------
         'extract_text': _q_extract_text,
         'extract_word_spans': _q_extract_word_spans,
@@ -2753,6 +2808,16 @@ def oracle_sql() -> dict[str, str]:
         'extract_uax29_colon': f'''
             SELECT doc_id,
                    {_NORM} || '{UAX29_COLON_SEGMENTED}' AS extracted_text
+            FROM documents
+        ''',
+        'extract_uax29_thai': f'''
+            SELECT doc_id,
+                   {_NORM} || '{UAX29_THAI_SEGMENTED}' AS extracted_text
+            FROM documents
+        ''',
+        'extract_uax29_cjk': f'''
+            SELECT doc_id,
+                   {_NORM} || '{UAX29_CJK_SEGMENTED}' AS extracted_text
             FROM documents
         ''',
         'ann_ivf_topk': _sql_ann_ivf(1),

@@ -165,12 +165,110 @@ def _locale_tailoring(locale):
     return {ch: _OTHER for ch in drop}
 
 
+# --- dictionary-based segmentation (SE-Asian scripts) ---------------------
+#
+# The reference delegates word breaking to ICU
+# (lib/unicode_support.py:40-52), which switches to dictionary-backed
+# segmentation for scripts written without inter-word spaces (Thai, Lao,
+# Khmer, Myanmar, CJK). This embedded frequency lexicon gives the Thai
+# locale greedy longest-match segmentation with the same *shape* as
+# ICU's: dictionary words become words, runs of characters matching no
+# dictionary entry merge into a single chunk. It is an approximation —
+# ICU ships a ~40k-entry dictionary with least-cost path search; this
+# is a compact common-word lexicon with greedy matching — so Thai
+# segmentation is *reasonable* rather than byte-for-ICU. CJK locales
+# intentionally keep the UAX #29 root behavior (one word per ideograph,
+# Katakana runs joined by WB13); that divergence from ICU's CJ
+# dictionary is documented in SURVEY §2 and pinned by the
+# extract_uax29_cjk gate.
+
+_THAI_LEXICON = frozenset((
+    # pronouns / people
+    'ผม', 'ฉัน', 'คุณ', 'เรา', 'เขา', 'มัน', 'คน', 'เด็ก',
+    'ผู้หญิง', 'ผู้ชาย', 'ครู', 'หมอ', 'เพื่อน', 'ครอบครัว',
+    'พ่อ', 'แม่', 'ลูก', 'พี่', 'น้อง',
+    # common verbs
+    'กิน', 'ดื่ม', 'นอน', 'เดิน', 'วิ่ง', 'พูด', 'ฟัง', 'อ่าน',
+    'เขียน', 'เรียน', 'ทำงาน', 'ทำ', 'ไป', 'มา', 'อยู่', 'เป็น',
+    'มี', 'ได้', 'ให้', 'รัก', 'ชอบ', 'เห็น', 'รู้', 'คิด',
+    # function words
+    'ไม่', 'และ', 'หรือ', 'แต่', 'กับ', 'ของ', 'ที่', 'ใน',
+    'บน', 'จาก', 'ถึง', 'จะ', 'ว่า', 'แล้ว', 'ก็', 'นี้', 'นั้น',
+    # nouns
+    'ประเทศ', 'ไทย', 'ภาษา', 'น้ำ', 'ข้าว', 'บ้าน', 'เมือง',
+    'โรงเรียน', 'หนังสือ', 'เวลา', 'วันนี้', 'วัน', 'ปี', 'เดือน',
+    'อาหาร', 'ตลาด', 'รถ', 'ไฟ', 'ฟ้า', 'ทะเล', 'ภูเขา',
+    'ต้นไม้', 'ดอกไม้', 'หมา', 'แมว', 'นก', 'ปลา', 'ใจ', 'งาน',
+    'สวัสดี', 'ขอบคุณ', 'ครับ', 'ค่ะ',
+    # adjectives / adverbs / numerals
+    'ดี', 'ใหม่', 'เก่า', 'ใหญ่', 'เล็ก', 'ร้อน', 'เย็น', 'หนาว',
+    'สวย', 'เร็ว', 'ช้า', 'มาก', 'น้อย',
+    'หนึ่ง', 'สอง', 'สาม', 'สี่', 'ห้า',
+))
+_THAI_MAX_LEN = max(len(w) for w in _THAI_LEXICON)
+
+_DICT_LOCALES = {'th': (_THAI_LEXICON, _THAI_MAX_LEN)}
+
+
+def _is_thai(ch: str) -> bool:
+    return 0x0E00 <= ord(ch) <= 0x0E7F
+
+
+def _dict_run_boundaries(run: str, words, max_len) -> list:
+    """Greedy longest-match boundaries (offsets into ``run``, end
+    inclusive). Characters matching no entry merge into one chunk that
+    extends to the next position where a dictionary word starts."""
+    bounds = []
+    i, n = 0, len(run)
+    while i < n:
+        match = 0
+        for length in range(min(max_len, n - i), 0, -1):
+            if run[i:i + length] in words:
+                match = length
+                break
+        if match:
+            i += match
+        else:
+            j = i + 1
+            while j < n and not any(
+                    run[j:j + length] in words
+                    for length in range(1, min(max_len, n - j) + 1)):
+                j += 1
+            i = j
+        bounds.append(i)
+    return bounds
+
+
+def _apply_dictionary(text: str, base_bounds, words, max_len):
+    """Replace per-grapheme boundaries inside Thai-script runs with
+    dictionary boundaries; everything outside the runs keeps the UAX
+    #29 root segmentation."""
+    runs = []
+    i, n = 0, len(text)
+    while i < n:
+        if _is_thai(text[i]):
+            j = i
+            while j < n and _is_thai(text[j]):
+                j += 1
+            runs.append((i, j))
+            i = j
+        else:
+            i += 1
+    out = set(base_bounds)
+    for s, e in runs:
+        out -= set(range(s + 1, e))
+        out.update(s + b for b in
+                   _dict_run_boundaries(text[s:e], words, max_len))
+    return sorted(out)
+
+
 def uax29_word_break_iterator(text: str, locale=None) -> Iterator[int]:
     """Yield UAX #29 word-boundary offsets (excluding 0, including len).
 
     ``locale`` applies CLDR segmentation tailorings where they exist
-    (see ``_LOCALE_MIDLETTER_EXTRA``); unknown locales fall back to the
-    root rules.
+    (see ``_locale_tailoring``) plus dictionary-based segmentation for
+    locales with an embedded lexicon (``_DICT_LOCALES``, currently
+    Thai); unknown locales fall back to the root rules.
     """
     n = len(text)
     if n == 0:
@@ -181,6 +279,18 @@ def uax29_word_break_iterator(text: str, locale=None) -> Iterator[int]:
         # dominant case for space-split tokens, locale-independent
         yield n
         return
+    if locale is not None:
+        base = str(locale).replace('-', '_').split('_')[0].lower()
+        dict_entry = _DICT_LOCALES.get(base)
+        if dict_entry and any(_is_thai(ch) for ch in text):
+            root = _uax29_root_iterator(text, locale)
+            yield from _apply_dictionary(text, root, *dict_entry)
+            return
+    yield from _uax29_root_iterator(text, locale)
+
+
+def _uax29_root_iterator(text: str, locale=None) -> Iterator[int]:
+    n = len(text)
     overrides = _locale_tailoring(locale)
     if overrides:
         # explicit membership test: a future tailoring may map to the

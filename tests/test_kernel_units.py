@@ -346,3 +346,51 @@ def test_uax29_locale_tailoring_cldr_colon():
     # tailoring only matters between letters (WB6/7 need AHLetter on
     # both sides) — a trailing colon splits everywhere
     assert toks('slut: ja', locale='sv') == ['slut', ':', 'ja']
+
+
+def test_uax29_thai_dictionary_segmentation():
+    from ocrodjvu_spark.kernel.segment import uax29_word_break_iterator
+
+    def toks(text, locale=None):
+        out, prev = [], 0
+        for b in uax29_word_break_iterator(text, locale=locale):
+            out.append(text[prev:b])
+            prev = b
+        return [t for t in out if t.strip()]
+
+    # greedy longest-match against the embedded lexicon
+    assert toks('สวัสดีครับ', locale='th') == ['สวัสดี', 'ครับ']
+    assert toks('ภาษาไทยดีมาก', locale='th') == \
+        ['ภาษา', 'ไทย', 'ดี', 'มาก']
+    # full locale tags resolve to the base language
+    assert toks('ผมกินข้าว', locale='th_TH') == ['ผม', 'กิน', 'ข้าว']
+    # characters matching no entry merge into ONE chunk (ICU-shaped
+    # unknown-run behavior), and matching resumes after it
+    assert toks('ผมรักฒฒประเทศไทย', locale='th') == \
+        ['ผม', 'รัก', 'ฒฒ', 'ประเทศ', 'ไทย']
+    # mixed-script: Latin words keep root segmentation around the runs
+    assert toks('go สวัสดีครับ now', locale='th') == \
+        ['go', 'สวัสดี', 'ครับ', 'now']
+    # longest match wins over a prefix entry (ทำงาน vs ทำ)
+    assert toks('ทำงานดี', locale='th') == ['ทำงาน', 'ดี']
+    # no dictionary for the locale: per-grapheme root behavior (marks
+    # still attach per WB4)
+    assert toks('ผมกิน', locale='en') == ['ผ', 'ม', 'กิ', 'น']
+
+
+def test_uax29_cjk_root_behavior():
+    # DOCUMENTED DIVERGENCE from the reference's ICU (which applies a
+    # CJ dictionary): root UAX#29 emits one word per ideograph /
+    # Hiragana syllable and joins Katakana runs via WB13. Pinned so it
+    # cannot drift silently; see SURVEY §2 W2 note.
+    from ocrodjvu_spark.kernel.segment import uax29_word_break_iterator
+
+    def toks(text, locale='en'):
+        out, prev = [], 0
+        for b in uax29_word_break_iterator(text, locale=locale):
+            out.append(text[prev:b])
+            prev = b
+        return [t for t in out if t.strip()]
+
+    assert toks('漢字カタカナかな') == ['漢', '字', 'カタカナ', 'か', 'な']
+    assert toks('日本語テスト') == ['日', '本', '語', 'テスト']
