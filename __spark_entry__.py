@@ -757,6 +757,55 @@ def _q_dedup_substring_spans(spark, sf_dir):
     return textops.duplicated_spans(docs, n=5, min_df=2)
 
 
+def _q_checkpoint_resume(spark, sf_dir):
+    # S8 savers + resume driver gate: phase 1 processes only 3 of 8
+    # lineage buckets; a simulated crash then loses one completed
+    # bucket's output partition AND its lineage rows (as if the job
+    # died between the data write and the sidecar append); phase 2
+    # resumes from the surviving sidecar. The final table must equal a
+    # clean full recompute — the anti-join resume + dynamic-partition
+    # overwrite idempotency contract, end-to-end through the driver.
+    import os
+    import shutil
+    from ocrodjvu_spark.plans import checkpoint as CK
+    base = _gate_tempdir('ocrodjvu-spark-ckpt-gate-')
+    out = os.path.join(base, 'out')
+    side = os.path.join(base, 'side')
+    side2 = os.path.join(base, 'side2')
+    tr = T.synthesize_transcripts(spark, sf_dir)
+    done = CK.run_extraction(spark, tr, out, side, n_buckets=8,
+                             max_buckets=3, emit_spans=False,
+                             emit_sexpr=False)
+    lost = done[-1]
+    shutil.rmtree(os.path.join(out, f'bucket={lost}'))
+    (spark.read.parquet(side).where(F.col(CK.BUCKET_COL) != lost)
+     .write.parquet(side2))
+    CK.run_extraction(spark, tr, out, side2, n_buckets=8,
+                      emit_spans=False, emit_sexpr=False)
+    return (spark.read.parquet(out)
+            .select('conv_id', 'turn_idx', 'extracted_text'))
+
+
+def _q_checkpoint_metrics(spark, sf_dir):
+    # S9/A5 lineage metrics through the driver gate: one full
+    # checkpointed run; the sidecar's per-bucket metric rows must
+    # reconcile exactly with the corpus (every bucket marked complete,
+    # turn and char totals match, zero errors)
+    import os
+    from ocrodjvu_spark.plans import checkpoint as CK
+    base = _gate_tempdir('ocrodjvu-spark-ckptm-gate-')
+    out = os.path.join(base, 'out')
+    side = os.path.join(base, 'side')
+    tr = T.synthesize_transcripts(spark, sf_dir)
+    CK.run_extraction(spark, tr, out, side, n_buckets=8,
+                      emit_spans=False, emit_sexpr=False)
+    return (spark.read.parquet(side).agg(
+        F.count('*').cast('int').alias('n_buckets'),
+        F.sum('n_turns').cast('long').alias('n_turns'),
+        F.sum('n_errors').cast('long').alias('n_errors'),
+        F.sum('n_chars').cast('long').alias('n_chars')))
+
+
 def _q_dedup_substring_capped(spark, sf_dir):
     # stop-gram cap bound: max_df=2 excludes the 5-grams shared by >= 3
     # docs (74 hashes at sf0.01), the skew guard for boilerplate
@@ -1301,6 +1350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'multimodal_resize': _q_multimodal_resize,
         'extract_uax29_thai': _q_extract_uax29_thai,
         'extract_uax29_cjk': _q_extract_uax29_cjk,
+        'checkpoint_resume': _q_checkpoint_resume,
+        'checkpoint_metrics': _q_checkpoint_metrics,
         # -- block 3: previously verified, oldest verdict first ---------
         'extract_text': _q_extract_text,
         'extract_word_spans': _q_extract_word_spans,
@@ -2428,6 +2479,20 @@ def oracle_sql() -> dict[str, str]:
         'streaming_extraction': f'''
             SELECT {_CONV} AS conv_id, {_TIDX} AS turn_idx,
                    {_NORM} AS extracted_text
+            FROM documents
+        ''',
+        # full recompute as the resume oracle: the two-phase
+        # crash-resumed table must contain exactly one row per turn
+        'checkpoint_resume': f'''
+            SELECT {_CONV} AS conv_id, {_TIDX} AS turn_idx,
+                   {_NORM} AS extracted_text
+            FROM documents
+        ''',
+        'checkpoint_metrics': f'''
+            SELECT CAST(8 AS INTEGER) AS n_buckets,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(0 AS BIGINT) AS n_errors,
+                   CAST(sum(length({_NORM})) AS BIGINT) AS n_chars
             FROM documents
         ''',
         'stateful_conversation_state': f'''

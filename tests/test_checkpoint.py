@@ -62,6 +62,68 @@ def test_rerun_bucket_is_idempotent(spark, paths):
     assert before == after
 
 
+def test_concurrent_dynamic_overwrites_last_writer_wins(spark, tmp_path):
+    # Iceberg-shaped commit contract of the parquet stand-in: two
+    # writers whose bucket sets overlap both commit dynamic-partition
+    # overwrites to the same table. Per overlapping bucket the LAST
+    # writer's files fully replace the partition — never a row-level
+    # mix — and non-overlapping buckets are untouched.
+    out = str(tmp_path / 'out')
+    df = checkpoint.with_bucket(
+        T.synthesize_transcripts(spark, SF_DIR), 8).cache()
+
+    def write(writer, buckets):
+        (df.where(F.col(checkpoint.BUCKET_COL).isin(buckets))
+         .withColumn('writer', F.lit(writer))
+         .write.partitionBy(checkpoint.BUCKET_COL)
+         .option('partitionOverwriteMode', 'dynamic')
+         .mode('overwrite').parquet(out))
+
+    present = sorted(r[0] for r in
+                     df.select(checkpoint.BUCKET_COL).distinct().collect())
+    assert len(present) >= 4  # need a real overlap to test anything
+    a_buckets = present[:4]
+    b_buckets = present[2:6]          # overlaps A on present[2:4]
+    write('A', a_buckets)
+    write('B', b_buckets)
+
+    res = spark.read.parquet(out)
+    per = {r[checkpoint.BUCKET_COL]: set(r['ws'])
+           for r in res.groupBy(checkpoint.BUCKET_COL)
+                       .agg(F.collect_set('writer').alias('ws'))
+                       .collect()}
+    assert per.keys() == set(a_buckets) | set(b_buckets)
+    assert all(len(ws) == 1 for ws in per.values())  # no partial mixes
+    assert all(per[b] == {'A'} for b in a_buckets[:2])
+    assert all(per[b] == {'B'} for b in b_buckets)
+    # per-bucket row counts match the source exactly (no dup/loss)
+    src = {r[0]: r[1] for r in
+           df.where(F.col(checkpoint.BUCKET_COL).isin(
+               a_buckets + b_buckets))
+             .groupBy(checkpoint.BUCKET_COL).count().collect()}
+    got = {r[0]: r[1] for r in
+           res.groupBy(checkpoint.BUCKET_COL).count().collect()}
+    assert got == src
+    df.unpersist()
+
+
+def test_racing_resume_runs_stay_idempotent(spark, tmp_path):
+    # worst-case race: a second worker starts from a stale snapshot in
+    # which NO lineage exists (its own empty sidecar), so it reprocesses
+    # every bucket into the same output table the first worker already
+    # filled. Dynamic overwrite keeps the table exactly-once.
+    out = str(tmp_path / 'out')
+    side_a = str(tmp_path / 'sideA')
+    side_b = str(tmp_path / 'sideB')
+    df = T.synthesize_transcripts(spark, SF_DIR)
+    total = df.count()
+    checkpoint.run_extraction(spark, df, out, side_a, n_buckets=4)
+    checkpoint.run_extraction(spark, df, out, side_b, n_buckets=4)
+    res = spark.read.parquet(out)
+    assert res.count() == total
+    assert res.select('conv_id', 'turn_idx').distinct().count() == total
+
+
 def test_raw_payload_sidecar(spark, tmp_path):
     # S9: raw per-turn payload persisted with template-expanded names,
     # expansion compiled to a Catalyst expression (no per-row Python)
