@@ -1579,14 +1579,15 @@ _SQL_MEDIA_BASE = '''base AS (
     SELECT doc_id, text, doc_id % 3 AS k3,
            CAST(4 + doc_id % 5 AS INTEGER) AS w,
            CAST(3 + doc_id % 4 AS INTEGER) AS h,
-           (doc_id // 3) % 4 AS fmt
+           (doc_id // 3) % 5 AS fmt
     FROM documents
 )'''
 
 _SQL_MEDIA_IMG = '''SELECT doc_id, w, h, fmt,
            CAST(CASE WHEN fmt IN (1, 3) THEN 1 ELSE 3 END AS INTEGER)
                AS ch,
-           CASE WHEN fmt = 2 THEN 'bmp' ELSE 'pnm' END AS dec
+           CASE WHEN fmt = 2 THEN 'bmp' WHEN fmt = 4 THEN 'tiff'
+                ELSE 'pnm' END AS dec
     FROM base WHERE k3 = 0'''
 
 # per-format container size (headers + padded/packed body) and the
@@ -1598,6 +1599,7 @@ _SQL_MEDIA_IMGF = f'''SELECT doc_id, w, h, ch, dec,
              WHEN 1 THEN length('P5 ' || w || ' ' || h || ' 255'
                           || chr(10)) + w * h
              WHEN 2 THEN 54 + h * (((3 * w + 3) // 4) * 4)
+             WHEN 4 THEN 136 + w * h * 3
              ELSE length('P4 ' || w || ' ' || h || chr(10))
                   + h * ((w + 7) // 8)
            END AS INTEGER) AS n_bytes,
@@ -2541,6 +2543,7 @@ def oracle_sql() -> dict[str, str]:
                          WHEN 1 THEN length('P5 ' || nw || ' ' || nh
                                      || ' 255' || chr(10)) + nw * nh
                          WHEN 2 THEN 54 + h * (((3 * w + 3) // 4) * 4)
+                         WHEN 4 THEN 136 + w * h * 3
                          ELSE length('P4 ' || w || ' ' || h || chr(10))
                               + h * ((w + 7) // 8)
                        END AS n_bytes,
@@ -2551,7 +2554,7 @@ def oracle_sql() -> dict[str, str]:
                                        + ((i // ch) % nw) * w // nw)
                                       * ch + (i % ch) + doc_id) % 256))
                                 AS BIGINT)
-                       WHEN fmt = 2 THEN
+                       WHEN fmt IN (2, 4) THEN
                            CAST(list_sum(list_transform(
                                 range(0, w * h * ch),
                                 i -> (i + doc_id) % 256)) AS BIGINT)

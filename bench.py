@@ -109,54 +109,66 @@ def main():
     run_noop(pipeline.extract_turns(transcripts, emit_spans=False,
                                     emit_sexpr=False))
 
-    timings = {}
-    reps = int(os.environ.get('SPARK_GRAFT_BENCH_REPS', '2'))
-
-    # q1: flagship full extraction (words detail) into noop sink; the
-    # query consumes text + sexpr only, so the spans payload is elided
-    # at the UDF (Catalyst cannot prune inside the result struct)
-    extracted = pipeline.extract_turns(transcripts, emit_spans=False)
-    timings['extract_text'] = run_noop(
-        extracted.select('conv_id', 'turn_idx', 'dialect', 'error',
-                         'extracted_text', 'extracted_sexpr'), reps)
-
-    # q2: word-span explode (spans fan-out path); emit_spans='words'
-    # prunes non-word spans at the UDF — the query reads nothing else
-    timings['extract_word_spans'] = run_noop(
-        pipeline.word_spans(
-            pipeline.extract_turns(transcripts, emit_spans='words',
-                                   emit_sexpr=False)), reps)
-
-    # q3: extraction + stable conversation reassembly (the one shuffle)
-    timings['conversation_reassembly'] = run_noop(
-        pipeline.reassemble_conversations(
-            pipeline.extract_turns(transcripts, emit_spans=False,
-                                   emit_sexpr=False)), reps)
-
-    # q4: uax29 segmentation variant of the kernel (text only)
-    timings['extract_text_uax29'] = run_noop(
-        pipeline.extract_turns(transcripts, uax29=True, emit_spans=False,
-                               emit_sexpr=False)
-        .select('conv_id', 'turn_idx', 'extracted_text'), reps)
-
-    # q5: exact dedup over documents (hash groupBy)
-    docs = T.load_table(spark, sf_dir, 'documents')
-    norm = F.regexp_replace(F.trim('text'), r'\s+', ' ')
-    timings['dedup_exact'] = run_noop(
-        docs.groupBy(F.md5(norm).alias('text_hash')).agg(
-            F.min('doc_id').alias('rep_doc_id'),
-            F.count('*').alias('n_dupes')), reps)
-
-    # q6: MinHash+LSH near-dup pairs (shingle -> sig -> band join -> verify)
+    reps = int(os.environ.get('SPARK_GRAFT_BENCH_REPS', '3'))
     from ocrodjvu_spark.functions import similarity, textops
-    timings['dedup_minhash_lsh'] = run_noop(
-        textops.minhash_dedup_pairs(docs.select('doc_id', 'text'),
-                                    threshold=0.5), reps)
 
-    # q7: brute-force cosine top-k over embeddings
+    docs = T.load_table(spark, sf_dir, 'documents')
+    docs.count()  # untimed: warm the documents scan (q5/q6 input)
+    norm = F.regexp_replace(F.trim('text'), r'\s+', ' ')
     emb = T.load_table(spark, sf_dir, 'embeddings')
-    timings['ann_cosine_topk'] = run_noop(
-        similarity.cosine_topk(emb, n_queries=10, k=5), reps)
+    ann = similarity.cosine_topk(emb, n_queries=10, k=5)
+    # untimed: q7 is the only query over the embeddings table, so its
+    # first execution otherwise pays the cold scan + codegen of the
+    # whole BNLJ+window plan (observed 4-7s cold vs 0.5-1.3s steady)
+    run_noop(ann)
+
+    queries = [
+        # q1: flagship full extraction (words detail) into noop sink;
+        # consumes text + sexpr only, so the spans payload is elided at
+        # the UDF (Catalyst cannot prune inside the result struct)
+        ('extract_text',
+         pipeline.extract_turns(transcripts, emit_spans=False)
+         .select('conv_id', 'turn_idx', 'dialect', 'error',
+                 'extracted_text', 'extracted_sexpr')),
+        # q2: word-span explode (spans fan-out path); emit_spans='words'
+        # prunes non-word spans at the UDF — the query reads nothing else
+        ('extract_word_spans',
+         pipeline.word_spans(
+             pipeline.extract_turns(transcripts, emit_spans='words',
+                                    emit_sexpr=False))),
+        # q3: extraction + stable conversation reassembly (the one shuffle)
+        ('conversation_reassembly',
+         pipeline.reassemble_conversations(
+             pipeline.extract_turns(transcripts, emit_spans=False,
+                                    emit_sexpr=False))),
+        # q4: uax29 segmentation variant of the kernel (text only)
+        ('extract_text_uax29',
+         pipeline.extract_turns(transcripts, uax29=True, emit_spans=False,
+                                emit_sexpr=False)
+         .select('conv_id', 'turn_idx', 'extracted_text')),
+        # q5: exact dedup over documents (hash groupBy)
+        ('dedup_exact',
+         docs.groupBy(F.md5(norm).alias('text_hash')).agg(
+             F.min('doc_id').alias('rep_doc_id'),
+             F.count('*').alias('n_dupes'))),
+        # q6: MinHash+LSH near-dup pairs (shingle -> sig -> band -> verify)
+        ('dedup_minhash_lsh',
+         textops.minhash_dedup_pairs(docs.select('doc_id', 'text'),
+                                     threshold=0.5)),
+        # q7: brute-force cosine top-k over embeddings
+        ('ann_cosine_topk', ann),
+    ]
+
+    # Interleaved passes: run the whole list ``reps`` times and keep the
+    # per-query minimum ACROSS passes. Ambient load on this shared box
+    # decays over minutes, so back-to-back reps of one query all land in
+    # the same slow window; interleaving decorrelates the noise and the
+    # min converges on steady-state per query.
+    timings = {}
+    for _ in range(max(reps, 1)):
+        for name, df in queries:
+            t = run_noop(df)
+            timings[name] = min(timings.get(name, t), t)
 
     total = sum(timings.values())
     result = {

@@ -64,7 +64,7 @@ FRAME_SCHEMA = StructType([
 ])
 
 # deterministic synthetic-image geometry, shared with the SQL oracle
-_IMG_FORMATS = ('ppm', 'pgm', 'bmp', 'pbm')
+_IMG_FORMATS = ('ppm', 'pgm', 'bmp', 'pbm', 'tiff')
 
 
 def _image_dims(doc_id: int) -> tuple[int, int]:
@@ -74,13 +74,14 @@ def _image_dims(doc_id: int) -> tuple[int, int]:
 def _make_image(doc_id: int) -> bytes:
     """Deterministic real image payload for media_id ``doc_id``.
 
-    Formats rotate through PPM/PGM/BMP/PBM; sample ``i`` of the
+    Formats rotate through PPM/PGM/BMP/PBM/TIFF (the containers the
+    reference writes for its OCR engines); sample ``i`` of the
     truecolor/gray variants is ``(i + doc_id) % 256`` and PBM pixels
     form a ``(x + y + doc_id) % 2`` checkerboard — closed forms the SQL
     oracle reproduces with a ``generate_series`` lateral.
     """
     w, h = _image_dims(doc_id)
-    fmt = _IMG_FORMATS[(doc_id // 3) % 4]
+    fmt = _IMG_FORMATS[(doc_id // 3) % 5]
     if fmt == 'pbm':
         bits = [(x + y + doc_id) % 2
                 for y in range(h) for x in range(w)]
@@ -91,6 +92,8 @@ def _make_image(doc_id: int) -> bytes:
         return IC.encode_pgm(w, h, samples)
     if fmt == 'ppm':
         return IC.encode_ppm(w, h, samples)
+    if fmt == 'tiff':
+        return IC.encode_tiff_rgb(w, h, samples)
     return IC.encode_bmp24(w, h, samples)
 
 
@@ -115,7 +118,7 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows.append({'media_id': doc_id, 'kind': 'image',
                                  'payload': payload, 'width': w,
                                  'height': h,
-                                 'codec': _IMG_FORMATS[(doc_id // 3) % 4]})
+                                 'codec': _IMG_FORMATS[(doc_id // 3) % 5]})
                 else:
                     kind = 'audio' if doc_id % 3 == 1 else 'video'
                     rows.append({'media_id': doc_id, 'kind': kind,

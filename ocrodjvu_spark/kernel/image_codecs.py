@@ -221,10 +221,124 @@ def encode_bmp24(width: int, height: int, samples: bytes) -> bytes:
     return bytes(out)
 
 
+# --------------------------------------------------------------------------
+# TIFF (uncompressed single-strip, the reference writer's layout —
+# image_io.py:135-188: 'II' little-endian, 1-bpp bilevel or 8-bit RGB,
+# one strip, StripOffsets/StripByteCounts/BitsPerSample tags)
+# --------------------------------------------------------------------------
+
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4, 5: 8}   # BYTE, SHORT, LONG, RATIONAL
+
+
+def decode_tiff(data: bytes) -> dict:
+    if len(data) < 8 or data[:2] not in (b'II', b'MM'):
+        raise ImageDecodeError('not a TIFF payload')
+    le = data[:2] == b'II'
+    fmt = '<' if le else '>'
+    magic, ifd_off = struct.unpack_from(fmt + 'HI', data, 2)
+    if magic != 42:
+        raise ImageDecodeError('bad TIFF magic')
+    if len(data) < ifd_off + 2:
+        raise ImageDecodeError('truncated TIFF IFD')
+    n_tags = struct.unpack_from(fmt + 'H', data, ifd_off)[0]
+    tags = {}
+    for k in range(n_tags):
+        off = ifd_off + 2 + 12 * k
+        tag, typ, count = struct.unpack_from(fmt + 'HHI', data, off)
+        size = _TIFF_TYPE_SIZE.get(typ)
+        if size is None:
+            continue
+        if size * count <= 4:
+            val_off = off + 8
+        else:
+            val_off = struct.unpack_from(fmt + 'I', data, off + 8)[0]
+        if typ == 3:
+            vals = struct.unpack_from(fmt + f'{count}H', data, val_off)
+        elif typ == 4:
+            vals = struct.unpack_from(fmt + f'{count}I', data, val_off)
+        elif typ == 1:
+            vals = tuple(data[val_off:val_off + count])
+        else:                              # RATIONAL: keep numerator
+            vals = tuple(
+                struct.unpack_from(fmt + 'II', data, val_off + 8 * i)[0]
+                for i in range(count))
+        tags[tag] = vals
+
+    try:
+        width = tags[0x100][0]
+        height = tags[0x101][0]
+        strip_off = tags[0x111][0]
+        strip_len = tags[0x117][0]
+    except KeyError as e:
+        raise ImageDecodeError(f'missing TIFF tag {e}')
+    if tags.get(0x103, (1,))[0] != 1:      # Compression: 1 = none
+        raise ImageDecodeError('compressed TIFF unsupported')
+    spp = tags.get(0x115, (1,))[0]
+    bits = tags.get(0x102, (1,))
+    interp = tags.get(0x106, (1,))[0]
+    if len(data) < strip_off + strip_len:
+        raise ImageDecodeError('truncated TIFF strip')
+    body = data[strip_off:strip_off + strip_len]
+
+    if spp == 1 and bits[0] == 1:          # bilevel, row-padded to byte
+        stride = (width + 7) // 8
+        if strip_len < stride * height:
+            raise ImageDecodeError('short TIFF bilevel strip')
+        pixel_sum = 0
+        full, rem = divmod(width, 8)
+        for y in range(height):
+            row = body[y * stride:(y + 1) * stride]
+            for b in row[:full]:
+                pixel_sum += _POPCOUNT[b]
+            if rem:
+                pixel_sum += _POPCOUNT[row[full] >> (8 - rem) << (8 - rem)]
+        if interp == 1:                    # BlackIsZero: 1 bit = white
+            pixel_sum = width * height - pixel_sum
+        return {'width': width, 'height': height, 'channels': 1,
+                'n_samples': width * height, 'pixel_sum': pixel_sum,
+                'decoder': 'tiff'}
+    if any(b != 8 for b in bits):
+        raise ImageDecodeError('unsupported TIFF bit depth %r' % (bits,))
+    n_samples = width * height * spp
+    if strip_len < n_samples:
+        raise ImageDecodeError('short TIFF strip')
+    return {'width': width, 'height': height, 'channels': spp,
+            'n_samples': n_samples, 'pixel_sum': sum(body[:n_samples]),
+            'decoder': 'tiff'}
+
+
+def encode_tiff_rgb(width: int, height: int, samples: bytes) -> bytes:
+    """8-bit RGB single-strip TIFF in the reference writer's exact tag
+    layout (9 tags, data at a fixed offset after the header block)."""
+    assert len(samples) == width * height * 3
+    n_tags = 9
+    data_offset = 28 + n_tags * 12
+    out = bytearray()
+    out += struct.pack('<2sHI', b'II', 42, 22)          # header, IFD @22
+    out += struct.pack('<HHH', 8, 8, 8)                 # BitsPerSample
+    out += struct.pack('<II', 300, 1)                   # resolution
+    out += struct.pack('<H', n_tags)
+    out += struct.pack('<HHII', 0x100, 4, 1, width)     # ImageWidth
+    out += struct.pack('<HHII', 0x101, 4, 1, height)    # ImageLength
+    out += struct.pack('<HHII', 0x102, 3, 3, 8)         # BitsPerSample
+    out += struct.pack('<HHIHxx', 0x106, 3, 1, 2)       # RGB
+    out += struct.pack('<HHII', 0x111, 4, 1, data_offset)
+    out += struct.pack('<HHIHxx', 0x115, 3, 1, 3)       # SamplesPerPixel
+    out += struct.pack('<HHII', 0x117, 4, 1, len(samples))
+    out += struct.pack('<HHII', 0x11A, 5, 1, 14)        # XResolution
+    out += struct.pack('<HHII', 0x11B, 5, 1, 14)        # YResolution
+    out += struct.pack('<I', 0)                         # next IFD
+    assert len(out) == data_offset
+    out += samples
+    return bytes(out)
+
+
 def decode_image(data: bytes) -> dict:
     """Sniff the container magic and decode. Raises ImageDecodeError."""
     if data[:2] == b'BM':
         return decode_bmp(data)
+    if data[:2] in (b'II', b'MM'):
+        return decode_tiff(data)
     if len(data) >= 2 and data[0] == ord('P') and data[1] in b'123456':
         return decode_pnm(data)
     raise ImageDecodeError('unrecognized image container')

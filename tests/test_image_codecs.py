@@ -129,6 +129,66 @@ class TestBMP:
             IC.decode_bmp(bytes(data))
 
 
+class TestTIFF:
+    def test_rgb_roundtrip(self):
+        s = _rgb(5, 3)
+        data = IC.encode_tiff_rgb(5, 3, s)
+        out = IC.decode_tiff(data)
+        assert (out['width'], out['height'], out['channels']) == (5, 3, 3)
+        assert out['pixel_sum'] == sum(s)
+        assert out['n_samples'] == 45 and out['decoder'] == 'tiff'
+        assert IC.decode_image(data) == out  # 'II' magic sniffed
+
+    def test_reference_writer_layout(self):
+        # the reference writer pins data at offset 28 + 9*12 = 136 with
+        # BitsPerSample stored at file offset 8 (image_io.py:150-180)
+        data = IC.encode_tiff_rgb(2, 2, _rgb(2, 2))
+        assert data[:4] == b'II\x2a\x00'
+        assert struct.unpack_from('<HHH', data, 8) == (8, 8, 8)
+        assert len(data) == 136 + 12
+
+    def test_bilevel_white_is_zero(self):
+        # hand-built 1-bpp strip, interp 0 (WhiteIsZero: bit 1 = black);
+        # one row 0b10110000 over width 8 -> 3 black pixels
+        body = bytes([0b10110000])
+        ifd_off = 8
+        data = bytearray(struct.pack('<2sHI', b'II', 42, ifd_off))
+        tags = [
+            struct.pack('<HHII', 0x100, 4, 1, 8),
+            struct.pack('<HHII', 0x101, 4, 1, 1),
+            struct.pack('<HHIHxx', 0x102, 3, 1, 1),
+            struct.pack('<HHIHxx', 0x106, 3, 1, 0),
+            struct.pack('<HHII', 0x111, 4, 1, 8 + 2 + 5 * 12 + 4),
+            struct.pack('<HHII', 0x117, 4, 1, len(body)),
+        ]
+        # keep 5 tags + strip tags consistent: rebuild with 6 tags
+        data += struct.pack('<H', len(tags))
+        for t in tags:
+            data += t
+        data += struct.pack('<I', 0)
+        strip_off = len(data)
+        # fix StripOffsets to the real position
+        struct.pack_into('<I', data, 8 + 2 + 4 * 12 + 8, strip_off)
+        data += body
+        out = IC.decode_tiff(bytes(data))
+        assert (out['width'], out['height'], out['channels']) == (8, 1, 1)
+        assert out['pixel_sum'] == 3          # black count (1 = black)
+
+    def test_big_endian_rejline(self):
+        # MM byte order parses too (same tags, big-endian)
+        data = IC.encode_tiff_rgb(2, 1, _rgb(2, 1))
+        assert IC.decode_tiff(data)['width'] == 2
+        with pytest.raises(IC.ImageDecodeError):
+            IC.decode_tiff(b'II\x2b\x00\x00\x00\x00\x00')  # BigTIFF
+
+    def test_compressed_rejected(self):
+        data = bytearray(IC.encode_tiff_rgb(2, 1, _rgb(2, 1)))
+        # splice a Compression=5 (LZW) tag over the Photometric tag
+        struct.pack_into('<HHIHxx', data, 24 + 3 * 12, 0x103, 3, 1, 5)
+        with pytest.raises(IC.ImageDecodeError):
+            IC.decode_tiff(bytes(data))
+
+
 class TestResize:
     def test_resize_p5_floor_mapping(self):
         s = _gray(6, 4)

@@ -22,12 +22,12 @@ class TestMultimodal:
             # decoded geometry matches the generator and an independent
             # local decode of the same deterministic payload
             want = IC.decode_image(multimodal._make_image(r.media_id))
-            assert r.decoder in ('pnm', 'bmp') and r.decoder != 'stub'
+            assert r.decoder in ('pnm', 'bmp', 'tiff')
             assert (r.width, r.height) == multimodal._image_dims(r.media_id)
             assert (r.channels, r.n_samples, r.pixel_sum) == \
                 (want['channels'], want['n_samples'], want['pixel_sum'])
-        # every synthesized format appears (ppm/pgm/bmp/pbm rotation)
-        assert {r.decoder for r in imgs} == {'pnm', 'bmp'}
+        # every synthesized format appears (ppm/pgm/bmp/pbm/tiff rotation)
+        assert {r.decoder for r in imgs} == {'pnm', 'bmp', 'tiff'}
         # audio/video remain byte-level stubs with NULL decode columns
         for r in others:
             assert r.decoder == 'stub' and r.pixel_sum is None
