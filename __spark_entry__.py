@@ -814,6 +814,13 @@ def _q_dedup_substring_capped(spark, sf_dir):
     return textops.duplicated_spans(docs, n=5, min_df=2, max_df=2)
 
 
+def _q_dedup_substring_apply(spark, sf_dir):
+    # the APPLY side of Lee et al. 2022: strip every token covered by a
+    # duplicated span (5-grams shared by >= 2 docs) and reassemble
+    docs = T.load_table(spark, sf_dir, 'documents')
+    return textops.remove_duplicated_spans(docs, n=5, min_df=2)
+
+
 def _q_oversized_ngrams(spark, sf_dir):
     # observability companion: which n-gram hashes a max_df=2 cap drops
     docs = T.load_table(spark, sf_dir, 'documents')
@@ -926,6 +933,13 @@ def _q_dedup_clusters(spark, sf_dir):
     # (min-label propagation; oracle is a recursive CTE)
     docs = _docs_with_near_dups(spark, sf_dir)
     return textops.dedup_clusters(docs, threshold=0.5)
+
+
+def _q_dedup_cluster_apply(spark, sf_dir):
+    # the APPLY side of dedup_clusters: keep-one-representative-per-
+    # near-dup-cluster via one left-anti join on the doc key
+    docs = _docs_with_near_dups(spark, sf_dir)
+    return textops.dedup_cluster_apply(docs, threshold=0.5)
 
 
 def _q_dedup_ngram_jaccard(spark, sf_dir):
@@ -1346,6 +1360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'lm_quality': _q_lm_quality,
         'dedup_substring_spans': _q_dedup_substring_spans,
         'dedup_substring_capped': _q_dedup_substring_capped,
+        'dedup_substring_apply': _q_dedup_substring_apply,
+        'dedup_cluster_apply': _q_dedup_cluster_apply,
         'oversized_ngrams': _q_oversized_ngrams,
         'multimodal_resize': _q_multimodal_resize,
         'extract_uax29_thai': _q_extract_uax29_thai,
@@ -1966,6 +1982,38 @@ def oracle_sql() -> dict[str, str]:
         # and order-independent, so Spark and DuckDB agree bit-for-bit
         'dedup_substring_spans': _sql_dup_spans(),
         'dedup_substring_capped': _sql_dup_spans(max_df=2),
+        'dedup_substring_apply': f'''
+            WITH spans AS ({_sql_dup_spans()}),
+            toks AS (
+                SELECT doc_id, t.tok, CAST(t.i - 1 AS INTEGER) AS pos
+                FROM documents,
+                     LATERAL (SELECT unnest({_TOKS}) AS tok,
+                              generate_subscripts({_TOKS}, 1) AS i) t
+            ),
+            kept AS (
+                SELECT toks.doc_id, tok, pos FROM toks
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM spans s
+                    WHERE s.doc_id = toks.doc_id
+                      AND pos >= s.span_start AND pos < s.span_end)
+            ),
+            agg AS (
+                SELECT doc_id,
+                       string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                       CAST(count(*) AS INTEGER) AS n_tokens
+                FROM kept GROUP BY doc_id
+            ),
+            tot AS (
+                SELECT doc_id, CAST(len({_TOKS}) AS INTEGER) AS total
+                FROM documents
+            )
+            SELECT t.doc_id,
+                   coalesce(a.clean_text, '') AS clean_text,
+                   coalesce(a.n_tokens, 0) AS n_tokens,
+                   CAST(t.total - coalesce(a.n_tokens, 0) AS INTEGER)
+                       AS n_removed
+            FROM tot t LEFT JOIN agg a USING (doc_id)
+        ''',
         'oversized_ngrams': f'''
             WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             th AS ({_sql_token_hashes('tok')}),
@@ -2203,6 +2251,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT v AS doc_id, min(root) AS cluster_id
             FROM walk GROUP BY v
+        ''',
+        'dedup_cluster_apply': f'''
+            WITH RECURSIVE {_SQL_DOCS_DUPS},
+            pairs AS (
+                SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5
+            ),
+            adj AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION ALL
+                SELECT doc_b AS u, doc_a AS v FROM pairs
+            ),
+            verts AS (SELECT DISTINCT u AS v FROM adj),
+            walk(v, root) AS (
+                SELECT v, v FROM verts
+                UNION
+                SELECT a.v, w.root
+                FROM walk w JOIN adj a ON a.u = w.v
+            ),
+            labels AS (
+                SELECT v AS doc_id, min(root) AS cluster_id
+                FROM walk GROUP BY v
+            ),
+            losers AS (
+                SELECT doc_id FROM labels WHERE doc_id <> cluster_id
+            )
+            SELECT d.doc_id, d.text
+            FROM docs d LEFT JOIN losers l USING (doc_id)
+            WHERE l.doc_id IS NULL
         ''',
         'dedup_minhash_lsh': f'''
             WITH {_SQL_DOCS_DUPS},

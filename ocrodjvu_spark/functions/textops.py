@@ -530,6 +530,53 @@ def duplicated_spans(docs: DataFrame, id_col='doc_id', text_col='text',
                  .alias('n_tokens')))
 
 
+def remove_duplicated_spans(docs: DataFrame, id_col='doc_id',
+                            text_col='text', n: int = 5, min_df: int = 2,
+                            max_df: Optional[int] = None) -> DataFrame:
+    """The *apply* side of :func:`duplicated_spans` (Lee et al. 2022's
+    actual dedup step): drop every token covered by a duplicated span
+    and reassemble the document.
+
+    Scale shape: the span table is tiny relative to the corpus (one row
+    per duplicated region), so it is grouped to one array per document
+    (bounded: spans are disjoint, ≤ n_tokens/n per doc) and joined back
+    on the document key; token filtering then happens inside a single
+    projection with higher-order functions — no token-level shuffle.
+    Documents with no duplicated spans keep their normalized text
+    through the left join.
+
+    Output: (id, clean_text, n_tokens, n_removed) with clean_text the
+    space-joined surviving tokens.
+    """
+    spans = duplicated_spans(docs, id_col, text_col, n, min_df, max_df)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct('span_start', 'span_end')).alias('_spans'))
+    joined = docs.join(per_doc, id_col, 'left').select(
+        F.col(id_col),
+        tokens(text_col).alias('_toks'),
+        F.coalesce(
+            '_spans',
+            F.array().cast(
+                'array<struct<span_start:int,span_end:int>>'))
+         .alias('_spans'))
+    kept = F.filter(
+        F.col('_toks'),
+        lambda t, i: ~F.exists(
+            F.col('_spans'),
+            lambda s: (i >= s['span_start']) & (i < s['span_end'])))
+    return joined.select(
+        F.col(id_col),
+        F.inline(F.transform(F.array(kept), lambda k: F.struct(
+            F.array_join(k, ' ').alias('clean_text'),
+            F.size(k).alias('n_tokens'),
+        ))),
+        (F.size('_toks')).alias('_total'),
+    ).select(
+        id_col, 'clean_text', 'n_tokens',
+        (F.col('_total') - F.col('n_tokens')).cast('int')
+         .alias('n_removed'))
+
+
 def oversized_ngrams(docs: DataFrame, max_df: int, id_col='doc_id',
                      text_col='text', n: int = 5) -> DataFrame:
     """(sh, df) for n-gram hashes above the stop-gram cap —
@@ -701,6 +748,27 @@ def dedup_clusters(docs: DataFrame, id_col='doc_id', text_col='text',
         .select('doc_a', 'doc_b')
     cc = connected_components(edges, max_iterations=max_iterations)
     return cc.select(F.col('v').alias(id_col), 'cluster_id')
+
+
+def dedup_cluster_apply(docs: DataFrame, id_col='doc_id',
+                        text_col='text', n: int = 3,
+                        threshold: float = 0.5,
+                        max_iterations: int = 25) -> DataFrame:
+    """Keep-one-per-cluster corpus filter — the apply side of
+    :func:`dedup_clusters`: every document outside any near-dup cluster
+    survives, and each cluster keeps its minimum-id representative.
+
+    Scale shape: the cluster labels (already linear in clustered docs)
+    shrink to the non-representative members, then one left-anti join
+    on the high-cardinality document key drops them — no broadcast of
+    anything corpus-sized, no second pass over text.
+    """
+    labels = dedup_clusters(docs, id_col, text_col, n, threshold,
+                            max_iterations)
+    losers = labels.where(F.col(id_col) != F.col('cluster_id')) \
+        .select(id_col)
+    return docs.join(losers, id_col, 'left_anti') \
+        .select(F.col(id_col), F.col(text_col))
 
 
 # --- language ID + quality -------------------------------------------------

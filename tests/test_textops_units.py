@@ -537,6 +537,44 @@ def test_duplicated_spans_separate_islands(spark):
     assert sorted(out[0]) == [(0, 5), (8, 13)]
 
 
+def test_remove_duplicated_spans_apply(spark):
+    shared = 'alpha beta gamma delta epsilon zeta eta'
+    docs = _docs(spark, [
+        'intro words here ' + shared + ' closing bits',
+        shared + ' completely different ending tokens now',
+        'unrelated text with no overlap whatsoever at all',
+    ])
+    out = {r.doc_id: r for r in
+           textops.remove_duplicated_spans(docs, n=5, min_df=2).collect()}
+    # the 7-token shared run is excised, surroundings survive in order
+    assert out[0].clean_text == 'intro words here closing bits'
+    assert out[0].n_removed == 7 and out[0].n_tokens == 5
+    assert out[1].clean_text == 'completely different ending tokens now'
+    # untouched doc passes through whole
+    assert out[2].n_removed == 0
+    assert out[2].clean_text == 'unrelated text with no overlap ' \
+                                'whatsoever at all'
+    # fully-duplicated doc -> empty string, everything removed
+    dup2 = _docs(spark, [shared, shared])
+    rows = textops.remove_duplicated_spans(dup2, n=5, min_df=2).collect()
+    assert all(r.clean_text == '' and r.n_tokens == 0 and r.n_removed == 7
+               for r in rows)
+
+
+def test_dedup_cluster_apply_keeps_representatives(spark):
+    base = 'alpha beta gamma delta epsilon zeta eta theta iota kappa'
+    docs = _docs(spark, [
+        base,                          # cluster rep (min id)
+        base + ' tail',                # near dup of 0 -> dropped
+        'unrelated words entirely different from the others here now',
+        base + ' tail',                # exact dup of 1 -> dropped
+    ])
+    out = sorted(r.doc_id for r in
+                 textops.dedup_cluster_apply(docs, threshold=0.5)
+                 .collect())
+    assert out == [0, 2]
+
+
 def test_duplicated_spans_stop_gram_cap(spark):
     # the boilerplate-phrase skew case: a 5-gram shared by EVERY doc
     # (df = n_docs) would put all its occurrence rows on one join key;
