@@ -249,6 +249,20 @@ def main():
         ])
 
     audit(
+        'duplicated-span removal (apply): span arrays join on the doc '
+        'key, token filter in-projection',
+        textops.remove_duplicated_spans(docs),
+        [
+            ('no cartesian product / broadcast nested loop',
+             lambda p: 'CartesianProduct' not in p
+             and 'BroadcastNestedLoopJoin' not in p),
+            ('no python UDF anywhere',
+             lambda p: 'Python' not in p),
+            ('no single-partition exchange (all shuffles keyed)',
+             lambda p: 'SinglePartition' not in p),
+        ])
+
+    audit(
         'lm quality (capped vocab broadcast to the scoring join)',
         textops.lm_score(docs, vocab_size=200),
         [
