@@ -814,6 +814,31 @@ def _q_dedup_substring_capped(spark, sf_dir):
     return textops.duplicated_spans(docs, n=5, min_df=2, max_df=2)
 
 
+# injected multi-line suffix for the line-dedup gate: the raw corpus
+# text is single-line, so every 5th doc gains two shared boilerplate
+# lines — only the lowest-id such doc may keep them
+DEDUP_LINES_SUFFIX = ('\nshared boilerplate footer line one'
+                      '\nsecond shared boilerplate footer line')
+
+
+def _q_dedup_lines(spark, sf_dir):
+    # C4-style cross-document line dedup: shared boilerplate lines
+    # survive only at their first corpus occurrence; short lines exempt
+    docs = T.load_table(spark, sf_dir, 'documents')
+    text2 = F.when(F.col('doc_id') % 5 == 0,
+                   F.concat('text', F.lit(DEDUP_LINES_SUFFIX))) \
+        .otherwise(F.col('text'))
+    return textops.dedup_lines(
+        docs.select('doc_id', text2.alias('text')))
+
+
+def _q_quality_buckets(spark, sf_dir):
+    # CCNet head/middle/tail perplexity bucketing over the corpus LM
+    # score; thresholds are one broadcast aggregate row, no global sort
+    docs = T.load_table(spark, sf_dir, 'documents')
+    return textops.quality_buckets(docs, vocab_size=200)
+
+
 def _q_dedup_substring_apply(spark, sf_dir):
     # the APPLY side of Lee et al. 2022: strip every token covered by a
     # duplicated span (5-grams shared by >= 2 docs) and reassemble
@@ -1362,6 +1387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_substring_capped': _q_dedup_substring_capped,
         'dedup_substring_apply': _q_dedup_substring_apply,
         'dedup_cluster_apply': _q_dedup_cluster_apply,
+        'dedup_lines': _q_dedup_lines,
+        'quality_buckets': _q_quality_buckets,
         'oversized_ngrams': _q_oversized_ngrams,
         'multimodal_resize': _q_multimodal_resize,
         'extract_uax29_thai': _q_extract_uax29_thai,
@@ -1587,6 +1614,51 @@ def _sql_pos_shingle(n: int) -> str:
     for j in range(1, n):
         expr = f'({expr} * 1009 + hs[t.i+{j}]) % 2147483647'
     return expr
+
+
+# corpus char-trigram LM scoring CTE chain (mirrors textops.lm_score
+# with vocab_size=200); terminal CTE is `scored(doc_id, n_trigrams,
+# lm_score)` — shared by the lm_quality and quality_buckets oracles
+_SQL_LM_SCORED = f'''d AS (SELECT doc_id, {_NORM} AS t FROM documents),
+            tris AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN length(t) >= 3
+                              THEN list_transform(
+                                  range(1, length(t) - 1),
+                                  i -> substr(t, i, 3))
+                              ELSE [NULL] END) AS tri
+                FROM d
+            ),
+            counts AS (
+                SELECT tri, count(*) AS c FROM tris
+                WHERE tri IS NOT NULL GROUP BY 1
+            ),
+            total AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM counts),
+            vocab AS (
+                SELECT tri,
+                       CAST(round(ln(c / total) * 1000000, 0) AS BIGINT)
+                           AS logp_q
+                FROM counts, total ORDER BY c DESC, tri LIMIT 200
+            ),
+            fl AS (
+                SELECT CAST(round(ln(0.5 / total) * 1000000, 0) AS BIGINT)
+                           AS floor_q
+                FROM total
+            ),
+            lp AS (
+                SELECT t.doc_id, t.tri,
+                       coalesce(v.logp_q, fl.floor_q) AS lp
+                FROM tris t LEFT JOIN vocab v ON t.tri = v.tri, fl
+            ),
+            scored AS (
+                SELECT doc_id,
+                       CAST(count(tri) AS INTEGER) AS n_trigrams,
+                       CASE WHEN count(tri) > 0
+                            THEN round(sum(lp) * 1.0 / count(*)
+                                       / 1000000, 6)
+                       END AS lm_score
+                FROM lp GROUP BY 1
+            )'''
 
 
 # shared fragments for the multimodal oracles: the generative layout of
@@ -2028,43 +2100,58 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY sh HAVING count(*) > 2
         ''',
         'lm_quality': f'''
-            WITH d AS (SELECT doc_id, {_NORM} AS t FROM documents),
-            tris AS (
+            WITH {_SQL_LM_SCORED}
+            SELECT doc_id, n_trigrams, lm_score FROM scored
+        ''',
+        'quality_buckets': f'''
+            WITH {_SQL_LM_SCORED},
+            cuts AS (
+                SELECT quantile_cont(lm_score, 1.0/3) AS q33,
+                       quantile_cont(lm_score, 2.0/3) AS q66
+                FROM scored
+            )
+            SELECT doc_id, lm_score,
+                   CASE WHEN lm_score IS NULL THEN 'unscored'
+                        WHEN lm_score >= q66 THEN 'head'
+                        WHEN lm_score >= q33 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored, cuts
+        ''',
+        'dedup_lines': f'''
+            WITH d AS (
                 SELECT doc_id,
-                       unnest(CASE WHEN length(t) >= 3
-                              THEN list_transform(
-                                  range(1, length(t) - 1),
-                                  i -> substr(t, i, 3))
-                              ELSE [NULL] END) AS tri
-                FROM d
+                       CASE WHEN doc_id % 5 = 0
+                            THEN text || chr(10)
+                                 || 'shared boilerplate footer line one'
+                                 || chr(10)
+                                 || 'second shared boilerplate footer line'
+                            ELSE text END AS t
+                FROM documents
             ),
-            counts AS (
-                SELECT tri, count(*) AS c FROM tris
-                WHERE tri IS NOT NULL GROUP BY 1
+            lines AS (
+                SELECT doc_id, CAST(l.i - 1 AS INTEGER) AS line_idx, l.ln
+                FROM d, LATERAL (
+                    SELECT unnest(string_split_regex(t, '\\r?\\n')) AS ln,
+                           generate_subscripts(
+                               string_split_regex(t, '\\r?\\n'), 1) AS i
+                ) l
             ),
-            total AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM counts),
-            vocab AS (
-                SELECT tri,
-                       CAST(round(ln(c / total) * 1000000, 0) AS BIGINT)
-                           AS logp_q
-                FROM counts, total ORDER BY c DESC, tri LIMIT 200
-            ),
-            fl AS (
-                SELECT CAST(round(ln(0.5 / total) * 1000000, 0) AS BIGINT)
-                           AS floor_q
-                FROM total
-            ),
-            lp AS (
-                SELECT t.doc_id, t.tri,
-                       coalesce(v.logp_q, fl.floor_q) AS lp
-                FROM tris t LEFT JOIN vocab v ON t.tri = v.tri, fl
+            marked AS (
+                SELECT doc_id, line_idx, ln,
+                       (length(ln) < 10 OR row_number() OVER (
+                            PARTITION BY ln ORDER BY doc_id, line_idx) = 1)
+                           AS keep
+                FROM lines
             )
             SELECT doc_id,
-                   CAST(count(tri) AS INTEGER) AS n_trigrams,
-                   CASE WHEN count(tri) > 0
-                        THEN round(sum(lp) * 1.0 / count(*) / 1000000, 6)
-                   END AS lm_score
-            FROM lp GROUP BY 1
+                   coalesce(string_agg(CASE WHEN keep THEN ln END,
+                                       chr(10) ORDER BY line_idx), '')
+                       AS clean_text,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INTEGER)
+                       AS n_lines,
+                   CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS INTEGER)
+                       AS n_removed
+            FROM marked GROUP BY doc_id
         ''',
         'gopher_quality': f'''
             WITH d AS (

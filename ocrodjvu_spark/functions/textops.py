@@ -1052,6 +1052,75 @@ def length_quantiles(docs: DataFrame, value_col='n_chars',
                       for i, p in enumerate(QUANTILE_PROBS)]))
 
 
+def dedup_lines(docs: DataFrame, id_col='doc_id', text_col='text',
+                min_chars: int = 10) -> DataFrame:
+    """C4's cross-document span dedup at line granularity (Raffel et
+    al. 2020 deduplicate repeated three-sentence spans corpus-wide;
+    the line is the natural span unit for transcript markup): every
+    line of at least ``min_chars`` characters is kept only at its
+    FIRST occurrence in the corpus (ordered by document id, then line
+    position); later occurrences are dropped and each document is
+    reassembled from its surviving lines. Short lines are exempt —
+    deduping "yes." corpus-wide would shred the documents.
+
+    Scale shape: one line explode, one window keep-first on the line
+    content key (high cardinality — boilerplate lines are exactly the
+    skewed keys, but the window computes only a row_number per key, no
+    pair join), one groupBy per document to reassemble. Same shuffle
+    count as exact dedup.
+
+    Output: (id, clean_text, n_lines, n_removed).
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(text_col, r'\r?\n'))
+         .alias('line_idx', 'line'))
+    w = Window.partitionBy('line').orderBy(id_col, 'line_idx')
+    marked = lines.select(
+        id_col, 'line_idx', 'line',
+        F.when(F.length('line') < min_chars, F.lit(True))
+         .otherwise(F.row_number().over(w) == 1).alias('_keep'))
+    return (marked.groupBy(id_col)
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.when(
+                            F.col('_keep'),
+                            F.struct('line_idx', 'line')))),
+                        lambda s: s['line']), '\n').alias('clean_text'),
+                F.sum(F.when(F.col('_keep'), 1).otherwise(0)).cast('int')
+                 .alias('n_lines'),
+                F.sum(F.when(F.col('_keep'), 0).otherwise(1)).cast('int')
+                 .alias('n_removed')))
+
+
+def quality_buckets(docs: DataFrame, id_col='doc_id', text_col='text',
+                    vocab_size: int = 50000) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): corpus
+    tercile thresholds over the LM quality score split documents into
+    head / middle / tail; docs with no score (zero trigrams) are
+    'unscored'.
+
+    Scale shape: the thresholds are ONE aggregate row broadcast back
+    over the corpus (no global sort / ntile — a single-partition window
+    would serialize the corpus through one task at 100 TB). The exact
+    interpolating ``percentile`` is oracle-comparable; swap
+    ``percentile_approx`` in at extreme scale (same shape, documented
+    like ``length_quantiles``).
+    """
+    scored = lm_score(docs, id_col, text_col, vocab_size)
+    cuts = scored.agg(
+        F.percentile('lm_score', F.lit(1.0 / 3)).alias('q33'),
+        F.percentile('lm_score', F.lit(2.0 / 3)).alias('q66'))
+    return (scored.crossJoin(F.broadcast(cuts))
+            .select(
+                id_col, 'lm_score',
+                F.when(F.col('lm_score').isNull(), 'unscored')
+                 .when(F.col('lm_score') >= F.col('q66'), 'head')
+                 .when(F.col('lm_score') >= F.col('q33'), 'middle')
+                 .otherwise('tail').alias('bucket')))
+
+
 def c4_rules(docs: DataFrame, id_col='doc_id', text_col='text',
              min_line_words: int = 5,
              min_kept_lines: int = 3) -> DataFrame:

@@ -561,6 +561,46 @@ def test_remove_duplicated_spans_apply(spark):
                for r in rows)
 
 
+def test_dedup_lines_cross_document(spark):
+    docs = _docs(spark, [
+        'unique first line alpha\nshared boilerplate line here\nok',
+        'different opening line beta\nshared boilerplate line here',
+        'third document text gamma\nanother unique closing line',
+    ])
+    out = {r.doc_id: r for r in textops.dedup_lines(docs).collect()}
+    # doc 0 keeps the shared line (first occurrence); doc 1 loses it
+    assert out[0].clean_text == \
+        'unique first line alpha\nshared boilerplate line here\nok'
+    assert out[0].n_removed == 0
+    # 'ok' is short (< 10 chars): exempt from dedup, always kept
+    assert out[1].clean_text == 'different opening line beta'
+    assert out[1].n_removed == 1 and out[1].n_lines == 1
+    assert out[2].n_removed == 0
+    # short duplicate lines are never deduped
+    shorts = _docs(spark, ['yes.\nlong enough line here one',
+                           'yes.\nother long enough line two'])
+    rows = {r.doc_id: r for r in textops.dedup_lines(shorts).collect()}
+    assert rows[0].clean_text.startswith('yes.')
+    assert rows[1].clean_text.startswith('yes.')
+
+
+def test_quality_buckets_terciles(spark):
+    fluent = 'the quick brown fox jumps over the lazy dog and then '
+    docs = _docs(spark, [
+        fluent * 4,                                   # head
+        fluent * 2 + 'zq xv qq jzx wqx vvq ',         # middle-ish
+        'zq{~ #!xv @@qq^ jzx&* %%wqx [] vvq;; ==',    # garbage tail
+        'ab',                                         # no trigrams
+    ])
+    out = {r.doc_id: r for r in
+           textops.quality_buckets(docs).collect()}
+    assert out[3].bucket == 'unscored' and out[3].lm_score is None
+    scored = [out[i] for i in (0, 1, 2)]
+    assert {r.bucket for r in scored} == {'head', 'middle', 'tail'}
+    ranked = sorted(scored, key=lambda r: -r.lm_score)
+    assert [r.bucket for r in ranked] == ['head', 'middle', 'tail']
+
+
 def test_dedup_cluster_apply_keeps_representatives(spark):
     base = 'alpha beta gamma delta epsilon zeta eta theta iota kappa'
     docs = _docs(spark, [
