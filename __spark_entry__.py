@@ -839,6 +839,35 @@ def _q_quality_buckets(spark, sf_dir):
     return textops.quality_buckets(docs, vocab_size=200)
 
 
+# script-profile gate injections: pure-script replacements so every
+# dominant class (and the tie-break) is exercised
+SCRIPT_THAI_TEXT = 'สวัสดีครับ ผมรักประเทศไทย ภาษาไทยดีมาก'
+SCRIPT_CJK_TEXT = '日本語のテキストです 漢字仮名交じり文'
+SCRIPT_CYR_SUFFIX = ' привет мир'
+
+
+def _q_script_profile(spark, sf_dir):
+    # per-doc script composition + dominant script (the segmentation-
+    # locale routing signal); deterministic injections cover thai/cjk
+    # dominants and a mixed latin+cyrillic doc
+    docs = T.load_table(spark, sf_dir, 'documents')
+    text2 = (F.when(F.col('doc_id') % 10 == 3, F.lit(SCRIPT_THAI_TEXT))
+             .when(F.col('doc_id') % 10 == 6, F.lit(SCRIPT_CJK_TEXT))
+             .when(F.col('doc_id') % 10 == 9,
+                   F.concat('text', F.lit(SCRIPT_CYR_SUFFIX)))
+             .otherwise(F.col('text')))
+    return textops.script_profile(
+        docs.select('doc_id', text2.alias('text')))
+
+
+def _q_ann_recall(spark, sf_dir):
+    # recall@k of the IVF probe against the exact brute-force answer —
+    # the index-evaluation loop; nprobe=1 leaves cross-boundary
+    # neighbors unfound so recall is non-trivially < 1 for some queries
+    emb = T.load_table(spark, sf_dir, 'embeddings')
+    return similarity.ann_recall(emb, nprobe=1)
+
+
 def _q_dedup_substring_apply(spark, sf_dir):
     # the APPLY side of Lee et al. 2022: strip every token covered by a
     # duplicated span (5-grams shared by >= 2 docs) and reassemble
@@ -1389,6 +1418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_cluster_apply': _q_dedup_cluster_apply,
         'dedup_lines': _q_dedup_lines,
         'quality_buckets': _q_quality_buckets,
+        'script_profile': _q_script_profile,
+        'ann_recall': _q_ann_recall,
         'oversized_ngrams': _q_oversized_ngrams,
         'multimodal_resize': _q_multimodal_resize,
         'extract_uax29_thai': _q_extract_uax29_thai,
@@ -1756,6 +1787,35 @@ def _sql_dup_spans(max_df: int | None = None) -> str:
                    CAST(max(end_) - min(pos) AS INTEGER) AS n_tokens
             FROM isl GROUP BY doc_id, island
         '''
+
+
+_SQL_ANN_EXACT = f'''
+            WITH {_SQL_EMB},
+            scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_sum(list_transform(range(1, len(q.v) + 1),
+                                 i -> q.v[i] * c.v[i]))
+                             / (q.nrm * c.nrm), 6) AS cos_sim
+                FROM n q JOIN n c
+                  ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+            )
+            {_SQL_TOPK_TAIL}
+        '''
+
+
+def _sql_script_fracs() -> str:
+    """Per-script char fractions (mirrors textops.script_profile; RE2
+    script classes, 'g' flag — DuckDB replaces only the first match
+    without it)."""
+    from ocrodjvu_spark.functions.textops import SCRIPT_CLASSES
+    parts = []
+    for name, _, re2_cls in SCRIPT_CLASSES:
+        # SQL single-quoted strings pass backslashes through verbatim
+        parts.append(
+            f"round((length(t) - length(regexp_replace(t, "
+            f"'{re2_cls}', '', 'g'))) * 1.0 "
+            f"/ greatest(length(t), 1), 6) AS {name}_frac")
+    return ',\n                       '.join(parts)
 
 
 def _sql_ann_ivf(nprobe: int) -> str:
@@ -2535,17 +2595,60 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         ''',
         'embedding_kmeans': _sql_kmeans(),
-        'ann_cosine_topk': f'''
-            WITH {_SQL_EMB},
-            scored AS (
-                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                       round(list_sum(list_transform(range(1, len(q.v) + 1),
-                                 i -> q.v[i] * c.v[i]))
-                             / (q.nrm * c.nrm), 6) AS cos_sim
-                FROM n q JOIN n c
-                  ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        'ann_cosine_topk': _SQL_ANN_EXACT,
+        'ann_recall': f'''
+            WITH exact AS ({_SQL_ANN_EXACT}),
+            approx AS ({_sql_ann_ivf(1)}),
+            base AS (
+                SELECT query_id, CAST(count(*) AS INTEGER) AS n_exact
+                FROM exact GROUP BY 1
+            ),
+            hits AS (
+                SELECT e.query_id, CAST(count(*) AS INTEGER) AS n_hit
+                FROM exact e JOIN approx a
+                  ON a.query_id = e.query_id
+                 AND a.neighbor_id = e.neighbor_id
+                GROUP BY 1
             )
-            {_SQL_TOPK_TAIL}
+            SELECT b.query_id, coalesce(h.n_hit, 0) AS n_hit, b.n_exact,
+                   round(coalesce(h.n_hit, 0) * 1.0 / b.n_exact, 6)
+                       AS recall
+            FROM base b LEFT JOIN hits h USING (query_id)
+        ''',
+        'script_profile': f'''
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 3
+                                 THEN '{SCRIPT_THAI_TEXT}'
+                            WHEN doc_id % 10 = 6
+                                 THEN '{SCRIPT_CJK_TEXT}'
+                            WHEN doc_id % 10 = 9
+                                 THEN text || '{SCRIPT_CYR_SUFFIX}'
+                            ELSE text END AS text
+                FROM documents
+            ),
+            nrm AS (SELECT doc_id, {_NORM} AS t FROM d),
+            fr AS (
+                SELECT doc_id, CAST(length(t) AS INTEGER) AS n_chars,
+                       {_sql_script_fracs()}
+                FROM nrm
+            )
+            SELECT doc_id, n_chars, latin_frac, cyrillic_frac,
+                   cjk_frac, thai_frac,
+                   CASE WHEN greatest(latin_frac, cyrillic_frac,
+                                      cjk_frac, thai_frac) <= 0
+                             THEN 'other'
+                        WHEN latin_frac = greatest(latin_frac,
+                             cyrillic_frac, cjk_frac, thai_frac)
+                             THEN 'latin'
+                        WHEN cyrillic_frac = greatest(latin_frac,
+                             cyrillic_frac, cjk_frac, thai_frac)
+                             THEN 'cyrillic'
+                        WHEN cjk_frac = greatest(latin_frac,
+                             cyrillic_frac, cjk_frac, thai_frac)
+                             THEN 'cjk'
+                        ELSE 'thai' END AS dominant
+            FROM fr
         ''',
         'extract_lines': f'''
             SELECT {_CONV} AS conv_id, {_TIDX} AS turn_idx,

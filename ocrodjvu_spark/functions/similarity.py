@@ -99,6 +99,39 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
     )
 
 
+def ann_recall(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
+               id_col: str = 'vec_id', vec_col: str = 'embedding',
+               nprobe: int = 1) -> DataFrame:
+    """Recall@k of the IVF index against the exact brute-force answer —
+    the evaluation loop every production ANN deployment runs before
+    trusting an index (and after every re-train of the quantizer).
+
+    Scale shape: the exact side is the documented small-Q baseline
+    (query-side broadcast), the IVF side is the bucketed probe; the
+    comparison itself is a left-semi join on (query, neighbor) followed
+    by a k-sized aggregate per query — negligible next to either input.
+
+    Output: (query_id, n_hit, n_exact, recall) with recall rounded to
+    6 decimals.
+    """
+    exact = cosine_topk(embeddings, n_queries, k, id_col, vec_col) \
+        .select('query_id', 'neighbor_id')
+    approx = ivf_topk(embeddings, n_queries, k, id_col, vec_col,
+                      nprobe=nprobe).select('query_id', 'neighbor_id')
+    base = exact.groupBy('query_id').agg(
+        F.count('*').cast('int').alias('n_exact'))
+    hits = (exact.join(approx, ['query_id', 'neighbor_id'], 'leftsemi')
+            .groupBy('query_id')
+            .agg(F.count('*').cast('int').alias('n_hit')))
+    return (base.join(hits, 'query_id', 'left')
+            .select(
+                'query_id',
+                F.coalesce('n_hit', F.lit(0)).cast('int').alias('n_hit'),
+                'n_exact',
+                F.round(F.coalesce('n_hit', F.lit(0))
+                        / F.col('n_exact'), 6).alias('recall')))
+
+
 def ivf_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
              id_col: str = 'vec_id', vec_col: str = 'embedding',
              label_col: str = 'label', dim: int = 64,

@@ -1094,6 +1094,50 @@ def dedup_lines(docs: DataFrame, id_col='doc_id', text_col='text',
                  .alias('n_removed')))
 
 
+SCRIPT_CLASSES = (
+    # (name, Java regex class, RE2/DuckDB regex class) — order is the
+    # deterministic tie-break for the dominant script
+    ('latin', r'\p{IsLatin}', r'\p{Latin}'),
+    ('cyrillic', r'\p{IsCyrillic}', r'\p{Cyrillic}'),
+    ('cjk', r'\p{IsHan}', r'\p{Han}'),
+    ('thai', r'\p{IsThai}', r'\p{Thai}'),
+)
+
+
+def script_profile(docs: DataFrame, id_col='doc_id',
+                   text_col='text') -> DataFrame:
+    """Per-document script composition + dominant script — the routing
+    signal for script-specific downstream stages (which segmentation
+    locale to use, which LM to score with, whether dictionary breaking
+    applies). All counting is JVM-side regex char-class stripping
+    (count = length before minus length after removing the class), one
+    projection, no shuffle, no Python.
+
+    Output: (id, n_chars, latin_frac..thai_frac rounded to 6dp,
+    dominant) with dominant = argmax fraction over SCRIPT_CLASSES order
+    ('other' when no class fires).
+    """
+    def frac(t, java_cls):
+        return (F.length(t)
+                - F.length(F.regexp_replace(t, java_cls, ''))) \
+            / F.greatest(F.length(t), F.lit(1))
+
+    t = F.col('_t')
+    staged = docs.select(F.col(id_col), norm_text(text_col).alias('_t')) \
+        .select(id_col, F.length('_t').alias('n_chars'),
+                *[F.round(frac(t, cls), 6).alias(f'{name}_frac')
+                  for name, cls, _ in SCRIPT_CLASSES])
+    best = F.greatest(*[F.col(f'{n}_frac') for n, _, _ in SCRIPT_CLASSES])
+    dominant = F.when(best <= 0, F.lit('other'))
+    for name, _, _ in SCRIPT_CLASSES:
+        dominant = dominant.when(F.col(f'{name}_frac') == best,
+                                 F.lit(name))
+    return staged.select(
+        id_col, 'n_chars',
+        *[f'{n}_frac' for n, _, _ in SCRIPT_CLASSES],
+        dominant.alias('dominant'))
+
+
 def quality_buckets(docs: DataFrame, id_col='doc_id', text_col='text',
                     vocab_size: int = 50000) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): corpus

@@ -561,6 +561,42 @@ def test_remove_duplicated_spans_apply(spark):
                for r in rows)
 
 
+def test_script_profile_dominant_and_fractions(spark):
+    docs = _docs(spark, [
+        'plain english words only here',
+        'สวัสดีครับ ผมรักประเทศไทย',
+        '日本語の漢字文',
+        'mixed привет text',
+        '123 456 !!!',                    # no letter scripts -> other
+    ])
+    out = {r.doc_id: r for r in textops.script_profile(docs).collect()}
+    assert out[0].dominant == 'latin' and out[0].thai_frac == 0.0
+    assert out[1].dominant == 'thai' and out[1].latin_frac == 0.0
+    assert out[2].dominant == 'cjk'
+    # latin outnumbers cyrillic in doc 3
+    assert out[3].dominant == 'latin' and out[3].cyrillic_frac > 0
+    assert out[4].dominant == 'other'
+    # fractions are over normalized char count (incl. spaces/digits)
+    assert 0 < out[1].thai_frac < 1
+
+
+def test_ann_recall_bounds(spark):
+    from ocrodjvu_spark.functions import similarity
+    from ocrodjvu_spark.sources import transcripts as T
+    emb = T.load_table(spark, '/root/testdata/sf0.001', 'embeddings')
+    rows = similarity.ann_recall(emb, n_queries=5, k=3).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r.recall <= 1.0
+        assert r.n_exact == 3 and 0 <= r.n_hit <= 3
+        assert r.recall == round(r.n_hit / r.n_exact, 6)
+    # probing every list recovers the exact answer (IVF sanity bound)
+    labels = emb.select('label').distinct().count()
+    full = similarity.ann_recall(emb, n_queries=5, k=3, nprobe=labels) \
+        .collect()
+    assert all(r.recall == 1.0 for r in full)
+
+
 def test_dedup_lines_cross_document(spark):
     docs = _docs(spark, [
         'unique first line alpha\nshared boilerplate line here\nok',
