@@ -819,6 +819,11 @@ def _q_dedup_substring_capped(spark, sf_dir):
 # lines — only the lowest-id such doc may keep them
 DEDUP_LINES_SUFFIX = ('\nshared boilerplate footer line one'
                       '\nsecond shared boilerplate footer line')
+# the same suffix as a SQL concat expression, so Spark gate and oracle
+# can never desync (newlines become chr(10) — SQL string literals
+# cannot hold them portably)
+_SQL_LINES_SUFFIX = ' || '.join(
+    f"chr(10) || '{ln}'" for ln in DEDUP_LINES_SUFFIX.split('\n')[1:])
 
 
 def _q_dedup_lines(spark, sf_dir):
@@ -2181,10 +2186,7 @@ def oracle_sql() -> dict[str, str]:
             WITH d AS (
                 SELECT doc_id,
                        CASE WHEN doc_id % 5 = 0
-                            THEN text || chr(10)
-                                 || 'shared boilerplate footer line one'
-                                 || chr(10)
-                                 || 'second shared boilerplate footer line'
+                            THEN text || {_SQL_LINES_SUFFIX}
                             ELSE text END AS t
                 FROM documents
             ),

@@ -191,23 +191,28 @@ def resize_images(media: DataFrame, max_side: int = 4) -> DataFrame:
                     pdf['kind'], pdf['payload'], pdf['width'],
                     pdf['height']):
                 data = bytes(payload) if payload is not None else None
+                result = None
                 if (kind == 'image' and data is not None
                         and data[:2] in (b'P5', b'P6')):
-                    info = IC.decode_pnm(data)
-                    ow, oh = info['width'], info['height']
-                    side = max(ow, oh)
-                    if side > max_side:
-                        nw = max(ow * max_side // side, 1)
-                        nh = max(oh * max_side // side, 1)
-                        data = IC.resize_pnm_nearest(data, nw, nh)
-                        ow, oh = nw, nh
-                    payloads.append(data)
-                    widths.append(ow)
-                    heights.append(oh)
-                else:
-                    payloads.append(data)
-                    widths.append(w)
-                    heights.append(h)
+                    try:
+                        # header-only geometry read — the resample
+                        # itself is the only pass over the body
+                        ow, oh, _ = IC.pnm_geometry(data)
+                        side = max(ow, oh)
+                        if side > max_side:
+                            nw = max(ow * max_side // side, 1)
+                            nh = max(oh * max_side // side, 1)
+                            result = (IC.resize_pnm_nearest(data, nw, nh),
+                                      nw, nh)
+                        else:
+                            result = (data, ow, oh)
+                    except (IC.ImageDecodeError, ValueError, IndexError):
+                        result = None  # malformed: pass through below
+                if result is None:
+                    result = (data, w, h)
+                payloads.append(result[0])
+                widths.append(result[1])
+                heights.append(result[2])
             pdf['payload'] = payloads
             pdf['width'] = pd.array(widths, dtype='Int32')
             pdf['height'] = pd.array(heights, dtype='Int32')

@@ -333,14 +333,42 @@ def encode_tiff_rgb(width: int, height: int, samples: bytes) -> bytes:
     return bytes(out)
 
 
+def pnm_geometry(data: bytes):
+    """Header-only (width, height, channels) of a netpbm payload — no
+    body pass (the resize decision needs geometry, not pixel sums)."""
+    if len(data) < 2 or data[0] != ord('P') or data[1] not in b'123456':
+        raise ImageDecodeError('not a netpbm payload')
+    kind = chr(data[1])
+    toks, _ = _pnm_header_tokens(data, 3 if kind in '14' else 4)
+    width, height = int(toks[1]), int(toks[2])
+    if width <= 0 or height <= 0:
+        raise ImageDecodeError('bad netpbm dimensions')
+    return width, height, 3 if kind in '36' else 1
+
+
 def decode_image(data: bytes) -> dict:
-    """Sniff the container magic and decode. Raises ImageDecodeError."""
-    if data[:2] == b'BM':
-        return decode_bmp(data)
-    if data[:2] in (b'II', b'MM'):
-        return decode_tiff(data)
-    if len(data) >= 2 and data[0] == ord('P') and data[1] in b'123456':
-        return decode_pnm(data)
+    """Sniff the container magic and decode.
+
+    Raises :class:`ImageDecodeError` for every malformed payload —
+    including truncated headers, out-of-range palette indexes and
+    dangling TIFF tag offsets, which the per-format parsers would
+    otherwise surface as bare ``ValueError`` / ``IndexError`` /
+    ``struct.error`` (callers like the Spark feature stage rely on one
+    exception type to route bad rows to the stub path instead of
+    failing the task).
+    """
+    try:
+        if data[:2] == b'BM':
+            return decode_bmp(data)
+        if data[:2] in (b'II', b'MM'):
+            return decode_tiff(data)
+        if (len(data) >= 2 and data[0] == ord('P')
+                and data[1] in b'123456'):
+            return decode_pnm(data)
+    except ImageDecodeError:
+        raise
+    except (ValueError, IndexError, struct.error) as e:
+        raise ImageDecodeError(f'malformed image payload: {e}')
     raise ImageDecodeError('unrecognized image container')
 
 

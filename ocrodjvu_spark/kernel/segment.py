@@ -242,7 +242,10 @@ def _dict_run_boundaries(run: str, words, max_len) -> list:
 def _apply_dictionary(text: str, base_bounds, words, max_len):
     """Replace per-grapheme boundaries inside Thai-script runs with
     dictionary boundaries; everything outside the runs keeps the UAX
-    #29 root segmentation."""
+    #29 root segmentation. The boundary AT a run's end is the base
+    rules' decision, not the dictionary's: a non-Thai Extend/ZWJ
+    character following the run must stay glued to the last Thai word
+    (WB4), and the base segmentation already encodes that."""
     runs = []
     i, n = 0, len(text)
     while i < n:
@@ -258,7 +261,8 @@ def _apply_dictionary(text: str, base_bounds, words, max_len):
     for s, e in runs:
         out -= set(range(s + 1, e))
         out.update(s + b for b in
-                   _dict_run_boundaries(text[s:e], words, max_len))
+                   _dict_run_boundaries(text[s:e], words, max_len)
+                   if s + b < e)
     return sorted(out)
 
 

@@ -189,6 +189,40 @@ class TestTIFF:
             IC.decode_tiff(bytes(data))
 
 
+class TestMalformedPayloads:
+    # decode_image must surface EVERY malformed payload as
+    # ImageDecodeError — the Spark feature stage routes on that one
+    # type; a bare ValueError/IndexError/struct.error would fail the
+    # whole task instead of stubbing the row
+    def test_garbage_header_int(self):
+        with pytest.raises(IC.ImageDecodeError):
+            IC.decode_image(b'P5 x 3 255\n' + b'\x00' * 16)
+
+    def test_bmp_palette_index_out_of_range(self):
+        # 8-bpp pixel index beyond the declared 2-color palette
+        data = bytearray()
+        data += struct.pack('<2sIHHI', b'BM', 0, 0, 0, 54 + 8)
+        data += struct.pack('<IiiHHIIiiII', 40, 2, 1, 1, 8, 0,
+                            4, 0, 0, 2, 2)
+        data += struct.pack('<BBBB', 0, 0, 0, 0) * 2
+        data += bytes([0, 7, 0, 0])
+        with pytest.raises(IC.ImageDecodeError):
+            IC.decode_image(bytes(data))
+
+    def test_tiff_dangling_tag_offset(self):
+        data = bytearray(IC.encode_tiff_rgb(2, 1, bytes(6)))
+        # point the BitsPerSample value offset past EOF
+        struct.pack_into('<I', data, 24 + 2 * 12 + 8, 10_000)
+        with pytest.raises(IC.ImageDecodeError):
+            IC.decode_image(bytes(data))
+
+    def test_pnm_geometry_header_only(self):
+        assert IC.pnm_geometry(b'P6 5 4 255\n' + bytes(60)) == (5, 4, 3)
+        assert IC.pnm_geometry(b'P4 9 2\n' + bytes(4)) == (9, 2, 1)
+        with pytest.raises(IC.ImageDecodeError):
+            IC.pnm_geometry(b'BM rubbish')
+
+
 class TestResize:
     def test_resize_p5_floor_mapping(self):
         s = _gray(6, 4)

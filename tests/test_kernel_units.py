@@ -378,6 +378,16 @@ def test_uax29_thai_dictionary_segmentation():
     assert toks('ผมกิน', locale='en') == ['ผ', 'ม', 'กิ', 'น']
 
 
+def test_uax29_thai_run_end_respects_wb4():
+    # a non-Thai combining mark (Extend) directly after a Thai run must
+    # stay glued to the last Thai word (WB4) — the dictionary pass may
+    # not insert its run-end boundary over the base rules' decision
+    from ocrodjvu_spark.kernel.segment import uax29_word_break_iterator
+    text = 'ไทย́ดี'
+    bounds = list(uax29_word_break_iterator(text, locale='th'))
+    assert bounds == [4, 6]  # 'ไทย◌́' + 'ดี'; no boundary at offset 3
+
+
 def test_uax29_cjk_root_behavior():
     # DOCUMENTED DIVERGENCE from the reference's ICU (which applies a
     # CJ dictionary): root UAX#29 emits one word per ideograph /
