@@ -851,6 +851,32 @@ SCRIPT_CJK_TEXT = '日本語のテキストです 漢字仮名交じり文'
 SCRIPT_CYR_SUFFIX = ' привет мир'
 
 
+def _q_corpus_pipeline(spark, sf_dir):
+    # the composed training-corpus filter chain a real pipeline runs:
+    # exact-dedup keep-first -> language filter (en) -> LM-quality
+    # tail cut. Three key-joined stages, each individually gated
+    # elsewhere; this gate pins that the composition (join keys,
+    # filter interplay, null buckets) stays correct end-to-end. The
+    # raw corpus has no exact dups, so the dedup stage is structurally
+    # present but passes everything through (its non-vacuous behavior
+    # is gated by dedup_apply).
+    docs = T.load_table(spark, sf_dir, 'documents')
+    lang = textops.language_id(docs).select('doc_id', 'lang_pred')
+    buckets = textops.quality_buckets(docs, vocab_size=200) \
+        .select('doc_id', 'bucket')
+    w = Window.partitionBy('_h').orderBy('doc_id')
+    firsts = (docs.select(
+        'doc_id', 'text',
+        F.md5(textops.norm_text('text')).alias('_h'))
+        .withColumn('_rn', F.row_number().over(w))
+        .where(F.col('_rn') == 1))
+    return (firsts
+            .join(lang, 'doc_id').join(buckets, 'doc_id')
+            .where((F.col('lang_pred') == 'en')
+                   & (F.col('bucket') != 'tail'))
+            .select('doc_id', 'text'))
+
+
 def _q_script_profile(spark, sf_dir):
     # per-doc script composition + dominant script (the segmentation-
     # locale routing signal); deterministic injections cover thai/cjk
@@ -1425,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'quality_buckets': _q_quality_buckets,
         'script_profile': _q_script_profile,
         'ann_recall': _q_ann_recall,
+        'corpus_pipeline': _q_corpus_pipeline,
         'oversized_ngrams': _q_oversized_ngrams,
         'multimodal_resize': _q_multimodal_resize,
         'extract_uax29_thai': _q_extract_uax29_thai,
@@ -2181,6 +2208,58 @@ def oracle_sql() -> dict[str, str]:
                         WHEN lm_score >= q33 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM scored, cuts
+        ''',
+        'corpus_pipeline': f'''
+            WITH {_SQL_LM_SCORED},
+            cuts AS (
+                SELECT quantile_cont(lm_score, 1.0/3) AS q33,
+                       quantile_cont(lm_score, 2.0/3) AS q66
+                FROM scored
+            ),
+            buck AS (
+                SELECT doc_id,
+                       CASE WHEN lm_score IS NULL THEN 'unscored'
+                            WHEN lm_score >= q66 THEN 'head'
+                            WHEN lm_score >= q33 THEN 'middle'
+                            ELSE 'tail' END AS bucket
+                FROM scored, cuts
+            ),
+            tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            lang AS (
+                SELECT doc_id,
+                       {', '.join(
+                           f'CAST({_sql_stop_hits(lang)} AS INTEGER) '
+                           f'AS hits_{lang}'
+                           for lang in LANG_ORDER)}
+                FROM tok
+            ),
+            pred AS (
+                SELECT doc_id,
+                       CASE
+                         WHEN greatest(hits_en, hits_de, hits_fr,
+                                       hits_es) <= 0 THEN 'und'
+                         {' '.join(
+                             f"WHEN hits_{lang} = greatest(hits_en, "
+                             f"hits_de, hits_fr, hits_es) "
+                             f"THEN '{lang}'"
+                             for lang in LANG_ORDER)}
+                       END AS lang_pred
+                FROM lang
+            ),
+            firsts AS (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text,
+                           row_number() OVER (
+                               PARTITION BY md5({_NORM})
+                               ORDER BY doc_id) AS rn
+                    FROM documents)
+                WHERE rn = 1
+            )
+            SELECT f.doc_id, f.text
+            FROM firsts f
+            JOIN pred p USING (doc_id)
+            JOIN buck b USING (doc_id)
+            WHERE p.lang_pred = 'en' AND b.bucket <> 'tail'
         ''',
         'dedup_lines': f'''
             WITH d AS (
