@@ -2728,7 +2728,10 @@ def oracle_sql() -> dict[str, str]:
                         WHEN cjk_frac = greatest(latin_frac,
                              cyrillic_frac, cjk_frac, thai_frac)
                              THEN 'cjk'
-                        ELSE 'thai' END AS dominant
+                        WHEN thai_frac = greatest(latin_frac,
+                             cyrillic_frac, cjk_frac, thai_frac)
+                             THEN 'thai'
+                   END AS dominant
             FROM fr
         ''',
         'extract_lines': f'''

@@ -116,20 +116,20 @@ def ann_recall(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
     """
     exact = cosine_topk(embeddings, n_queries, k, id_col, vec_col) \
         .select('query_id', 'neighbor_id')
-    approx = ivf_topk(embeddings, n_queries, k, id_col, vec_col,
-                      nprobe=nprobe).select('query_id', 'neighbor_id')
-    base = exact.groupBy('query_id').agg(
-        F.count('*').cast('int').alias('n_exact'))
-    hits = (exact.join(approx, ['query_id', 'neighbor_id'], 'leftsemi')
+    approx = (ivf_topk(embeddings, n_queries, k, id_col, vec_col,
+                       nprobe=nprobe)
+              .select('query_id', 'neighbor_id', F.lit(1).alias('_hit')))
+    # single pass over the exact side: a left join marks matched
+    # neighbors, one groupBy yields both counts (a separate base/hits
+    # pair would recompute the brute-force scoring twice per action)
+    return (exact.join(approx, ['query_id', 'neighbor_id'], 'left')
             .groupBy('query_id')
-            .agg(F.count('*').cast('int').alias('n_hit')))
-    return (base.join(hits, 'query_id', 'left')
+            .agg(F.count('_hit').cast('int').alias('n_hit'),
+                 F.count('*').cast('int').alias('n_exact'))
             .select(
-                'query_id',
-                F.coalesce('n_hit', F.lit(0)).cast('int').alias('n_hit'),
-                'n_exact',
-                F.round(F.coalesce('n_hit', F.lit(0))
-                        / F.col('n_exact'), 6).alias('recall')))
+                'query_id', 'n_hit', 'n_exact',
+                F.round(F.col('n_hit') / F.col('n_exact'), 6)
+                 .alias('recall')))
 
 
 def ivf_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,

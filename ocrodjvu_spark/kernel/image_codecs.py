@@ -335,12 +335,17 @@ def encode_tiff_rgb(width: int, height: int, samples: bytes) -> bytes:
 
 def pnm_geometry(data: bytes):
     """Header-only (width, height, channels) of a netpbm payload — no
-    body pass (the resize decision needs geometry, not pixel sums)."""
+    body pass (the resize decision needs geometry, not pixel sums).
+    Raises ImageDecodeError for every malformed header (same
+    one-exception contract as :func:`decode_image`)."""
     if len(data) < 2 or data[0] != ord('P') or data[1] not in b'123456':
         raise ImageDecodeError('not a netpbm payload')
     kind = chr(data[1])
     toks, _ = _pnm_header_tokens(data, 3 if kind in '14' else 4)
-    width, height = int(toks[1]), int(toks[2])
+    try:
+        width, height = int(toks[1]), int(toks[2])
+    except ValueError:
+        raise ImageDecodeError('non-numeric netpbm dimensions')
     if width <= 0 or height <= 0:
         raise ImageDecodeError('bad netpbm dimensions')
     return width, height, 3 if kind in '36' else 1

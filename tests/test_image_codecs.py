@@ -221,6 +221,9 @@ class TestMalformedPayloads:
         assert IC.pnm_geometry(b'P4 9 2\n' + bytes(4)) == (9, 2, 1)
         with pytest.raises(IC.ImageDecodeError):
             IC.pnm_geometry(b'BM rubbish')
+        # non-numeric dims keep the one-exception contract too
+        with pytest.raises(IC.ImageDecodeError):
+            IC.pnm_geometry(b'P5 x 3 255\n' + bytes(16))
 
 
 class TestResize:

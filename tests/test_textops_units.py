@@ -578,6 +578,12 @@ def test_script_profile_dominant_and_fractions(spark):
     assert out[4].dominant == 'other'
     # fractions are over normalized char count (incl. spaces/digits)
     assert 0 < out[1].thai_frac < 1
+    # NULL text propagates NULL fractions and NULL dominant on both
+    # Spark and oracle sides (the when-chain has no otherwise; the SQL
+    # CASE has no ELSE) — neither side may invent a script
+    nulls = spark.createDataFrame([(0, None)], 'doc_id long, text string')
+    row = textops.script_profile(nulls).collect()[0]
+    assert row.dominant is None and row.latin_frac is None
 
 
 def test_ann_recall_bounds(spark):

@@ -222,6 +222,39 @@ def main():
         ])
 
     audit(
+        'script profile (map-only regex char-class counting)',
+        textops.script_profile(docs),
+        [
+            ('no shuffle at all', lambda p: 'Exchange' not in p),
+            ('no python UDF', lambda p: 'Python' not in p),
+        ])
+
+    audit(
+        'quality buckets (tercile thresholds broadcast, no global sort)',
+        textops.quality_buckets(docs, vocab_size=200),
+        [
+            # a global-sort ntile would show a SinglePartition range
+            # exchange over the corpus; the threshold row is the only
+            # single-partition aggregate
+            ('no window over a single range partition',
+             lambda p: 'rangepartitioning' not in p.lower()),
+            ('no cartesian product',
+             lambda p: 'CartesianProduct' not in p),
+        ])
+
+    audit(
+        'cross-document line dedup (keep-first window on line key)',
+        textops.dedup_lines(docs),
+        [
+            ('no cartesian product / broadcast nested loop',
+             lambda p: 'CartesianProduct' not in p
+             and 'BroadcastNestedLoopJoin' not in p),
+            ('no python UDF', lambda p: 'Python' not in p),
+            ('no single-partition exchange',
+             lambda p: 'SinglePartition' not in p),
+        ])
+
+    audit(
         'doc chunking (sequence-of-slices explode, map-only)',
         textops.chunk_documents(docs),
         [
