@@ -851,6 +851,36 @@ SCRIPT_CJK_TEXT = '日本語のテキストです 漢字仮名交じり文'
 SCRIPT_CYR_SUFFIX = ' привет мир'
 
 
+def _q_tool_call_stats(spark, sf_dir):
+    # agent-transcript analytics over the FULL input_hint schema
+    # (role/tool/ts, not just conv/turn/text): per-conversation turn
+    # mix, tool-call counts, distinct tools, and wall-clock span. One
+    # key shuffle with map-side partial aggregation; distinct tools via
+    # collect_set size, NOT countDistinct (which would force an Expand
+    # through the shuffle when mixed into a multi-aggregate)
+    tr = T.synthesize_transcripts(spark, sf_dir)
+    return (tr.groupBy('conv_id').agg(
+        F.count('*').cast('int').alias('n_turns'),
+        F.sum(F.when(F.col('role') == 'tool', 1).otherwise(0))
+         .cast('int').alias('n_tool_turns'),
+        F.size(F.array_distinct(F.collect_list('tool')))
+         .cast('int').alias('n_tools'),
+        (F.unix_timestamp(F.max('ts')) - F.unix_timestamp(F.min('ts')))
+         .cast('bigint').alias('span_seconds')))
+
+
+def _q_role_sequence(spark, sf_dir):
+    # stable turn ordering surfaced as data: the '>'-joined role chain
+    # per conversation (sortable struct collect, no window)
+    tr = T.synthesize_transcripts(spark, sf_dir)
+    return (tr.groupBy('conv_id').agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct('turn_idx',
+                                                     'role'))),
+                lambda s: s['role']), '>').alias('role_seq')))
+
+
 def _q_corpus_pipeline(spark, sf_dir):
     # the composed training-corpus filter chain a real pipeline runs:
     # exact-dedup keep-first -> language filter (en) -> LM-quality
@@ -1452,6 +1482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'script_profile': _q_script_profile,
         'ann_recall': _q_ann_recall,
         'corpus_pipeline': _q_corpus_pipeline,
+        'tool_call_stats': _q_tool_call_stats,
+        'role_sequence': _q_role_sequence,
         'oversized_ngrams': _q_oversized_ngrams,
         'multimodal_resize': _q_multimodal_resize,
         'extract_uax29_thai': _q_extract_uax29_thai,
@@ -2827,6 +2859,37 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 1 THEN 'assistant'
                         ELSE 'tool' END AS role
             FROM documents
+        ''',
+        'tool_call_stats': f'''
+            WITH t AS (
+                SELECT {_CONV} AS conv_id, doc_id,
+                       CASE {_TIDX} % 3 WHEN 0 THEN 'user'
+                            WHEN 1 THEN 'assistant'
+                            ELSE 'tool' END AS role
+                FROM documents
+            )
+            SELECT conv_id,
+                   CAST(count(*) AS INTEGER) AS n_turns,
+                   CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)
+                        AS INTEGER) AS n_tool_turns,
+                   CAST(count(DISTINCT CASE WHEN role = 'tool'
+                                            THEN 'search' END)
+                        AS INTEGER) AS n_tools,
+                   CAST(max(doc_id) - min(doc_id) AS BIGINT)
+                       AS span_seconds
+            FROM t GROUP BY 1
+        ''',
+        'role_sequence': f'''
+            WITH t AS (
+                SELECT {_CONV} AS conv_id, {_TIDX} AS turn_idx,
+                       CASE {_TIDX} % 3 WHEN 0 THEN 'user'
+                            WHEN 1 THEN 'assistant'
+                            ELSE 'tool' END AS role
+                FROM documents
+            )
+            SELECT conv_id,
+                   string_agg(role, '>' ORDER BY turn_idx) AS role_seq
+            FROM t GROUP BY 1
         ''',
         'streaming_extraction': f'''
             SELECT {_CONV} AS conv_id, {_TIDX} AS turn_idx,
