@@ -292,12 +292,14 @@ def _q_stateful_conversation_state(spark, sf_dir):
 
 
 def _q_multimodal_features(spark, sf_dir):
-    # binary multimodal pipeline end-to-end: real netpbm/BMP payloads ->
-    # mapInPandas decode (stdlib codecs, kernel/image_codecs.py) with
-    # exact geometry + integer pixel sums; audio/video stay stubs (no
-    # codecs in this container). checksum (md5 of raw payload bytes) is
-    # pinned by unit tests instead — DuckDB cannot rebuild the binary
-    # payload to hash it.
+    # binary multimodal pipeline end-to-end: real netpbm/BMP/TIFF image
+    # payloads AND real 8-bit-PCM WAV audio payloads -> mapInPandas
+    # decode (stdlib codecs, kernel/image_codecs.py +
+    # kernel/audio_codecs.py) with exact geometry / sample counts /
+    # integer sample sums / duration; video stays the one documented
+    # stub (no codec in this container). checksum (md5 of raw payload
+    # bytes) is pinned by unit tests instead — DuckDB cannot rebuild
+    # the binary payload to hash it.
     from ocrodjvu_spark.functions import multimodal as MM
     media = MM.synthesize_media(spark, sf_dir)
     return MM.extract_features(media).drop('checksum')
@@ -312,7 +314,7 @@ def _q_multimodal_resize(spark, sf_dir):
     resized = MM.resize_images(media, max_side=4)
     return (MM.extract_features(resized)
             .where(F.col('kind') == 'image')
-            .drop('checksum'))
+            .drop('checksum', 'sample_rate', 'duration_ms'))
 
 
 def _q_events_window_agg(spark, sf_dir):
@@ -650,21 +652,25 @@ def _q_length_quantiles(spark, sf_dir):
 
 def _q_dedup_apply(spark, sf_dir):
     # the 'apply' face of exact dedup: keep the min-doc_id representative
-    # per normalized-text hash via a window keep-first — one shuffle on
-    # the hash, no join back to the corpus. The raw corpus has no exact
-    # dups, so every 10th doc gets identical boilerplate; those 50 rows
-    # must collapse to the single doc_id=7 representative
+    # per normalized-text hash as a min AGGREGATION + equi-join back —
+    # NOT a row_number window on the hash, which would ship every
+    # duplicate of a boilerplate key through one task with no partial
+    # aggregation. groupBy(hash).agg(min(doc_id)) collapses the hot key
+    # map-side; the join back (1 row per hash on the build side) is
+    # AQE-skew-splittable. The raw corpus has no exact dups, so every
+    # 10th doc gets identical boilerplate; those 50 rows must collapse
+    # to the single doc_id=7 representative
     docs = T.load_table(spark, sf_dir, 'documents')
     text2 = (F.when(F.col('doc_id') % 10 == 7,
                     F.lit('shared boilerplate footer text'))
              .otherwise(F.col('text')))
     docs = docs.select('doc_id', 'lang', text2.alias('text'))
     h = F.md5(textops.norm_text('text'))
-    w = Window.partitionBy('content_hash').orderBy('doc_id')
-    return (docs.select('doc_id', 'lang', h.alias('content_hash'))
-            .withColumn('rn', F.row_number().over(w))
-            .where(F.col('rn') == 1)
-            .drop('rn'))
+    hashed = docs.select('doc_id', 'lang', h.alias('content_hash'))
+    firsts = (hashed.groupBy('content_hash')
+              .agg(F.min('doc_id').alias('doc_id')))
+    return (hashed.join(firsts, ['content_hash', 'doc_id'])
+            .select('doc_id', 'lang', 'content_hash'))
 
 
 def _q_quality_repetition(spark, sf_dir):
@@ -857,13 +863,15 @@ def _q_tool_call_stats(spark, sf_dir):
     # mix, tool-call counts, distinct tools, and wall-clock span. One
     # key shuffle with map-side partial aggregation; distinct tools via
     # collect_set size, NOT countDistinct (which would force an Expand
-    # through the shuffle when mixed into a multi-aggregate)
+    # through the shuffle when mixed into a multi-aggregate).
+    # collect_set dedupes INSIDE the aggregation buffer — per-group
+    # state is O(distinct tools), not O(turns) as collect_list would be
     tr = T.synthesize_transcripts(spark, sf_dir)
     return (tr.groupBy('conv_id').agg(
         F.count('*').cast('int').alias('n_turns'),
         F.sum(F.when(F.col('role') == 'tool', 1).otherwise(0))
          .cast('int').alias('n_tool_turns'),
-        F.size(F.array_distinct(F.collect_list('tool')))
+        F.size(F.collect_set('tool'))
          .cast('int').alias('n_tools'),
         (F.unix_timestamp(F.max('ts')) - F.unix_timestamp(F.min('ts')))
          .cast('bigint').alias('span_seconds')))
@@ -894,12 +902,14 @@ def _q_corpus_pipeline(spark, sf_dir):
     lang = textops.language_id(docs).select('doc_id', 'lang_pred')
     buckets = textops.quality_buckets(docs, vocab_size=200) \
         .select('doc_id', 'bucket')
-    w = Window.partitionBy('_h').orderBy('doc_id')
-    firsts = (docs.select(
+    # keep-first via min-aggregation + join-back (skew-safe: map-side
+    # partial agg collapses a boilerplate hash; no hot-key window)
+    hashed = docs.select(
         'doc_id', 'text',
         F.md5(textops.norm_text('text')).alias('_h'))
-        .withColumn('_rn', F.row_number().over(w))
-        .where(F.col('_rn') == 1))
+    minids = (hashed.groupBy('_h')
+              .agg(F.min('doc_id').alias('doc_id')))
+    firsts = hashed.join(minids, ['_h', 'doc_id'])
     return (firsts
             .join(lang, 'doc_id').join(buckets, 'doc_id')
             .where((F.col('lang_pred') == 'en')
@@ -1795,17 +1805,43 @@ _SQL_MEDIA_IMGF = f'''SELECT doc_id, w, h, ch, dec,
            END AS pixel_sum
     FROM ({_SQL_MEDIA_IMG}) i'''
 
+# audio rows are REAL 8-bit-PCM WAV (kernel/audio_codecs.py): canonical
+# 44-byte header + interleaved data + RIFF pad byte when odd, sample i
+# = (i + doc_id) % 256 — all re-derived here in closed form
+_SQL_MEDIA_WAV = '''
+            SELECT doc_id AS media_id, 'audio' AS kind,
+                   CAST(44 + n + (n % 2) AS INTEGER) AS n_bytes,
+                   CAST(NULL AS INTEGER) AS width,
+                   CAST(NULL AS INTEGER) AS height,
+                   CAST(ch AS INTEGER) AS channels,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST(list_sum(list_transform(range(0, n),
+                        i -> (i + doc_id) % 256)) AS BIGINT) AS pixel_sum,
+                   CAST(rate AS INTEGER) AS sample_rate,
+                   CAST(frames * 1000 // rate AS BIGINT) AS duration_ms,
+                   'wav' AS decoder
+            FROM (SELECT doc_id,
+                         8000 * (1 + doc_id % 4) AS rate,
+                         1 + doc_id % 2 AS ch,
+                         100 + doc_id % 50 AS frames,
+                         (100 + doc_id % 50) * (1 + doc_id % 2) AS n
+                  FROM base WHERE k3 = 1)'''
+
+# video rows stay opaque text-derived bytes (no codec in container);
+# strlen counts BYTES (DuckDB length() counts characters — would break
+# on any non-ASCII document text)
 _SQL_MEDIA_STUB = '''
-            SELECT doc_id AS media_id,
-                   CASE WHEN k3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-                   CAST(length(repeat(text, 4)) AS INTEGER) AS n_bytes,
+            SELECT doc_id AS media_id, 'video' AS kind,
+                   CAST(strlen(repeat(text, 4)) AS INTEGER) AS n_bytes,
                    CAST(NULL AS INTEGER) AS width,
                    CAST(NULL AS INTEGER) AS height,
                    CAST(NULL AS INTEGER) AS channels,
                    CAST(NULL AS BIGINT) AS n_samples,
                    CAST(NULL AS BIGINT) AS pixel_sum,
+                   CAST(NULL AS INTEGER) AS sample_rate,
+                   CAST(NULL AS BIGINT) AS duration_ms,
                    'stub' AS decoder
-            FROM base WHERE k3 <> 0'''
+            FROM base WHERE k3 = 2'''
 
 
 def _sql_dup_spans(max_df: int | None = None) -> str:
@@ -2230,8 +2266,8 @@ def oracle_sql() -> dict[str, str]:
         'quality_buckets': f'''
             WITH {_SQL_LM_SCORED},
             cuts AS (
-                SELECT quantile_cont(lm_score, 1.0/3) AS q33,
-                       quantile_cont(lm_score, 2.0/3) AS q66
+                SELECT round(quantile_cont(lm_score, 1.0/3), 6) AS q33,
+                       round(quantile_cont(lm_score, 2.0/3), 6) AS q66
                 FROM scored
             )
             SELECT doc_id, lm_score,
@@ -2244,8 +2280,8 @@ def oracle_sql() -> dict[str, str]:
         'corpus_pipeline': f'''
             WITH {_SQL_LM_SCORED},
             cuts AS (
-                SELECT quantile_cont(lm_score, 1.0/3) AS q33,
-                       quantile_cont(lm_score, 2.0/3) AS q66
+                SELECT round(quantile_cont(lm_score, 1.0/3), 6) AS q33,
+                       round(quantile_cont(lm_score, 2.0/3), 6) AS q66
                 FROM scored
             ),
             buck AS (
@@ -2929,8 +2965,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id, 'image' AS kind, n_bytes,
                    w AS width, h AS height, ch AS channels,
                    CAST(w * h * ch AS BIGINT) AS n_samples,
-                   pixel_sum, dec AS decoder
+                   pixel_sum,
+                   CAST(NULL AS INTEGER) AS sample_rate,
+                   CAST(NULL AS BIGINT) AS duration_ms,
+                   dec AS decoder
             FROM imgf
+            UNION ALL {_SQL_MEDIA_WAV}
             UNION ALL {_SQL_MEDIA_STUB}
         ''',
         'multimodal_resize': f'''

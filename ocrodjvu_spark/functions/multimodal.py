@@ -10,10 +10,13 @@ Image payloads are decoded for real: the stdlib codecs in
 the reference writes for its OCR engines — raw PBM/PPM and uncompressed
 BMP (``/root/reference/lib/image_io.py:53-133``) plus the other netpbm
 variants — and the feature stage reports decoded geometry and exact
-integer pixel sums. Audio/video codecs are not available in this
-container, so those kinds fall back to a clearly-marked deterministic
-stub (byte-level features only); swap ``_stub_features`` for a real
-decoder (torchaudio / pyav) in production and nothing else changes.
+integer pixel sums. Audio payloads are decoded for real too, via the
+stdlib RIFF/WAVE reader in ``ocrodjvu_spark.kernel.audio_codecs``
+(sample rate, channels, exact sample counts/sums, duration). Video
+codecs are not available in this container, so that kind falls back to
+a clearly-marked deterministic stub (byte-level features only); swap
+``_stub_features`` for a real decoder (pyav) in production and nothing
+else changes.
 
 Scale notes: payloads dominate row size, so batches are bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` and stages repartition
@@ -33,6 +36,7 @@ from pyspark.sql.types import (
     BinaryType, IntegerType, LongType, StringType, StructField, StructType,
 )
 
+from ocrodjvu_spark.kernel import audio_codecs as AC
 from ocrodjvu_spark.kernel import image_codecs as IC
 
 MEDIA_SCHEMA = StructType([
@@ -53,6 +57,8 @@ FEATURE_SCHEMA = StructType([
     StructField('channels', IntegerType()),
     StructField('n_samples', LongType()),
     StructField('pixel_sum', LongType()),
+    StructField('sample_rate', IntegerType()),  # audio-only
+    StructField('duration_ms', LongType()),     # audio-only
     StructField('checksum', StringType()),
     StructField('decoder', StringType()),
 ])
@@ -65,6 +71,20 @@ FRAME_SCHEMA = StructType([
 
 # deterministic synthetic-image geometry, shared with the SQL oracle
 _IMG_FORMATS = ('ppm', 'pgm', 'bmp', 'pbm', 'tiff')
+
+
+def _audio_params(doc_id: int) -> tuple[int, int, int]:
+    """(sample_rate, channels, n_frames) for audio media_id ``doc_id``
+    — closed forms the SQL oracle re-derives."""
+    return 8000 * (1 + doc_id % 4), 1 + doc_id % 2, 100 + doc_id % 50
+
+
+def _make_audio(doc_id: int) -> bytes:
+    """Deterministic real WAV payload: 8-bit PCM, sample ``i`` of the
+    interleaved data is ``(i + doc_id) % 256``."""
+    rate, ch, frames = _audio_params(doc_id)
+    samples = bytes((i + doc_id) % 256 for i in range(frames * ch))
+    return AC.encode_wav_pcm8(rate, ch, samples)
 
 
 def _image_dims(doc_id: int) -> tuple[int, int]:
@@ -100,9 +120,10 @@ def _make_image(doc_id: int) -> bytes:
 def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic media payloads derived from documents.
 
-    ``doc_id % 3 == 0`` rows carry real image bytes (netpbm / BMP);
-    audio/video rows carry opaque text-derived bytes (their decoders
-    are stubs in this container, so only byte-level features apply).
+    ``doc_id % 3 == 0`` rows carry real image bytes (netpbm / BMP),
+    ``doc_id % 3 == 1`` rows real 8-bit-PCM WAV bytes; video rows carry
+    opaque text-derived bytes (their decoder is a stub in this
+    container, so only byte-level features apply).
     """
     docs = spark.read.parquet(f'{sf_dir}/documents.parquet') \
         .select('doc_id', 'text')
@@ -119,9 +140,13 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  'payload': payload, 'width': w,
                                  'height': h,
                                  'codec': _IMG_FORMATS[(doc_id // 3) % 5]})
+                elif doc_id % 3 == 1:
+                    rows.append({'media_id': doc_id, 'kind': 'audio',
+                                 'payload': _make_audio(doc_id),
+                                 'width': None, 'height': None,
+                                 'codec': 'wav'})
                 else:
-                    kind = 'audio' if doc_id % 3 == 1 else 'video'
-                    rows.append({'media_id': doc_id, 'kind': kind,
+                    rows.append({'media_id': doc_id, 'kind': 'video',
                                  'payload': (text * 4).encode('utf-8'),
                                  'width': None, 'height': None,
                                  'codec': 'raw'})
@@ -131,18 +156,26 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
+_NULL_FEATURES = {'width': None, 'height': None, 'channels': None,
+                  'n_samples': None, 'pixel_sum': None,
+                  'sample_rate': None, 'duration_ms': None,
+                  'decoder': 'stub'}
+
+
 def _stub_features(payload: bytes) -> dict:
     """Byte-level STUB for kinds with no decoder in this container."""
-    return {'width': None, 'height': None, 'channels': None,
-            'n_samples': None, 'pixel_sum': None, 'decoder': 'stub'}
+    return dict(_NULL_FEATURES)
 
 
 def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
-    Image rows are decoded with the stdlib netpbm/BMP readers (exact
-    geometry + integer pixel sums); undecodable payloads and non-image
-    kinds get NULL decode columns with ``decoder = 'stub'``.
+    Image rows are decoded with the stdlib netpbm/BMP/TIFF readers
+    (exact geometry + integer pixel sums); audio rows with the stdlib
+    WAV reader (rate / channels / sample count+sum / duration, the
+    sample sum landing in ``pixel_sum`` as the generic exact-integer
+    content digest); undecodable payloads and video get NULL decode
+    columns with ``decoder = 'stub'``.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -153,8 +186,20 @@ def extract_features(media: DataFrame) -> DataFrame:
                 data = bytes(payload) if payload is not None else b''
                 if kind == 'image':
                     try:
-                        feats = IC.decode_image(data)
+                        feats = {**_NULL_FEATURES, **IC.decode_image(data)}
                     except IC.ImageDecodeError:
+                        feats = _stub_features(data)
+                elif kind == 'audio':
+                    try:
+                        wav = AC.decode_wav(data)
+                        feats = {**_NULL_FEATURES,
+                                 'channels': wav['channels'],
+                                 'n_samples': wav['n_samples'],
+                                 'pixel_sum': wav['sample_sum'],
+                                 'sample_rate': wav['sample_rate'],
+                                 'duration_ms': wav['duration_ms'],
+                                 'decoder': 'wav'}
+                    except AC.AudioDecodeError:
                         feats = _stub_features(data)
                 else:
                     feats = _stub_features(data)

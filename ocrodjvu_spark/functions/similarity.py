@@ -108,8 +108,11 @@ def ann_recall(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
 
     Scale shape: the exact side is the documented small-Q baseline
     (query-side broadcast), the IVF side is the bucketed probe; the
-    comparison itself is a left-semi join on (query, neighbor) followed
-    by a k-sized aggregate per query — negligible next to either input.
+    comparison itself is a left OUTER join on (query, neighbor) whose
+    non-null match marker is counted, followed by a k-sized aggregate
+    per query — negligible next to either input. The approx side is
+    made distinct on (query, neighbor) so a duplicate index hit can
+    never double-count ``n_hit`` past ``n_exact``.
 
     Output: (query_id, n_hit, n_exact, recall) with recall rounded to
     6 decimals.
@@ -118,8 +121,10 @@ def ann_recall(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
         .select('query_id', 'neighbor_id')
     approx = (ivf_topk(embeddings, n_queries, k, id_col, vec_col,
                        nprobe=nprobe)
-              .select('query_id', 'neighbor_id', F.lit(1).alias('_hit')))
-    # single pass over the exact side: a left join marks matched
+              .select('query_id', 'neighbor_id')
+              .distinct()
+              .withColumn('_hit', F.lit(1)))
+    # single pass over the exact side: a left outer join marks matched
     # neighbors, one groupBy yields both counts (a separate base/hits
     # pair would recompute the brute-force scoring twice per action)
     return (exact.join(approx, ['query_id', 'neighbor_id'], 'left')

@@ -1063,11 +1063,17 @@ def dedup_lines(docs: DataFrame, id_col='doc_id', text_col='text',
     reassembled from its surviving lines. Short lines are exempt —
     deduping "yes." corpus-wide would shred the documents.
 
-    Scale shape: one line explode, one window keep-first on the line
-    content key (high cardinality — boilerplate lines are exactly the
-    skewed keys, but the window computes only a row_number per key, no
-    pair join), one groupBy per document to reassemble. Same shuffle
-    count as exact dedup.
+    Scale shape: one line explode, then keep-first as a min-struct
+    AGGREGATION on the line content key — ``groupBy(line).agg(min(
+    struct(id, idx)))`` — NOT a ``row_number`` window. Boilerplate
+    lines are exactly the skewed keys, and a window partitioned on the
+    line would ship every duplicate of a 10^8-occurrence footer line
+    through one task with no partial aggregation; the min aggregate
+    collapses the hot key map-side to one row per partition, and the
+    join back to the exploded lines is a plain equi-join AQE can
+    skew-split. Short lines are exempt up front (never enter the
+    build side), keeping "yes." off the hot path entirely. One
+    groupBy per document reassembles.
 
     Output: (id, clean_text, n_lines, n_removed).
     """
@@ -1075,11 +1081,18 @@ def dedup_lines(docs: DataFrame, id_col='doc_id', text_col='text',
         F.col(id_col),
         F.posexplode(F.split(text_col, r'\r?\n'))
          .alias('line_idx', 'line'))
-    w = Window.partitionBy('line').orderBy(id_col, 'line_idx')
-    marked = lines.select(
-        id_col, 'line_idx', 'line',
-        F.when(F.length('line') < min_chars, F.lit(True))
-         .otherwise(F.row_number().over(w) == 1).alias('_keep'))
+    firsts = (lines
+              .where(F.length('line') >= min_chars)
+              .groupBy('line')
+              .agg(F.min(F.struct(F.col(id_col), F.col('line_idx')))
+                    .alias('_first')))
+    marked = (lines
+              .join(firsts, 'line', 'left')
+              .select(
+                  id_col, 'line_idx', 'line',
+                  F.when(F.length('line') < min_chars, F.lit(True))
+                   .otherwise(F.struct(F.col(id_col), F.col('line_idx'))
+                              == F.col('_first')).alias('_keep')))
     return (marked.groupBy(id_col)
             .agg(
                 F.array_join(
@@ -1153,9 +1166,13 @@ def quality_buckets(docs: DataFrame, id_col='doc_id', text_col='text',
     like ``length_quantiles``).
     """
     scored = lm_score(docs, id_col, text_col, vocab_size)
+    # cuts rounded to 6dp (same convention as lm_score itself): Spark
+    # F.percentile and DuckDB quantile_cont interpolate in different
+    # fp orders, so un-rounded cuts could bucket a doc sitting exactly
+    # at a threshold differently between engine and oracle
     cuts = scored.agg(
-        F.percentile('lm_score', F.lit(1.0 / 3)).alias('q33'),
-        F.percentile('lm_score', F.lit(2.0 / 3)).alias('q66'))
+        F.round(F.percentile('lm_score', F.lit(1.0 / 3)), 6).alias('q33'),
+        F.round(F.percentile('lm_score', F.lit(2.0 / 3)), 6).alias('q66'))
     return (scored.crossJoin(F.broadcast(cuts))
             .select(
                 id_col, 'lm_score',

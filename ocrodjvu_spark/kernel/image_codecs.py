@@ -24,6 +24,7 @@ pattern without a decoder of its own.
 
 from __future__ import annotations
 
+import re
 import struct
 
 
@@ -79,7 +80,11 @@ def decode_pnm(data: bytes) -> dict:
     n_samples = width * height * channels
 
     if kind in '123':                      # ASCII ("plain") variants
-        body = data[off - 1:]
+        # '#'-to-EOL comments are legal inside plain raster bodies too
+        # (netpbm spec) — strip them before tokenizing, else P1 would
+        # count 0/1 digits inside a comment as pixels and P2/P3 would
+        # choke on the comment token
+        body = re.sub(rb'#[^\n\r]*', b'', data[off - 1:])
         if kind == '1':
             # P1 bits may run together with no separators
             vals = [c - ord('0') for c in body

@@ -53,6 +53,17 @@ class TestPNM:
         p3 = b'P3 2 1 255  1 2 3 4 5 6\n'
         assert IC.decode_pnm(p3)['pixel_sum'] == 21
 
+    def test_comments_inside_plain_raster_body(self):
+        # '#'-to-EOL comments are legal INSIDE the raster of plain
+        # variants too: digits in a comment must not count as pixels
+        p1 = b'P1 4 2\n01 # 1111 stray bits\n10\n# trailing 01\n1001\n'
+        out = IC.decode_pnm(p1)
+        assert out['n_samples'] == 8 and out['pixel_sum'] == 4
+        p2 = b'P2 3 1 255\n# row below\n5 # five\n10 15\n'
+        assert IC.decode_pnm(p2)['pixel_sum'] == 30
+        p3 = b'P3 1 1 255\n# rgb\n7 8 9 # done\n'
+        assert IC.decode_pnm(p3)['pixel_sum'] == 24
+
     def test_16bit_pgm(self):
         body = struct.pack('>3H', 1000, 2000, 65535)
         out = IC.decode_pnm(b'P5 3 1 65535\n' + body)

@@ -28,9 +28,24 @@ class TestMultimodal:
                 (want['channels'], want['n_samples'], want['pixel_sum'])
         # every synthesized format appears (ppm/pgm/bmp/pbm/tiff rotation)
         assert {r.decoder for r in imgs} == {'pnm', 'bmp', 'tiff'}
-        # audio/video remain byte-level stubs with NULL decode columns
+        # audio rows are REAL WAV decodes: rate/channels/counts/sums
+        # match the generator's closed forms
+        audios = [r for r in others if r.kind == 'audio']
+        assert audios
+        for r in audios:
+            rate, ch, frames = multimodal._audio_params(r.media_id)
+            n = frames * ch
+            assert r.decoder == 'wav'
+            assert (r.sample_rate, r.channels, r.n_samples) == \
+                (rate, ch, n)
+            assert r.pixel_sum == sum((i + r.media_id) % 256
+                                      for i in range(n))
+            assert r.duration_ms == frames * 1000 // rate
+            assert r.n_bytes == 44 + n + (n % 2)
+        # video remains a byte-level stub with NULL decode columns
         for r in others:
-            assert r.decoder == 'stub' and r.pixel_sum is None
+            if r.kind == 'video':
+                assert r.decoder == 'stub' and r.pixel_sum is None
             assert r.n_bytes > 0 and r.checksum
 
     def test_resize_downscales_pnm_images(self, spark):

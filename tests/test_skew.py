@@ -11,6 +11,7 @@ import datetime
 from pyspark.sql import functions as F
 
 from ocrodjvu_spark import pipeline
+from ocrodjvu_spark.functions import textops
 
 TRANSCRIPTS_DDL = ('conv_id string, turn_idx int, role string, '
                    'text string, tool string, ts timestamp')
@@ -65,3 +66,30 @@ def test_salted_extraction_results_unchanged(spark):
     mega = next(r for r in out if r.conv_id == 'mega')
     assert mega.n_turns == 50
     assert mega.conversation_text == '\n'.join(['hi'] * 50)
+
+
+def test_dedup_lines_boilerplate_skew_shape(spark):
+    # the 100-TB straggler scenario: ONE footer line in EVERY document.
+    # Correctness: the footer survives only at its first occurrence
+    # (min doc_id, min line_idx); every other doc loses it. Shape: the
+    # keep-first decision must be a min-struct AGGREGATION (map-side
+    # partial agg collapses the hot line key) — not a row_number window
+    # that funnels all duplicates through one task.
+    footer = 'this boilerplate footer appears in every single document'
+    docs = spark.range(500).select(
+        F.col('id').alias('doc_id'),
+        F.concat(F.lit('unique line for doc '), F.col('id'),
+                 F.lit('\n'), F.lit(footer)).alias('text'))
+    out = textops.dedup_lines(docs, min_chars=10)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 500
+    assert rows[0].clean_text == 'unique line for doc 0\n' + footer
+    assert rows[0].n_removed == 0
+    for d in (1, 250, 499):
+        assert rows[d].clean_text == f'unique line for doc {d}'
+        assert rows[d].n_removed == 1
+    # plan shape: partial_min on the line key before the shuffle, and
+    # no Window operator anywhere in the dedup
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert 'partial_min' in plan
+    assert 'Window' not in plan

@@ -243,7 +243,7 @@ def main():
         ])
 
     audit(
-        'cross-document line dedup (keep-first window on line key)',
+        'cross-document line dedup (keep-first min-struct aggregation)',
         textops.dedup_lines(docs),
         [
             ('no cartesian product / broadcast nested loop',
@@ -252,6 +252,12 @@ def main():
             ('no python UDF', lambda p: 'Python' not in p),
             ('no single-partition exchange',
              lambda p: 'SinglePartition' not in p),
+            # skew guard: keep-first must be a partial (map-side) min
+            # aggregation on the line key, never a hot-key row_number
+            # window that ships every duplicate through one task
+            ('partial aggregation before the line-key shuffle',
+             lambda p: 'partial_min' in p),
+            ('no window operator', lambda p: 'Window' not in p),
         ])
 
     audit(
