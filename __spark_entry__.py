@@ -427,14 +427,18 @@ UAX29_COLON_SUFFIX = ' s:t c:a'
 UAX29_COLON_SEGMENTED = ' s : t c : a'
 
 # W2 dictionary segmentation (Thai locale hook): space-less Thai runs
-# segment by greedy longest-match against the embedded lexicon
-# (kernel/segment.py:_THAI_LEXICON); the 'ฒฒ' pair matches no entry and
-# must merge into ONE unmatched chunk, pinning the ICU-shaped
-# unknown-run rule. The reference gets this from ICU's Thai dictionary
-# (lib/unicode_support.py:40-52).
-UAX29_THAI_SUFFIX = ' สวัสดีครับ ภาษาไทยดีมาก ผมรักฒฒประเทศไทย'
+# segment by a least-cost (Viterbi) path over the embedded lexicon
+# (kernel/segment.py:_THAI_LEXICON) — ICU's actual algorithm shape
+# (lib/unicode_support.py:40-52 delegates to ICU's dictionary break
+# engine). The 'ฒฒ' pair matches no entry and must merge into ONE
+# unmatched chunk (ICU-shaped unknown-run rule), and 'มากิน' ("come
+# eat") pins least-cost vs greedy: greedy longest-match would take
+# มาก ("much") and strand the unmatchable tail ิน; the least-cost path
+# picks มา|กิน (two dictionary words beat one word + two penalized
+# unknown characters).
+UAX29_THAI_SUFFIX = ' สวัสดีครับ ภาษาไทยดีมาก ผมรักฒฒประเทศไทย มากิน'
 UAX29_THAI_SEGMENTED = (' สวัสดี ครับ ภาษา ไทย ดี มาก'
-                        ' ผม รัก ฒฒ ประเทศ ไทย')
+                        ' ผม รัก ฒฒ ประเทศ ไทย มา กิน')
 
 # W2 CJK divergence pin: the reference's ICU applies CJ dictionary
 # segmentation to Han/Hiragana; this engine intentionally keeps the
@@ -443,6 +447,14 @@ UAX29_THAI_SEGMENTED = (' สวัสดี ครับ ภาษา ไทย
 # so it can never drift silently
 UAX29_CJK_SUFFIX = ' 漢字カタカナかな 日本語テスト'
 UAX29_CJK_SEGMENTED = ' 漢 字 カタカナ か な 日 本 語 テスト'
+
+# W2 CJK dictionary OPT-IN ('zh_dict' locale variant): Han runs engage
+# the same least-cost engine over the embedded CJK lexicon — 我们 / 中国
+# / 学习 / 汉语 / 日本語 are dictionary words, the lone 在 merges into a
+# one-char unknown chunk, and Katakana テスト still joins via root WB13.
+# The DEFAULT CJK path stays root rules (extract_uax29_cjk, unchanged).
+UAX29_CJK_DICT_SUFFIX = ' 我们在中国学习汉语 日本語テスト'
+UAX29_CJK_DICT_SEGMENTED = ' 我们 在 中国 学习 汉语 日本語 テスト'
 
 
 def _q_extract_uax29_segmentation(spark, sf_dir):
@@ -510,6 +522,26 @@ def _q_extract_uax29_cjk(spark, sf_dir):
             T.tokens_col(F.concat('text', F.lit(UAX29_CJK_SUFFIX))))
          .alias('text'))
     udf = make_extract_udf(uax29=True, emit_spans=False, emit_sexpr=False)
+    res = suffixed.select('doc_id', udf(F.col('text')).alias('_r'))
+    return res.select(
+        'doc_id',
+        F.element_at('_r.pages', 1)['extracted_text']
+         .alias('extracted_text'))
+
+
+def _q_extract_uax29_cjk_dict(spark, sf_dir):
+    # W2 CJK dictionary opt-in through the full pipeline (uax29=
+    # 'zh_dict' reaches the least-cost engine over the CJK lexicon);
+    # the default path stays pinned by extract_uax29_cjk
+    from ocrodjvu_spark.functions.extract import make_extract_udf
+    docs = T.load_table(spark, sf_dir, 'documents').select('doc_id', 'text')
+    suffixed = docs.select(
+        'doc_id',
+        T.hocr_markup_col(
+            T.tokens_col(F.concat('text', F.lit(UAX29_CJK_DICT_SUFFIX))))
+         .alias('text'))
+    udf = make_extract_udf(uax29='zh_dict', emit_spans=False,
+                           emit_sexpr=False)
     res = suffixed.select('doc_id', udf(F.col('text')).alias('_r'))
     return res.select(
         'doc_id',
@@ -937,6 +969,30 @@ def _q_ann_recall(spark, sf_dir):
     # neighbors unfound so recall is non-trivially < 1 for some queries
     emb = T.load_table(spark, sf_dir, 'embeddings')
     return similarity.ann_recall(emb, nprobe=1)
+
+
+def _q_ann_recall_kmeans(spark, sf_dir):
+    # production-IVF composition: TRAIN the coarse quantizer (Lloyd's
+    # k-means, k=4 lists) instead of using the stored label column,
+    # then evaluate the probe at nprobe ∈ {1, 2, n_lists}. nprobe =
+    # n_lists probes every inverted list, so the candidate set is the
+    # whole corpus and recall is provably 1.0 (unit-tested too);
+    # smaller nprobe trades recall for ~nprobe/n_lists of the scan.
+    # kmeans_labels is invoked ONCE (its driver loop collects only
+    # k-row centroid tables); the three recall evaluations share the
+    # resulting assignment.
+    emb = T.load_table(spark, sf_dir, 'embeddings')
+    labels = similarity.kmeans_labels(emb, k=4, iterations=2)
+    relabeled = (emb.select('vec_id', 'embedding')
+                 .join(labels, 'vec_id')
+                 .select('vec_id', 'embedding',
+                         F.col('cluster').alias('label')))
+    frames = [
+        similarity.ann_recall(relabeled, nprobe=np_)
+        .withColumn('nprobe', F.lit(np_).cast('int'))
+        for np_ in (1, 2, 4)
+    ]
+    return frames[0].unionByName(frames[1]).unionByName(frames[2])
 
 
 def _q_dedup_substring_apply(spark, sf_dir):
@@ -1498,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'multimodal_resize': _q_multimodal_resize,
         'extract_uax29_thai': _q_extract_uax29_thai,
         'extract_uax29_cjk': _q_extract_uax29_cjk,
+        'extract_uax29_cjk_dict': _q_extract_uax29_cjk_dict,
         'checkpoint_resume': _q_checkpoint_resume,
         'checkpoint_metrics': _q_checkpoint_metrics,
         # -- block 3: previously verified, oldest verdict first ---------
@@ -1539,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_fingerprint': _q_doc_fingerprint,
         'ann_cosine_topk': _q_ann_cosine_topk,
         'embedding_kmeans': _q_embedding_kmeans,
+        'ann_recall_kmeans': _q_ann_recall_kmeans,
         'dedup_semantic': _q_dedup_semantic,
         'embedding_quantize': _q_embedding_quantize,
         'semantic_clusters': _q_semantic_clusters,
@@ -1918,13 +1976,24 @@ def _sql_script_fracs() -> str:
     return ',\n                       '.join(parts)
 
 
-def _sql_ann_ivf(nprobe: int) -> str:
-    """IVF oracle; ``nprobe`` mirrors similarity.ivf_topk's probe count."""
+def _sql_ann_ivf(nprobe: int, labels_sql: str | None = None) -> str:
+    """IVF oracle; ``nprobe`` mirrors similarity.ivf_topk's probe count.
+    ``labels_sql`` (a query yielding (vec_id, cluster)) swaps the
+    stored ``label`` column for a LEARNED coarse quantizer — the
+    ann_recall_kmeans composition."""
+    if labels_sql is None:
+        corpus_sql = '''SELECT e2.vec_id, e2.label AS list_id, n.v, n.nrm
+                FROM embeddings e2 JOIN n ON n.vec_id = e2.vec_id'''
+    else:
+        corpus_sql = f'''SELECT e2.vec_id, km.cluster AS list_id,
+                       n.v, n.nrm
+                FROM embeddings e2
+                JOIN ({labels_sql}) km ON km.vec_id = e2.vec_id
+                JOIN n ON n.vec_id = e2.vec_id'''
     return f'''
             WITH {_SQL_EMB},
             corpus AS (
-                SELECT e2.vec_id, e2.label AS list_id, n.v, n.nrm
-                FROM embeddings e2 JOIN n ON n.vec_id = e2.vec_id
+                {corpus_sql}
             ),
             dims AS (
                 SELECT list_id, t.i,
@@ -1967,6 +2036,34 @@ def _sql_ann_ivf(nprobe: int) -> str:
             )
             {_SQL_TOPK_TAIL}
         '''
+
+
+def _sql_ann_recall_kmeans() -> str:
+    """Recall sweep of the learned-quantizer IVF (mirrors
+    _q_ann_recall_kmeans): the unrolled-k-means fragment supplies the
+    list assignment, one recall block per nprobe in {1, 2, n_lists}."""
+    labels_sql = _sql_kmeans(k=4, iterations=2)
+
+    def block(np_: int) -> str:
+        return f'''
+            SELECT CAST({np_} AS INTEGER) AS nprobe, b.query_id,
+                   coalesce(h.n_hit, 0) AS n_hit, b.n_exact,
+                   round(coalesce(h.n_hit, 0) * 1.0 / b.n_exact, 6)
+                       AS recall
+            FROM (
+                SELECT query_id, CAST(count(*) AS INTEGER) AS n_exact
+                FROM exact GROUP BY 1
+            ) b LEFT JOIN (
+                SELECT e.query_id, CAST(count(*) AS INTEGER) AS n_hit
+                FROM exact e
+                JOIN ({_sql_ann_ivf(np_, labels_sql)}) a
+                  ON a.query_id = e.query_id
+                 AND a.neighbor_id = e.neighbor_id
+                GROUP BY 1
+            ) h USING (query_id)'''
+
+    return (f'WITH exact AS ({_SQL_ANN_EXACT})'
+            + ' UNION ALL '.join(block(np_) for np_ in (1, 2, 4)))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2764,6 +2861,7 @@ def oracle_sql() -> dict[str, str]:
                        AS recall
             FROM base b LEFT JOIN hits h USING (query_id)
         ''',
+        'ann_recall_kmeans': _sql_ann_recall_kmeans(),
         'script_profile': f'''
             WITH d AS (
                 SELECT doc_id,
@@ -3339,6 +3437,12 @@ def oracle_sql() -> dict[str, str]:
         'extract_uax29_cjk': f'''
             SELECT doc_id,
                    {_NORM} || '{UAX29_CJK_SEGMENTED}' AS extracted_text
+            FROM documents
+        ''',
+        'extract_uax29_cjk_dict': f'''
+            SELECT doc_id,
+                   {_NORM} || '{UAX29_CJK_DICT_SEGMENTED}'
+                       AS extracted_text
             FROM documents
         ''',
         'ann_ivf_topk': _sql_ann_ivf(1),

@@ -170,17 +170,23 @@ def _locale_tailoring(locale):
 # The reference delegates word breaking to ICU
 # (lib/unicode_support.py:40-52), which switches to dictionary-backed
 # segmentation for scripts written without inter-word spaces (Thai, Lao,
-# Khmer, Myanmar, CJK). This embedded frequency lexicon gives the Thai
-# locale greedy longest-match segmentation with the same *shape* as
-# ICU's: dictionary words become words, runs of characters matching no
-# dictionary entry merge into a single chunk. It is an approximation —
-# ICU ships a ~40k-entry dictionary with least-cost path search; this
-# is a compact common-word lexicon with greedy matching — so Thai
-# segmentation is *reasonable* rather than byte-for-ICU. CJK locales
-# intentionally keep the UAX #29 root behavior (one word per ideograph,
-# Katakana runs joined by WB13); that divergence from ICU's CJ
-# dictionary is documented in SURVEY §2 and pinned by the
-# extract_uax29_cjk gate.
+# Khmer, Myanmar, CJK). This embedded lexicon gives the Thai locale
+# least-cost-path segmentation with the same *shape* as ICU's
+# dictionary engines: the Viterbi pass below minimizes total path cost
+# (one unit per dictionary word, a heavy per-character penalty for
+# characters matching no entry, adjacent unknown characters merging
+# into a single chunk), so an ambiguous compound resolves to the
+# fewest-words reading rather than the greedy longest-first one —
+# e.g. 'มากิน' ("come eat") segments as มา|กิน (2 words), where greedy
+# longest-match would take มาก ("much") and strand the unmatchable
+# tail ิน as an unknown chunk. It remains an approximation — ICU ships
+# ~40k-entry frequency dictionaries; this is a compact common-word
+# lexicon — so Thai segmentation is *reasonable* rather than
+# byte-for-ICU. CJK locales keep the UAX #29 root behavior by DEFAULT
+# (one word per ideograph, Katakana runs joined by WB13; pinned by the
+# extract_uax29_cjk gate and documented in SURVEY §2); an explicit
+# 'zh_dict' / 'ja_dict' locale opts Han runs into the same least-cost
+# engine over the embedded CJK lexicon (extract_uax29_cjk_dict gate).
 
 _THAI_LEXICON = frozenset((
     # pronouns / people
@@ -207,51 +213,137 @@ _THAI_LEXICON = frozenset((
 ))
 _THAI_MAX_LEN = max(len(w) for w in _THAI_LEXICON)
 
-_DICT_LOCALES = {'th': (_THAI_LEXICON, _THAI_MAX_LEN)}
+
+# common 2–3-character CJK words (simplified + a few traditional /
+# Japanese kanji forms) for the OPT-IN 'zh_dict' / 'ja_dict' locales —
+# the default CJK path stays UAX #29 root rules
+_CJK_LEXICON = frozenset((
+    # pronouns / people
+    '我们', '你们', '他们', '她们', '大家', '自己', '先生', '小姐',
+    '朋友', '孩子', '女人', '男人', '学生', '老师', '医生', '父母',
+    '人民', '人们',
+    # places / institutions
+    '中国', '日本', '美国', '英国', '法国', '德国', '北京', '上海',
+    '国家', '世界', '城市', '农村', '地方', '学校', '大学', '中学',
+    '小学', '医院', '公司', '工厂', '商店', '饭店', '银行', '机场',
+    '车站', '公园', '图书馆', '办公室',
+    # time
+    '时间', '今天', '明天', '昨天', '现在', '以后', '以前', '上午',
+    '下午', '晚上', '早上', '星期', '小时', '分钟', '时候', '今年',
+    '明年', '去年',
+    # common nouns
+    '问题', '社会', '经济', '政府', '市场', '技术', '发展', '文化',
+    '历史', '教育', '科学', '电脑', '电话', '手机', '网络', '信息',
+    '新闻', '音乐', '电影', '天气', '东西', '事情', '工作', '生活',
+    '汉语', '英语', '日语', '语言', '文字', '名字', '身体', '健康',
+    '运动', '足球', '篮球', '照片', '颜色', '火车', '汽车', '飞机',
+    '词典', '课本', '作业', '考试', '成绩', '水果', '苹果', '米饭',
+    '面条', '鸡蛋', '牛奶', '面包', '咖啡', '蔬菜', '计算机',
+    '互联网', '出租车', '服务员', '运动员', '科学家', '艺术家',
+    # verbs / verb phrases
+    '学习', '工作', '生活', '认识', '知道', '认为', '觉得', '希望',
+    '喜欢', '开始', '结束', '应该', '可以', '需要', '帮助', '介绍',
+    '参加', '离开', '回来', '出去', '起来', '睡觉', '吃饭', '喝水',
+    '说话', '看书', '写字', '唱歌', '跳舞', '游泳', '跑步', '旅游',
+    '买东西',
+    # function / adverbial
+    '什么', '怎么', '为什么', '这个', '那个', '这里', '那里', '因为',
+    '所以', '但是', '如果', '虽然', '而且', '或者', '还是', '已经',
+    '非常', '真的', '一起', '一样', '很多', '一点', '有点', '没有',
+    '不是', '就是', '都是', '不过',
+    # greetings
+    '你好', '谢谢', '再见', '对不起', '没关系',
+    # traditional / Japanese kanji forms
+    '日本語', '中国語', '英語', '電話', '電車', '時間', '仕事',
+    '会社', '學校', '學生', '老師', '銀行', '圖書館', '經濟',
+    '問題', '國家', '歷史', '發展',
+))
+_CJK_MAX_LEN = max(len(w) for w in _CJK_LEXICON)
 
 
 def _is_thai(ch: str) -> bool:
     return 0x0E00 <= ord(ch) <= 0x0E7F
 
 
+_HAN_RANGES = (
+    (0x4E00, 0x9FFF),    # CJK Unified Ideographs
+    (0x3400, 0x4DBF),    # CJK ext A
+    (0xF900, 0xFAFF),    # CJK Compatibility Ideographs
+    (0x20000, 0x2FA1F),  # CJK ext B..F + compat supplement
+)
+
+
+def _is_han(ch: str) -> bool:
+    return _in_ranges(ord(ch), _HAN_RANGES)
+
+
+# locale key -> (script predicate, lexicon, max word length); 'th'
+# engages automatically (as ICU does), the CJK entries only via the
+# explicit '_dict' locale variant resolved in uax29_word_break_iterator
+_DICT_LOCALES = {
+    'th': (_is_thai, _THAI_LEXICON, _THAI_MAX_LEN),
+    'zh@dict': (_is_han, _CJK_LEXICON, _CJK_MAX_LEN),
+    'ja@dict': (_is_han, _CJK_LEXICON, _CJK_MAX_LEN),
+}
+
+# least-cost path weights: ICU's dictionary engines run a Viterbi-style
+# best-path search; with an unweighted lexicon the objective reduces to
+# "fewest words, unknown characters heavily penalized"
+_WORD_COST = 1
+_UNKNOWN_CHAR_COST = 5
+
+
 def _dict_run_boundaries(run: str, words, max_len) -> list:
-    """Greedy longest-match boundaries (offsets into ``run``, end
-    inclusive). Characters matching no entry merge into one chunk that
-    extends to the next position where a dictionary word starts."""
-    bounds = []
-    i, n = 0, len(run)
-    while i < n:
-        match = 0
+    """Least-cost (Viterbi) segmentation boundaries (offsets into
+    ``run``, end inclusive).
+
+    Backward DP: ``best[i]`` is the cheapest cost to segment
+    ``run[i:]``; each dictionary word costs ``_WORD_COST``, each
+    character matching no entry ``_UNKNOWN_CHAR_COST``. Ties prefer
+    the longer dictionary word (lengths iterated descending, first
+    strict improvement wins), and any dictionary word beats an
+    equal-cost unknown step. Adjacent unknown characters merge into a
+    single chunk when the boundaries are emitted — the ICU-shaped
+    unknown-run rule the greedy predecessor also had.
+    """
+    n = len(run)
+    best = [0] * (n + 1)
+    step = [1] * (n + 1)       # chosen token length at i; 0 = unknown
+    for i in range(n - 1, -1, -1):
+        cost = _UNKNOWN_CHAR_COST + best[i + 1]
+        take = 0
         for length in range(min(max_len, n - i), 0, -1):
             if run[i:i + length] in words:
-                match = length
-                break
-        if match:
-            i += match
-        else:
-            j = i + 1
-            while j < n and not any(
-                    run[j:j + length] in words
-                    for length in range(1, min(max_len, n - j) + 1)):
-                j += 1
-            i = j
+                c = _WORD_COST + best[i + length]
+                if c < cost:
+                    cost, take = c, length
+        best[i], step[i] = cost, take
+    bounds = []
+    i = 0
+    while i < n:
+        if step[i]:
+            i += step[i]
+        else:                   # merge the whole unknown run
+            while i < n and not step[i]:
+                i += 1
         bounds.append(i)
     return bounds
 
 
-def _apply_dictionary(text: str, base_bounds, words, max_len):
-    """Replace per-grapheme boundaries inside Thai-script runs with
-    dictionary boundaries; everything outside the runs keeps the UAX
-    #29 root segmentation. The boundary AT a run's end is the base
-    rules' decision, not the dictionary's: a non-Thai Extend/ZWJ
-    character following the run must stay glued to the last Thai word
-    (WB4), and the base segmentation already encodes that."""
+def _apply_dictionary(text: str, base_bounds, in_script, words, max_len):
+    """Replace per-grapheme boundaries inside runs of the dictionary's
+    script with least-cost dictionary boundaries; everything outside
+    the runs keeps the UAX #29 root segmentation. The boundary AT a
+    run's end is the base rules' decision, not the dictionary's: a
+    non-script Extend/ZWJ character following the run must stay glued
+    to the last word (WB4), and the base segmentation already encodes
+    that."""
     runs = []
     i, n = 0, len(text)
     while i < n:
-        if _is_thai(text[i]):
+        if in_script(text[i]):
             j = i
-            while j < n and _is_thai(text[j]):
+            while j < n and in_script(text[j]):
                 j += 1
             runs.append((i, j))
             i = j
@@ -270,9 +362,10 @@ def uax29_word_break_iterator(text: str, locale=None) -> Iterator[int]:
     """Yield UAX #29 word-boundary offsets (excluding 0, including len).
 
     ``locale`` applies CLDR segmentation tailorings where they exist
-    (see ``_locale_tailoring``) plus dictionary-based segmentation for
-    locales with an embedded lexicon (``_DICT_LOCALES``, currently
-    Thai); unknown locales fall back to the root rules.
+    (see ``_locale_tailoring``) plus least-cost dictionary segmentation
+    for locales with an embedded lexicon (``_DICT_LOCALES``: Thai
+    automatically, Han runs via the explicit ``zh_dict`` / ``ja_dict``
+    variant); unknown locales fall back to the root rules.
     """
     n = len(text)
     if n == 0:
@@ -284,9 +377,12 @@ def uax29_word_break_iterator(text: str, locale=None) -> Iterator[int]:
         yield n
         return
     if locale is not None:
-        base = str(locale).replace('-', '_').split('_')[0].lower()
-        dict_entry = _DICT_LOCALES.get(base)
-        if dict_entry and any(_is_thai(ch) for ch in text):
+        parts = str(locale).replace('-', '_').lower().split('_')
+        key = parts[0]
+        if key in ('zh', 'ja') and 'dict' in parts[1:]:
+            key += '@dict'
+        dict_entry = _DICT_LOCALES.get(key)
+        if dict_entry and any(dict_entry[0](ch) for ch in text):
             root = _uax29_root_iterator(text, locale)
             yield from _apply_dictionary(text, root, *dict_entry)
             return

@@ -16,6 +16,20 @@ resume skips done pages — lib/cli/ocrodjvu.py:494-501,596-603) at table
 granularity. On a real deployment both tables are Iceberg (atomic commit
 + snapshot isolation); the parquet emulation here keeps the same
 idempotency contract via dynamic partition overwrite.
+
+Reader-visibility contract of the parquet stand-in (tested in
+``tests/test_checkpoint.py::test_reader_across_overwrite_never_mixes``):
+a reader snapshots the file listing when the DataFrame is created, so a
+reader that *starts* after a commit sees the overwritten bucket fully
+new and every other bucket untouched (atomic per-bucket visibility); a
+reader whose listing *spans* a commit either returns the old snapshot
+or fails loudly with FileNotFoundException once the old files are
+swapped out — it can never silently return a row-level old/new mix of
+one bucket, because parquet files are immutable and the committer
+replaces a partition's file set, not file contents. The DOCUMENTED
+LIMITATION vs real Iceberg: Iceberg pins the old files in the table
+snapshot until expiry, so the in-flight reader would succeed instead of
+failing; the failure mode here is loud, not wrong.
 """
 
 from __future__ import annotations

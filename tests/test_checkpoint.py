@@ -107,6 +107,56 @@ def test_concurrent_dynamic_overwrites_last_writer_wins(spark, tmp_path):
     df.unpersist()
 
 
+def test_reader_across_overwrite_never_mixes(spark, tmp_path):
+    # snapshot-isolation face of the Iceberg-shaped commit contract
+    # (checkpoint module docstring): a reader that starts AFTER a
+    # commit sees the overwritten bucket atomically (all-new rows,
+    # other buckets untouched); a reader whose file listing SPANS the
+    # commit either yields the old snapshot or fails loudly once the
+    # old files are swapped out — never a row-level old/new mix.
+    out = str(tmp_path / 'out')
+    df = checkpoint.with_bucket(
+        T.synthesize_transcripts(spark, SF_DIR), 4)
+
+    def write(ver, buckets=None):
+        d = df.withColumn('ver', F.lit(ver))
+        if buckets is not None:
+            d = d.where(F.col(checkpoint.BUCKET_COL).isin(buckets))
+        (d.write.partitionBy(checkpoint.BUCKET_COL)
+         .option('partitionOverwriteMode', 'dynamic')
+         .mode('overwrite').parquet(out))
+
+    write('v1')
+    stale = spark.read.parquet(out)        # listing pinned pre-commit
+    assert stale.where(F.col('ver') != 'v1').count() == 0
+    target = stale.select(checkpoint.BUCKET_COL).distinct().head()[0]
+    write('v2', [target])
+
+    # the stale reader spans the commit: old snapshot or a loud
+    # failure — assert it cannot produce a v1/v2 mix in the bucket
+    try:
+        vers = {r.ver for r in
+                stale.where(F.col(checkpoint.BUCKET_COL) == target)
+                     .select('ver').distinct().collect()}
+        assert vers in ({'v1'}, {'v2'}, set())
+    except Exception as e:  # documented limitation vs real Iceberg
+        assert 'FileNotFoundException' in str(e)
+
+    # a fresh reader sees the commit atomically per bucket
+    fresh = spark.read.parquet(out)
+    per = {r[checkpoint.BUCKET_COL]: set(r.ws) for r in
+           fresh.groupBy(checkpoint.BUCKET_COL)
+                .agg(F.collect_set('ver').alias('ws')).collect()}
+    assert per[target] == {'v2'}
+    assert all(v == {'v1'} for b, v in per.items() if b != target)
+    # row counts per bucket unchanged (full replace, no dup/loss)
+    src = {r[0]: r[1] for r in
+           df.groupBy(checkpoint.BUCKET_COL).count().collect()}
+    got = {r[0]: r[1] for r in
+           fresh.groupBy(checkpoint.BUCKET_COL).count().collect()}
+    assert got == src
+
+
 def test_racing_resume_runs_stay_idempotent(spark, tmp_path):
     # worst-case race: a second worker starts from a stale snapshot in
     # which NO lineage exists (its own empty sidecar), so it reprocesses

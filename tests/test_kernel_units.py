@@ -358,7 +358,7 @@ def test_uax29_thai_dictionary_segmentation():
             prev = b
         return [t for t in out if t.strip()]
 
-    # greedy longest-match against the embedded lexicon
+    # least-cost path over the embedded lexicon
     assert toks('สวัสดีครับ', locale='th') == ['สวัสดี', 'ครับ']
     assert toks('ภาษาไทยดีมาก', locale='th') == \
         ['ภาษา', 'ไทย', 'ดี', 'มาก']
@@ -373,6 +373,12 @@ def test_uax29_thai_dictionary_segmentation():
         ['go', 'สวัสดี', 'ครับ', 'now']
     # longest match wins over a prefix entry (ทำงาน vs ทำ)
     assert toks('ทำงานดี', locale='th') == ['ทำงาน', 'ดี']
+    # LEAST-COST vs GREEDY distinguishing pin: greedy longest-match
+    # takes มาก ("much") first and strands the unmatchable tail ิน as
+    # an unknown chunk (['มาก', 'ิน']); the Viterbi path prefers two
+    # dictionary words — มา|กิน ("come eat"), cost 2 vs 1 + 2×5 — which
+    # is also what ICU's least-cost Thai engine produces
+    assert toks('มากิน', locale='th') == ['มา', 'กิน']
     # no dictionary for the locale: per-grapheme root behavior (marks
     # still attach per WB4)
     assert toks('ผมกิน', locale='en') == ['ผ', 'ม', 'กิ', 'น']
@@ -404,3 +410,28 @@ def test_uax29_cjk_root_behavior():
 
     assert toks('漢字カタカナかな') == ['漢', '字', 'カタカナ', 'か', 'な']
     assert toks('日本語テスト') == ['日', '本', '語', 'テスト']
+    # the dictionary does NOT engage for plain zh/ja locales either —
+    # only the explicit '_dict' variant opts in
+    assert toks('我们学习', locale='zh') == ['我', '们', '学', '习']
+    assert toks('我们学习', locale='zh_CN') == ['我', '们', '学', '习']
+
+
+def test_uax29_cjk_dict_opt_in():
+    # 'zh_dict' / 'ja_dict' engage the least-cost engine over the
+    # embedded CJK lexicon for Han runs; Katakana keeps root WB13
+    from ocrodjvu_spark.kernel.segment import uax29_word_break_iterator
+
+    def toks(text, locale):
+        out, prev = [], 0
+        for b in uax29_word_break_iterator(text, locale=locale):
+            out.append(text[prev:b])
+            prev = b
+        return [t for t in out if t.strip()]
+
+    assert toks('我们在中国学习汉语', 'zh_dict') == \
+        ['我们', '在', '中国', '学习', '汉语']
+    assert toks('日本語テスト', 'ja_dict') == ['日本語', 'テスト']
+    # ambiguity resolves to fewest words, longer-first on ties
+    assert toks('中国人民', 'zh_dict') == ['中国', '人民']
+    # Latin context around Han runs keeps root segmentation
+    assert toks('see 中国 now', 'zh_dict') == ['see', '中国', 'now']

@@ -603,6 +603,29 @@ def test_ann_recall_bounds(spark):
     assert all(r.recall == 1.0 for r in full)
 
 
+def test_ann_recall_learned_quantizer(spark):
+    # the production composition: k-means-trained coarse quantizer
+    # feeding the IVF probe; nprobe = n_lists must provably recover
+    # recall 1.0 (candidate set = whole corpus, same tie-breaks)
+    from pyspark.sql import functions as F
+    from ocrodjvu_spark.functions import similarity
+    from ocrodjvu_spark.sources import transcripts as T
+    emb = T.load_table(spark, '/root/testdata/sf0.001', 'embeddings')
+    k_lists = 4
+    lab = similarity.kmeans_labels(emb, k=k_lists, iterations=2)
+    relabeled = (emb.select('vec_id', 'embedding').join(lab, 'vec_id')
+                 .select('vec_id', 'embedding',
+                         F.col('cluster').alias('label')))
+    full = similarity.ann_recall(relabeled, n_queries=5, k=3,
+                                 nprobe=k_lists).collect()
+    assert len(full) == 5
+    assert all(r.recall == 1.0 for r in full)
+    # nprobe=1 is a strict subset of the scan: recall can only drop
+    one = similarity.ann_recall(relabeled, n_queries=5, k=3,
+                                nprobe=1).collect()
+    assert all(0.0 <= r.recall <= 1.0 for r in one)
+
+
 def test_dedup_lines_cross_document(spark):
     docs = _docs(spark, [
         'unique first line alpha\nshared boilerplate line here\nok',
