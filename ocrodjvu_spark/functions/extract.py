@@ -26,7 +26,30 @@ from ..kernel.zones import (
     ZONE_NAME,
     ZONE_WORD,
 )
-from ..schema import EXTRACT_RESULT
+from ..schema import EXTRACT_RESULT, EXTRACT_RESULT_PACKED
+
+# packed-span separators (C0 controls; see schema.PAGE_RESULT_PACKED)
+SPAN_RS = '\x1e'   # record separator between word spans
+SPAN_FS = '\x1f'   # field separator inside one span record
+
+
+def pack_word_spans(zone) -> str:
+    """Serialize word spans to the packed single-string form.
+
+    One record per word, preorder (same order as ``flatten_word_zones``):
+    ``x0 FS y0 FS x1 FS y1 FS text`` joined by RS. Text is the last
+    field so it may contain anything except the two separator bytes,
+    which are replaced with U+FFFD (the emitters escape C0 controls, so
+    real corpora never hit this). A page with no words packs to ''.
+    """
+    recs = []
+    for _, _, _, x0, y0, x1, y1, text in flatten_word_zones(zone):
+        t = text or ''
+        if SPAN_RS in t or SPAN_FS in t:
+            t = t.replace(SPAN_RS, '�').replace(SPAN_FS, '�')
+        recs.append(f'{x0}{SPAN_FS}{y0}{SPAN_FS}{x1}{SPAN_FS}'
+                    f'{y1}{SPAN_FS}{t}')
+    return SPAN_RS.join(recs)
 
 
 def flatten_zone(zone: Zone) -> List[tuple]:
@@ -134,18 +157,18 @@ def extract_one(
         }
     pages = []
     for zone in zones:
-        if emit_spans == 'words':
-            spans = flatten_word_zones(zone)
+        if emit_spans == 'packed':
+            page = {'spans_packed': pack_word_spans(zone)}
+        elif emit_spans == 'words':
+            page = {'spans': flatten_word_zones(zone)}
         elif emit_spans:
-            spans = flatten_zone(zone)
+            page = {'spans': flatten_zone(zone)}
         else:
-            spans = None
-        pages.append({
-            'spans': spans,
-            'extracted_text': zone_text(zone),
-            'extracted_sexpr': (
-                zone.compact_sexpr() if emit_sexpr else None),
-        })
+            page = {'spans': None}
+        page['extracted_text'] = zone_text(zone)
+        page['extracted_sexpr'] = (
+            zone.compact_sexpr() if emit_sexpr else None)
+        pages.append(page)
     return {
         'pages': pages,
         'dialect': _dialect_name(settings),
@@ -180,8 +203,10 @@ def make_extract_udf(
     UDF result struct, so the pruning knob lives here).
     """
     details_level = hocr.DETAILS_BY_NAME[details]
+    result_schema = (EXTRACT_RESULT_PACKED if emit_spans == 'packed'
+                     else EXTRACT_RESULT)
 
-    @pandas_udf(EXTRACT_RESULT)
+    @pandas_udf(result_schema)
     def extract_turn(texts: pd.Series) -> pd.DataFrame:
         rows = [
             extract_one(

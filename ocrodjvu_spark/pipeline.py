@@ -26,6 +26,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .functions import extract as extract_fn
 from .functions.extract import make_extract_udf
 
 KEY_COLUMNS = ('conv_id', 'turn_idx')
@@ -67,7 +68,10 @@ def extract_turns(
     payloads for text-only consumers, or ``emit_spans='words'`` to ship
     only word spans (the ``word_spans`` fan-out reads nothing else) —
     the columns stay in the schema but are null/pruned; Catalyst cannot
-    prune inside the UDF struct.
+    prune inside the UDF struct. ``emit_spans='packed'`` ships word
+    spans as one delimited string per page (``spans_packed`` replaces
+    the ``spans`` column; see schema.PAGE_RESULT_PACKED) — the
+    lowest-Arrow-volume spans path; ``word_spans`` decodes it JVM-side.
     """
     if salt_buckets:
         df = salted_repartition(df, num_partitions, salt_buckets)
@@ -84,9 +88,10 @@ def extract_turns(
         F.col('_r.error').alias('error'),
         F.posexplode_outer('_r.pages').alias('page_idx', 'page'),
     )
+    spans_col = ('spans_packed' if emit_spans == 'packed' else 'spans')
     return exploded.select(
         *KEY_COLUMNS, *keep, 'dialect', 'error', 'page_idx',
-        F.col('page.spans').alias('spans'),
+        F.col(f'page.{spans_col}').alias(spans_col),
         F.col('page.extracted_text').alias('extracted_text'),
         F.col('page.extracted_sexpr').alias('extracted_sexpr'),
     )
@@ -97,8 +102,32 @@ def word_spans(extracted: DataFrame) -> DataFrame:
 
     Requires an extraction run with ``emit_spans=True`` or, cheaper,
     ``emit_spans='words'`` (ships only the word spans this consumer
-    reads); spans elided upstream (``False``) explode to zero rows.
+    reads) or ``emit_spans='packed'`` (ships ONE delimited string per
+    page; decoded here with pure JVM split/cast inside codegen — the
+    lowest Arrow-transfer-volume path). Spans elided upstream
+    (``False``) explode to zero rows.
     """
+    if 'spans_packed' in extracted.columns:
+        packed = F.col('spans_packed')
+        recs = F.when(
+            packed.isNull() | (packed == ''), F.array()
+        ).otherwise(F.split(packed, extract_fn.SPAN_RS))
+        fields = F.split(F.col('_rec'), extract_fn.SPAN_FS, 5)
+        return (
+            extracted
+            .select(
+                *KEY_COLUMNS, 'page_idx',
+                F.posexplode(recs).alias('word_idx', '_rec'),
+            )
+            .select(
+                *KEY_COLUMNS, 'page_idx', 'word_idx',
+                F.element_at(fields, 5).alias('word'),
+                F.element_at(fields, 1).cast('int').alias('x0'),
+                F.element_at(fields, 2).cast('int').alias('y0'),
+                F.element_at(fields, 3).cast('int').alias('x1'),
+                F.element_at(fields, 4).cast('int').alias('y1'),
+            )
+        )
     words = F.filter(F.col('spans'), lambda s: s.zone_type == F.lit('word'))
     return (
         extracted

@@ -39,4 +39,25 @@ EXTRACT_RESULT = StructType([
     StructField('error', StringType()),
 ])
 
+# emit_spans='packed' variant: word spans ship as ONE delimited string
+# per page (records joined by \x1E, fields x0 \x1F y0 \x1F x1 \x1F y1
+# \x1F text) instead of an array of 8-field structs. Arrow transfers a
+# single string buffer where the struct form carries offset + validity
+# buffers for every child column; the decode back to columns
+# (pipeline.word_spans) is pure JVM split/cast inside codegen. C0
+# separator bytes inside word text are replaced with U+FFFD at pack
+# time (documented lossy corner; the hOCR emitters escape those
+# control chars anyway).
+PAGE_RESULT_PACKED = StructType([
+    StructField('spans_packed', StringType()),
+    StructField('extracted_text', StringType()),
+    StructField('extracted_sexpr', StringType()),
+])
+
+EXTRACT_RESULT_PACKED = StructType([
+    StructField('pages', ArrayType(PAGE_RESULT_PACKED)),
+    StructField('dialect', StringType()),
+    StructField('error', StringType()),
+])
+
 TRANSCRIPTS_COLUMNS = ('conv_id', 'turn_idx', 'role', 'text', 'tool', 'ts')

@@ -166,6 +166,56 @@ def test_word_spans_order(spark):
         ('aa', 10, 40, 90, 90), ('bb', 110, 40, 190, 90)]
 
 
+def test_packed_spans_match_struct_spans(spark):
+    # emit_spans='packed' (one delimited string per page, JVM-side
+    # decode) must reproduce the struct path byte-for-byte on the
+    # synthetic corpus — it is the documented low-Arrow-volume knob
+    from ocrodjvu_spark.sources import transcripts as T
+    df = T.synthesize_transcripts(spark, '/root/testdata/sf0.001') \
+        .limit(200)
+    a = pipeline.word_spans(
+        pipeline.extract_turns(df, emit_spans='words', emit_sexpr=False))
+    b = pipeline.word_spans(
+        pipeline.extract_turns(df, emit_spans='packed', emit_sexpr=False))
+    assert a.columns == b.columns
+    assert sorted(map(tuple, a.collect())) == \
+        sorted(map(tuple, b.collect()))
+    # the packed decode stays JVM-side: no Python stage beyond the ones
+    # the struct path already has (corpus synthesizer + extract UDF)
+    plan_a = a._jdf.queryExecution().executedPlan().toString()
+    plan_b = b._jdf.queryExecution().executedPlan().toString()
+    assert plan_b.count('ArrowEvalPython') == \
+        plan_a.count('ArrowEvalPython')
+
+
+def test_packed_spans_separator_bytes_in_word_text(spark):
+    # separator bytes inside markup text: the segmenter already breaks
+    # on C0 controls, so packed and struct paths agree through Spark...
+    markup = (
+        '<html><head><meta name="ocr-capabilities" content="x"/></head>'
+        '<body><div class="ocr_page" title="bbox 0 0 300 100">'
+        '<span class="ocr_line">'
+        '<span class="ocr_word" title="bbox 10 10 90 60">a\x1eb\x1fc</span>'
+        '</span></div></body></html>')
+    rows = [('c1', 1, 'user', markup, None, datetime.datetime(2025, 1, 1))]
+    df = spark.createDataFrame(rows, schema=TRANSCRIPTS_DDL)
+    packed = pipeline.word_spans(
+        pipeline.extract_turns(df, emit_spans='packed')).collect()
+    struct = pipeline.word_spans(
+        pipeline.extract_turns(df, emit_spans='words')).collect()
+    assert sorted(map(tuple, packed)) == sorted(map(tuple, struct))
+    assert [r.word for r in sorted(packed, key=lambda r: r.word_idx)] \
+        == ['a', 'b', 'c']
+    # ...and the belt-and-braces U+FFFD replacement guards the direct
+    # serializer for any zone source that bypasses segmentation
+    from ocrodjvu_spark.functions import extract as EX
+    from ocrodjvu_spark.kernel.zones import Zone, ZONE_LINE, ZONE_WORD
+    w = Zone(ZONE_WORD, (1, 2, 3, 4), ['a\x1eb\x1fc'])
+    rec = EX.pack_word_spans(Zone(ZONE_LINE, (1, 2, 3, 4), [w]))
+    assert rec.count(EX.SPAN_FS) == 4 and EX.SPAN_RS not in rec
+    assert rec.endswith('a�b�c')
+
+
 def test_extract_stage_has_no_shuffle(spark):
     """The extract projection must pipeline into the scan stage."""
     rows = [('c1', 1, 'user', '<html/>', None,
