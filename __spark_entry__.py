@@ -1508,60 +1508,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this round, (3) previously-verified gates, oldest verdict first.
     # When adding a gate, insert it at the top of block (2).
     return {
-        # -- block 1: no driver verdict before round 4 ------------------
-        'extract_rotated90': _q_extract_rotated90,
-        'extract_rotated270': _q_extract_rotated270,
-        'events_window_agg': _q_events_window_agg,
-        'events_asof_join': _q_events_asof_join,
-        'events_asof_join_bucketed': _q_events_asof_join_bucketed,
-        'events_range_join': _q_events_range_join,
-        'events_rollup': _q_events_rollup,
-        'events_pivot': _q_events_pivot,
-        'streaming_join': _q_streaming_join,
-        'streaming_extraction': _q_streaming_extraction,
-        'streaming_dedup': _q_streaming_dedup,
-        'stateful_conversation_state': _q_stateful_conversation_state,
-        'multimodal_features': _q_multimodal_features,
-        'embedding_neardup_pairs': _q_embedding_neardup_pairs,
-        'embedding_neardup_auto': _q_embedding_neardup_auto,
-        'extract_orf': _q_extract_orf,
-        'extract_gocr': _q_extract_gocr,
-        'extract_cuneiform08': _q_extract_cuneiform08,
-        'extract_cuneiform09': _q_extract_cuneiform09,
-        'extract_tesseract_makebox': _q_extract_tesseract_makebox,
-        'extract_ocropus_surplus': _q_extract_ocropus_surplus,
-        'extract_uax29_segmentation': _q_extract_uax29_segmentation,
-        'extract_uax29_colon': _q_extract_uax29_colon,
-        'djvused_script': _q_djvused_script,
-        'events_json_props': _q_events_json_props,
-        'events_sessionization': _q_events_sessionization,
-        'lineitem_pricing_summary': _q_lineitem_pricing_summary,
-        'orders_per_nation': _q_orders_per_nation,
-        # -- block 2: added or changed in round 4 -----------------------
-        'lm_quality': _q_lm_quality,
-        'dedup_substring_spans': _q_dedup_substring_spans,
-        'dedup_substring_capped': _q_dedup_substring_capped,
-        'dedup_substring_apply': _q_dedup_substring_apply,
-        'dedup_cluster_apply': _q_dedup_cluster_apply,
-        'dedup_lines': _q_dedup_lines,
-        'quality_buckets': _q_quality_buckets,
-        'script_profile': _q_script_profile,
-        'ann_recall': _q_ann_recall,
-        'corpus_pipeline': _q_corpus_pipeline,
-        'tool_call_stats': _q_tool_call_stats,
-        'role_sequence': _q_role_sequence,
-        'oversized_ngrams': _q_oversized_ngrams,
-        'multimodal_resize': _q_multimodal_resize,
-        'extract_uax29_thai': _q_extract_uax29_thai,
-        'extract_uax29_cjk': _q_extract_uax29_cjk,
-        'extract_uax29_cjk_dict': _q_extract_uax29_cjk_dict,
-        'checkpoint_resume': _q_checkpoint_resume,
-        'checkpoint_metrics': _q_checkpoint_metrics,
-        # -- block 3: previously verified, oldest verdict first ---------
-        'extract_text': _q_extract_text,
-        'extract_word_spans': _q_extract_word_spans,
-        'extract_sexpr': _q_extract_sexpr,
-        'extract_roundtrip': _q_extract_roundtrip,
+        # -- block 2: added or changed in round 5 (6 entries; block 1
+        #    is empty — every gate now has at least one verdict or is
+        #    new this round) ------------------------------------------
+        'ann_recall_kmeans': _q_ann_recall_kmeans,            # new r5
+        'extract_uax29_cjk_dict': _q_extract_uax29_cjk_dict,  # new r5
+        'extract_uax29_thai': _q_extract_uax29_thai,    # Viterbi, r5
+        'multimodal_features': _q_multimodal_features,  # +WAV, r5
+        'dedup_lines': _q_dedup_lines,                  # min-struct, r5
+        'corpus_pipeline': _q_corpus_pipeline,          # min-struct, r5
+        # -- block 3: previously verified, oldest verdict first (these
+        #    44 all carry round-3 verdicts — the driver's ~50-slot
+        #    window must re-record them this round; 6 + 44 = 50) ------
         'turn_filter': _q_turn_filter,
         'turn_filter_list': _q_turn_filter_list,
         'extract_fix_utf8': _q_extract_fix_utf8,
@@ -1596,7 +1554,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_fingerprint': _q_doc_fingerprint,
         'ann_cosine_topk': _q_ann_cosine_topk,
         'embedding_kmeans': _q_embedding_kmeans,
-        'ann_recall_kmeans': _q_ann_recall_kmeans,
         'dedup_semantic': _q_dedup_semantic,
         'embedding_quantize': _q_embedding_quantize,
         'semantic_clusters': _q_semantic_clusters,
@@ -1607,6 +1564,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'extract_chars': _q_extract_chars,
         'extract_uax29': _q_extract_uax29,
         'extract_rotated180': _q_extract_rotated180,
+        # -- remainder: round-4 verdicts (freshest); round-5-touched
+        #    but semantics-identical gates first so they lead round
+        #    6's rotation window -------------------------------------
+        'tool_call_stats': _q_tool_call_stats,
+        'quality_buckets': _q_quality_buckets,
+        'ann_recall': _q_ann_recall,
+        'multimodal_resize': _q_multimodal_resize,
+        'extract_text': _q_extract_text,
+        'extract_word_spans': _q_extract_word_spans,
+        'extract_sexpr': _q_extract_sexpr,
+        'extract_roundtrip': _q_extract_roundtrip,
+        'extract_rotated90': _q_extract_rotated90,
+        'extract_rotated270': _q_extract_rotated270,
+        'events_window_agg': _q_events_window_agg,
+        'events_asof_join': _q_events_asof_join,
+        'events_asof_join_bucketed': _q_events_asof_join_bucketed,
+        'events_range_join': _q_events_range_join,
+        'events_rollup': _q_events_rollup,
+        'events_pivot': _q_events_pivot,
+        'streaming_join': _q_streaming_join,
+        'streaming_extraction': _q_streaming_extraction,
+        'streaming_dedup': _q_streaming_dedup,
+        'stateful_conversation_state': _q_stateful_conversation_state,
+        'embedding_neardup_pairs': _q_embedding_neardup_pairs,
+        'embedding_neardup_auto': _q_embedding_neardup_auto,
+        'extract_orf': _q_extract_orf,
+        'extract_gocr': _q_extract_gocr,
+        'extract_cuneiform08': _q_extract_cuneiform08,
+        'extract_cuneiform09': _q_extract_cuneiform09,
+        'extract_tesseract_makebox': _q_extract_tesseract_makebox,
+        'extract_ocropus_surplus': _q_extract_ocropus_surplus,
+        'extract_uax29_segmentation': _q_extract_uax29_segmentation,
+        'extract_uax29_colon': _q_extract_uax29_colon,
+        'djvused_script': _q_djvused_script,
+        'events_json_props': _q_events_json_props,
+        'events_sessionization': _q_events_sessionization,
+        'lineitem_pricing_summary': _q_lineitem_pricing_summary,
+        'orders_per_nation': _q_orders_per_nation,
+        'lm_quality': _q_lm_quality,
+        'dedup_substring_spans': _q_dedup_substring_spans,
+        'dedup_substring_capped': _q_dedup_substring_capped,
+        'dedup_substring_apply': _q_dedup_substring_apply,
+        'dedup_cluster_apply': _q_dedup_cluster_apply,
+        'script_profile': _q_script_profile,
+        'role_sequence': _q_role_sequence,
+        'oversized_ngrams': _q_oversized_ngrams,
+        'extract_uax29_cjk': _q_extract_uax29_cjk,
+        'checkpoint_resume': _q_checkpoint_resume,
+        'checkpoint_metrics': _q_checkpoint_metrics,
     }
 
 
