@@ -10,13 +10,16 @@ Image payloads are decoded for real: the stdlib codecs in
 the reference writes for its OCR engines — raw PBM/PPM and uncompressed
 BMP (``/root/reference/lib/image_io.py:53-133``) plus the other netpbm
 variants — and the feature stage reports decoded geometry and exact
-integer pixel sums. Audio payloads are decoded for real too, via the
-stdlib RIFF/WAVE reader in ``ocrodjvu_spark.kernel.audio_codecs``
-(sample rate, channels, exact sample counts/sums, duration). Video
-codecs are not available in this container, so that kind falls back to
-a clearly-marked deterministic stub (byte-level features only); swap
-``_stub_features`` for a real decoder (pyav) in production and nothing
-else changes.
+integer pixel sums. Audio and video are decoded for real too, via the
+stdlib RIFF readers in ``ocrodjvu_spark.kernel.audio_codecs`` (WAV PCM:
+sample rate, channels, exact sample counts/sums, duration) and
+``ocrodjvu_spark.kernel.video_codecs`` (AVI with uncompressed 8-bit
+gray frames: geometry, frame count, duration, exact sample sums, and
+REAL frame extraction in ``sample_frames``). Compressed codecs are out
+of scope in this container (no codec library); undecodable payloads
+fall back to a clearly-marked byte-level stub row — swap the decoder at
+the same seam (pyav / torchaudio) in production and nothing else
+changes.
 
 Scale notes: payloads dominate row size, so batches are bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` and stages repartition
@@ -38,6 +41,7 @@ from pyspark.sql.types import (
 
 from ocrodjvu_spark.kernel import audio_codecs as AC
 from ocrodjvu_spark.kernel import image_codecs as IC
+from ocrodjvu_spark.kernel import video_codecs as VC
 
 MEDIA_SCHEMA = StructType([
     StructField('media_id', LongType()),
@@ -87,6 +91,22 @@ def _make_audio(doc_id: int) -> bytes:
     return AC.encode_wav_pcm8(rate, ch, samples)
 
 
+def _video_params(doc_id: int) -> tuple[int, int, int, int]:
+    """(width, height, n_frames, micro_sec_per_frame) for video
+    media_id ``doc_id`` — closed forms the SQL oracle re-derives."""
+    return (4 + doc_id % 3, 2 + doc_id % 3, 3 + doc_id % 4,
+            1000000 // (10 + doc_id % 5))
+
+
+def _make_video(doc_id: int) -> bytes:
+    """Deterministic real AVI payload: uncompressed 8-bit gray frames,
+    byte ``i`` of frame ``f`` is ``(i + f + doc_id) % 256``."""
+    w, h, n_frames, micro = _video_params(doc_id)
+    frames = [bytes((i + f + doc_id) % 256 for i in range(w * h))
+              for f in range(n_frames)]
+    return VC.encode_avi_gray8(w, h, micro, frames)
+
+
 def _image_dims(doc_id: int) -> tuple[int, int]:
     return 4 + doc_id % 5, 3 + doc_id % 4
 
@@ -121,17 +141,17 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic media payloads derived from documents.
 
     ``doc_id % 3 == 0`` rows carry real image bytes (netpbm / BMP),
-    ``doc_id % 3 == 1`` rows real 8-bit-PCM WAV bytes; video rows carry
-    opaque text-derived bytes (their decoder is a stub in this
-    container, so only byte-level features apply).
+    ``doc_id % 3 == 1`` rows real 8-bit-PCM WAV bytes, and the rest
+    real AVI bytes with uncompressed gray frames.
     """
+    # every payload derives from doc_id alone — a 1-column pruned scan
     docs = spark.read.parquet(f'{sf_dir}/documents.parquet') \
-        .select('doc_id', 'text')
+        .select('doc_id')
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for doc_id, text in zip(pdf['doc_id'], pdf['text']):
+            for doc_id in pdf['doc_id']:
                 doc_id = int(doc_id)
                 if doc_id % 3 == 0:
                     payload = _make_image(doc_id)
@@ -146,10 +166,11 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  'width': None, 'height': None,
                                  'codec': 'wav'})
                 else:
+                    w, h, _, _ = _video_params(doc_id)
                     rows.append({'media_id': doc_id, 'kind': 'video',
-                                 'payload': (text * 4).encode('utf-8'),
-                                 'width': None, 'height': None,
-                                 'codec': 'raw'})
+                                 'payload': _make_video(doc_id),
+                                 'width': w, 'height': h,
+                                 'codec': 'avi'})
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
@@ -172,10 +193,11 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     Image rows are decoded with the stdlib netpbm/BMP/TIFF readers
     (exact geometry + integer pixel sums); audio rows with the stdlib
-    WAV reader (rate / channels / sample count+sum / duration, the
-    sample sum landing in ``pixel_sum`` as the generic exact-integer
-    content digest); undecodable payloads and video get NULL decode
-    columns with ``decoder = 'stub'``.
+    WAV reader (rate / channels / sample count+sum / duration); video
+    rows with the stdlib AVI reader (geometry / frame count / duration
+    / sample sum). The exact integer sample sum always lands in
+    ``pixel_sum`` as the generic content digest; undecodable payloads
+    get NULL decode columns with ``decoder = 'stub'``.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -200,6 +222,19 @@ def extract_features(media: DataFrame) -> DataFrame:
                                  'duration_ms': wav['duration_ms'],
                                  'decoder': 'wav'}
                     except AC.AudioDecodeError:
+                        feats = _stub_features(data)
+                elif kind == 'video':
+                    try:
+                        avi = VC.decode_avi(data)
+                        feats = {**_NULL_FEATURES,
+                                 'width': avi['width'],
+                                 'height': avi['height'],
+                                 'channels': 1,
+                                 'n_samples': avi['n_samples'],
+                                 'pixel_sum': avi['sample_sum'],
+                                 'duration_ms': avi['duration_ms'],
+                                 'decoder': 'avi'}
+                    except VC.VideoDecodeError:
                         feats = _stub_features(data)
                 else:
                     feats = _stub_features(data)
@@ -266,23 +301,49 @@ def resize_images(media: DataFrame, max_side: int = 4) -> DataFrame:
     return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
+_FRAME_BYTE_SUM = None
+
+
+def frame_byte_sum(col):
+    """Exact integer byte sum of a binary column (Arrow-batched) — the
+    measurement companion for frame-content parity gates: DuckDB cannot
+    rebuild the binary frame to hash it, but it can recompute the sum
+    from the generative pattern. (UDF built lazily — pandas_udf return
+    types resolve against the active SparkSession.)"""
+    global _FRAME_BYTE_SUM
+    if _FRAME_BYTE_SUM is None:
+        @F.pandas_udf('long')
+        def _byte_sum(frames: pd.Series) -> pd.Series:
+            return frames.map(
+                lambda b: int(sum(bytes(b))) if b is not None else None)
+        _FRAME_BYTE_SUM = _byte_sum
+    return _FRAME_BYTE_SUM(col)
+
+
 def sample_frames(media: DataFrame, frame_bytes: int = 256,
                   every_n: int = 2) -> DataFrame:
-    """STUB frame sampling: fixed-size windows of the payload, every Nth
-    (video codecs are unavailable in this container; the plumbing —
-    explode shape, Arrow batching, binary frames — is the real part)."""
+    """REAL frame sampling for AVI payloads: every Nth decoded frame's
+    raw bytes, in stream order. Non-AVI / undecodable payloads fall
+    back to fixed-size byte windows (the former stub, kept so the
+    plumbing — explode shape, Arrow batching, binary frames — still
+    exercises arbitrary binaries)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for media_id, payload in zip(pdf['media_id'], pdf['payload']):
                 data = bytes(payload) if payload is not None else b''
-                n_frames = max(len(data) // frame_bytes, 1)
-                for i in range(0, n_frames, every_n):
+                try:
+                    frames = list(VC.iter_avi_frames(data))
+                except VC.VideoDecodeError:
+                    frames = [
+                        data[i * frame_bytes:(i + 1) * frame_bytes]
+                        for i in range(max(len(data) // frame_bytes, 1))]
+                for i in range(0, len(frames), every_n):
                     rows.append({
                         'media_id': media_id,
                         'frame_idx': i,
-                        'frame': data[i * frame_bytes:(i + 1) * frame_bytes],
+                        'frame': frames[i],
                     })
             yield pd.DataFrame(
                 rows, columns=[f.name for f in FRAME_SCHEMA.fields])

@@ -42,10 +42,20 @@ class TestMultimodal:
                                       for i in range(n))
             assert r.duration_ms == frames * 1000 // rate
             assert r.n_bytes == 44 + n + (n % 2)
-        # video remains a byte-level stub with NULL decode columns
+        # video rows are REAL AVI decodes matching the generator
+        videos = [r for r in others if r.kind == 'video']
+        assert videos
+        for r in videos:
+            w, h, nf, micro = multimodal._video_params(r.media_id)
+            assert r.decoder == 'avi'
+            assert (r.width, r.height, r.channels) == (w, h, 1)
+            assert r.n_samples == nf * w * h
+            assert r.pixel_sum == sum(
+                (i + f + r.media_id) % 256
+                for f in range(nf) for i in range(w * h))
+            assert r.duration_ms == nf * micro // 1000
+            assert r.sample_rate is None
         for r in others:
-            if r.kind == 'video':
-                assert r.decoder == 'stub' and r.pixel_sum is None
             assert r.n_bytes > 0 and r.checksum
 
     def test_resize_downscales_pnm_images(self, spark):
@@ -62,13 +72,34 @@ class TestMultimodal:
                 assert (r.width, r.height) == \
                     multimodal._image_dims(r.media_id)
 
-    def test_frame_sampling_shape(self, spark):
+    def test_frame_sampling_real_avi_frames(self, spark):
         media = multimodal.synthesize_media(spark, SF_DIR)
-        frames = multimodal.sample_frames(media, frame_bytes=128, every_n=2)
-        out = frames.limit(50).collect()
+        frames = multimodal.sample_frames(media, every_n=2)
+        out = frames.collect()
         assert out
         assert all(r.frame_idx % 2 == 0 for r in out)
-        assert all(len(r.frame) <= 128 for r in out)
+        by_media = {}
+        for r in out:
+            by_media.setdefault(r.media_id, []).append(r)
+        for media_id, rows in list(by_media.items())[:10]:
+            w, h, nf, _ = multimodal._video_params(media_id)
+            # every 2nd frame, real decoded bytes in stream order
+            assert sorted(r.frame_idx for r in rows) == \
+                list(range(0, nf, 2))
+            for r in rows:
+                assert bytes(r.frame) == bytes(
+                    (i + r.frame_idx + media_id) % 256
+                    for i in range(w * h))
+
+    def test_frame_sampling_non_avi_fallback(self, spark):
+        # undecodable payloads keep the byte-window fallback shape
+        rows = [(1, 'video', b'not an avi at all' * 20, None, None, 'raw')]
+        media = spark.createDataFrame(
+            rows, schema=multimodal.MEDIA_SCHEMA)
+        out = multimodal.sample_frames(media, frame_bytes=64,
+                                       every_n=2).collect()
+        assert out and all(len(r.frame) <= 64 for r in out)
+        assert all(r.frame_idx % 2 == 0 for r in out)
 
 
 class TestStreaming:
