@@ -861,6 +861,43 @@ def _q_checkpoint_metrics(spark, sf_dir):
         F.sum('n_chars').cast('long').alias('n_chars')))
 
 
+def _q_checkpoint_snapshot(spark, sf_dir):
+    # Snapshot-manifest table format (plans/snapstore.py): the same
+    # two-phase resume as checkpoint_resume, but committed through the
+    # Iceberg-style manifest protocol — and the gate additionally
+    # exercises the isolation property the parquet stand-in lacks: a
+    # reader pinned at the phase-1 snapshot must still read cleanly
+    # AFTER phase 2 re-swaps one of its partitions (old files are
+    # immutable until expire_snapshots). Final state must equal a full
+    # clean recompute, per-turn.
+    import os
+    from ocrodjvu_spark import pipeline
+    from ocrodjvu_spark.plans import checkpoint as CK
+    from ocrodjvu_spark.plans.snapstore import SnapshotTable
+    base = _gate_tempdir('ocrodjvu-spark-snap-gate-')
+    table = SnapshotTable(os.path.join(base, 'table'))
+    tr = CK.with_bucket(T.synthesize_transcripts(spark, sf_dir), 8)
+    extracted = pipeline.extract_turns(
+        tr, keep_columns=(CK.BUCKET_COL,),
+        emit_spans=False, emit_sexpr=False)
+    phase1 = [0, 1, 2]
+    table.replace_partitions(
+        extracted.where(F.col(CK.BUCKET_COL).isin(phase1)), CK.BUCKET_COL)
+    pinned = table.read(spark)  # file list resolved at snapshot 1
+    # phase 2 resumes the rest AND re-swaps bucket 2 (idempotent redo)
+    table.replace_partitions(
+        extracted.where(~F.col(CK.BUCKET_COL).isin([0, 1])), CK.BUCKET_COL)
+    # snapshot isolation: the pinned reader still sees exactly phase 1
+    n_pinned = pinned.count()
+    n_phase1 = extracted.where(
+        F.col(CK.BUCKET_COL).isin(phase1)).count()
+    if n_pinned != n_phase1:
+        raise AssertionError(
+            f'pinned snapshot drifted: {n_pinned} != {n_phase1}')
+    return (table.read(spark)
+            .select('conv_id', 'turn_idx', 'extracted_text'))
+
+
 def _q_dedup_substring_capped(spark, sf_dir):
     # stop-gram cap bound: max_df=2 excludes the 5-grams shared by >= 3
     # docs (74 hashes at sf0.01), the skew guard for boilerplate
@@ -1633,6 +1670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'extract_uax29_cjk': _q_extract_uax29_cjk,
         'checkpoint_resume': _q_checkpoint_resume,
         'checkpoint_metrics': _q_checkpoint_metrics,
+        'checkpoint_snapshot': _q_checkpoint_snapshot,   # new r5 (late)
     }
 
 
@@ -3069,6 +3107,13 @@ def oracle_sql() -> dict[str, str]:
         # full recompute as the resume oracle: the two-phase
         # crash-resumed table must contain exactly one row per turn
         'checkpoint_resume': f'''
+            SELECT {_CONV} AS conv_id, {_TIDX} AS turn_idx,
+                   {_NORM} AS extracted_text
+            FROM documents
+        ''',
+        # snapshot-store resume: like checkpoint_resume, the committed
+        # table must equal a clean full recompute, one row per turn
+        'checkpoint_snapshot': f'''
             SELECT {_CONV} AS conv_id, {_TIDX} AS turn_idx,
                    {_NORM} AS extracted_text
             FROM documents

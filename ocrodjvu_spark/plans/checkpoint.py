@@ -26,10 +26,14 @@ reader whose listing *spans* a commit either returns the old snapshot
 or fails loudly with FileNotFoundException once the old files are
 swapped out — it can never silently return a row-level old/new mix of
 one bucket, because parquet files are immutable and the committer
-replaces a partition's file set, not file contents. The DOCUMENTED
-LIMITATION vs real Iceberg: Iceberg pins the old files in the table
-snapshot until expiry, so the in-flight reader would succeed instead of
-failing; the failure mode here is loud, not wrong.
+replaces a partition's file set, not file contents. The remaining gap
+vs real Iceberg — an in-flight reader should SUCCEED on its pinned
+snapshot instead of failing — is closed by ``snapstore.SnapshotTable``
+(Iceberg-style manifest commits; see that module and the
+``checkpoint_snapshot`` gate): commits there add immutable files and
+atomically swap a manifest version, so pinned readers keep working
+until ``expire_snapshots``. This module keeps the plain-parquet
+dynamic-overwrite path as the zero-metadata default.
 """
 
 from __future__ import annotations

@@ -1,0 +1,329 @@
+"""Snapshot-manifest table format: Iceberg-style commits over parquet.
+
+The checkpoint layer's parquet stand-in (``checkpoint.py``) documents one
+limitation vs a real table format: a reader whose file listing spans a
+dynamic-partition overwrite fails with FileNotFoundException once the old
+files are swapped out. This module closes that gap from scratch — no
+external table-format library — with the same core protocol Iceberg uses
+(spec: https://iceberg.apache.org/spec/ — metadata tree + atomic swap;
+re-implemented here, not copied):
+
+* **Immutable data files.** Writers stage parquet files and *add* them to
+  the table; no commit ever mutates or deletes a data file. Old snapshots
+  stay readable until ``expire_snapshots`` garbage-collects them.
+* **Manifest per version.** ``manifests/v<N>.json`` lists every data file
+  in snapshot N with its partition value and row count. Readers resolve
+  HEAD once, then read a pinned, explicit file list — a concurrent commit
+  cannot change or break an in-flight read (snapshot isolation).
+* **Atomic commit by rename.** A writer stages the manifest to a temp
+  name and ``os.rename``\\ s it to ``v<N+1>.json``. POSIX rename is atomic
+  on one filesystem; on an object store the same slot would be claimed
+  with a conditional put / metastore CAS (documented seam,
+  ``_claim_version``).
+* **Optimistic concurrency.** If ``v<N+1>`` already exists the writer
+  re-reads HEAD and *rebases*: ``append`` re-applies its file additions,
+  ``replace_partitions`` re-applies its partition swap, on the new base.
+  Conflicting partition swaps (both writers replacing the same partition)
+  resolve last-writer-wins, matching the checkpoint contract.
+* **Manifest-level partition pruning.** ``read(partition_values=...)``
+  prunes the file list driver-side before Spark opens a single footer —
+  the same job Iceberg's manifest tree does.
+
+Scale notes (100 TB): the manifest is O(n data files) driver-side JSON.
+At ~1 M files (100 TB / 100 MB) that is a ~100 MB manifest — workable but
+the known ceiling; real Iceberg splits manifests per partition subtree
+and adds a manifest list. The protocol here is deliberately the minimal
+correct core: immutability + atomic version swap + pinned reads are what
+the correctness tests exercise, and the commit path is O(files touched)
+except for rewriting the file list. Partition values are kept *in* the
+data files (the staged ``partitionBy`` column is a duplicate), so reads
+are plain ``spark.read.parquet(*files)`` with no basePath reconstruction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Callable, Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CommitConflict(RuntimeError):
+    """Raised when optimistic commit retries are exhausted."""
+
+
+_PART_DIR = '__pv='  # staged partition directory prefix
+
+
+def _unquote_partition(raw: str):
+    """Decode a partitionBy directory value ('__HIVE_DEFAULT_PARTITION__'
+    and %-escapes)."""
+    if raw == '__HIVE_DEFAULT_PARTITION__':
+        return None
+    out = []
+    i = 0
+    while i < len(raw):
+        c = raw[i]
+        if c == '%' and i + 2 < len(raw) + 1:
+            try:
+                out.append(chr(int(raw[i + 1:i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return ''.join(out)
+
+
+class SnapshotTable:
+    """A parquet table with Iceberg-style snapshot semantics.
+
+    Layout::
+
+        <root>/data/<commit-uuid>-<i>.parquet   immutable data files
+        <root>/manifests/v<N>.json              one manifest per version
+
+    All metadata operations are driver-side and O(manifest); all data
+    movement is Spark-side and distributed.
+    """
+
+    def __init__(self, root: str, max_commit_retries: int = 20):
+        self.root = root
+        self.data_dir = os.path.join(root, 'data')
+        self.manifest_dir = os.path.join(root, 'manifests')
+        self.max_commit_retries = max_commit_retries
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- snapshot resolution ------------------------------------------------
+
+    def versions(self) -> List[int]:
+        out = []
+        for name in os.listdir(self.manifest_dir):
+            if name.startswith('v') and name.endswith('.json'):
+                try:
+                    out.append(int(name[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def current_version(self) -> int:
+        """HEAD version; 0 means the table is empty (no committed snapshot)."""
+        versions = self.versions()
+        return versions[-1] if versions else 0
+
+    def snapshot(self, version: Optional[int] = None) -> dict:
+        """The manifest dict of ``version`` (default HEAD)."""
+        if version is None:
+            version = self.current_version()
+        if version == 0:
+            return {'version': 0, 'parent': None, 'operation': 'empty',
+                    'schema': None, 'files': []}
+        path = os.path.join(self.manifest_dir, f'v{version}.json')
+        with open(path, 'r', encoding='utf-8') as fh:
+            return json.load(fh)
+
+    # -- reads --------------------------------------------------------------
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: Optional[int] = None,
+        partition_values: Optional[Sequence] = None,
+    ) -> Optional[DataFrame]:
+        """A DataFrame pinned to one snapshot's explicit file list.
+
+        ``partition_values`` prunes at the manifest (no footer is opened
+        for a pruned file). Returns None for an empty table/snapshot —
+        callers decide their own empty-schema story, same convention as
+        ``checkpoint._read_sidecar``.
+        """
+        manifest = self.snapshot(version)
+        files = manifest['files']
+        if partition_values is not None:
+            wanted = {str(v) for v in partition_values}
+            files = [f for f in files
+                     if str(f.get('partition')) in wanted]
+        if not files:
+            return None
+        paths = [os.path.join(self.root, f['path']) for f in files]
+        reader = spark.read
+        if manifest.get('schema'):
+            from pyspark.sql.types import StructType
+            reader = reader.schema(
+                StructType.fromJson(json.loads(manifest['schema'])))
+        return reader.parquet(*paths)
+
+    def partitions(self, version: Optional[int] = None) -> List:
+        seen = {}
+        for f in self.snapshot(version)['files']:
+            seen.setdefault(f.get('partition'), None)
+        return list(seen)
+
+    # -- writes -------------------------------------------------------------
+
+    def append(self, df: DataFrame,
+               partition_col: Optional[str] = None) -> int:
+        """Commit ``df`` as new files appended to HEAD; returns the version."""
+        entries, schema = self._stage(df, partition_col)
+        return self._commit('append', entries, schema,
+                            apply=lambda base: base + entries)
+
+    def overwrite(self, df: DataFrame,
+                  partition_col: Optional[str] = None) -> int:
+        """Commit ``df`` as the table's full new contents."""
+        entries, schema = self._stage(df, partition_col)
+        return self._commit('overwrite', entries, schema,
+                            apply=lambda base: list(entries))
+
+    def replace_partitions(self, df: DataFrame, partition_col: str) -> int:
+        """Dynamic-overwrite at snapshot granularity: the partitions
+        present in ``df`` are swapped for its files; all other partitions
+        are carried forward untouched. Concurrent swaps of disjoint
+        partitions both land (rebase); same-partition swaps resolve
+        last-writer-wins."""
+        entries, schema = self._stage(df, partition_col)
+        replaced = {e['partition'] for e in entries}
+
+        def apply(base):
+            kept = [f for f in base if f.get('partition') not in replaced]
+            return kept + entries
+
+        return self._commit('replace_partitions', entries, schema,
+                            apply=apply)
+
+    # -- maintenance --------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 1) -> List[str]:
+        """Drop all but the newest ``keep_last`` manifests and delete data
+        files no kept snapshot references. Returns deleted file paths.
+
+        This is the ONE destructive operation; readers pinned to an
+        expired snapshot lose their files, exactly as in Iceberg after
+        ``expireSnapshots`` — the isolation guarantee is scoped to the
+        retention window.
+        """
+        versions = self.versions()
+        if len(versions) <= keep_last:
+            return []
+        keep = set(versions[-keep_last:])
+        live = set()
+        for v in keep:
+            for f in self.snapshot(v)['files']:
+                live.add(f['path'])
+        deleted = []
+        for v in versions:
+            if v in keep:
+                continue
+            for f in self.snapshot(v)['files']:
+                rel = f['path']
+                if rel in live:
+                    continue
+                full = os.path.join(self.root, rel)
+                if os.path.exists(full):
+                    os.remove(full)
+                deleted.append(rel)
+                live.add(rel)  # only report/remove once
+            os.remove(os.path.join(self.manifest_dir, f'v{v}.json'))
+        return deleted
+
+    # -- internals ----------------------------------------------------------
+
+    def _stage(self, df: DataFrame, partition_col: Optional[str]):
+        """Write ``df`` to uniquely-named immutable files under data/.
+
+        With ``partition_col`` the staged write splits files per
+        partition value via a DUPLICATE column (``__pv``), so the real
+        column stays inside the data files and reads need no directory
+        reconstruction; the duplicate only shapes the staging layout.
+        """
+        stage_id = uuid.uuid4().hex
+        stage_dir = os.path.join(self.data_dir, f'.stage-{stage_id}')
+        writer = df
+        if partition_col is not None:
+            writer = writer.withColumn('__pv', F.col(partition_col))
+            writer.write.partitionBy('__pv').parquet(stage_dir)
+        else:
+            writer.write.parquet(stage_dir)
+        schema = df.schema.json()
+        entries = []
+        try:
+            i = 0
+            for dirpath, _dirnames, filenames in os.walk(stage_dir):
+                part_val = None
+                base = os.path.basename(dirpath)
+                if base.startswith(_PART_DIR):
+                    part_val = _unquote_partition(base[len(_PART_DIR):])
+                for name in sorted(filenames):
+                    if not name.endswith('.parquet'):
+                        continue
+                    rel = f'data/{stage_id}-{i}.parquet'
+                    os.rename(os.path.join(dirpath, name),
+                              os.path.join(self.root, rel))
+                    entries.append({
+                        'path': rel,
+                        'partition': part_val,
+                        'rows': self._file_rows(
+                            os.path.join(self.root, rel)),
+                    })
+                    i += 1
+        finally:
+            shutil.rmtree(stage_dir, ignore_errors=True)
+        # the staged schema (post-partitionBy) drops __pv; record the
+        # ORIGINAL DataFrame schema, which matches the file contents
+        return entries, schema
+
+    @staticmethod
+    def _file_rows(path: str) -> int:
+        import pyarrow.parquet as pq
+        return pq.ParquetFile(path).metadata.num_rows
+
+    def _commit(self, operation: str, entries, schema,
+                apply: Callable[[List[dict]], List[dict]]) -> int:
+        """Optimistic-concurrency commit loop: build the child manifest on
+        the observed HEAD, claim version HEAD+1 by atomic rename, rebase
+        and retry on collision."""
+        for _attempt in range(self.max_commit_retries):
+            base_version = self.current_version()
+            base = self.snapshot(base_version)
+            manifest = {
+                'version': base_version + 1,
+                'parent': base_version or None,
+                'operation': operation,
+                'schema': schema or base.get('schema'),
+                'files': apply(list(base['files'])),
+            }
+            if self._claim_version(base_version + 1, manifest):
+                return base_version + 1
+        raise CommitConflict(
+            f'{operation}: lost {self.max_commit_retries} commit races')
+
+    def _claim_version(self, version: int, manifest: dict) -> bool:
+        """Atomically claim ``v<version>.json``; False if already taken.
+
+        POSIX ``O_CREAT|O_EXCL`` + rename on one filesystem. On an object
+        store, replace with a conditional put (S3 If-None-Match) or a
+        metastore compare-and-swap — this method is the only seam.
+        """
+        final = os.path.join(self.manifest_dir, f'v{version}.json')
+        tmp = os.path.join(self.manifest_dir,
+                           f'.tmp-{uuid.uuid4().hex}.json')
+        with open(tmp, 'w', encoding='utf-8') as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            # claim the slot exclusively, then atomically publish the
+            # payload over it (rename over our own placeholder)
+            fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            os.remove(tmp)
+            return False
+        os.rename(tmp, final)
+        return True
