@@ -1253,6 +1253,45 @@ def _q_doc_fingerprint(spark, sf_dir):
     return textops.doc_fingerprint(docs)
 
 
+_BPE_MERGES = 10
+
+
+def _q_bpe_pair_counts(spark, sf_dir):
+    # the BPE training primitive: first-iteration adjacent-pair counts
+    # over the distinct-word state (top 20, count-desc / pair-asc)
+    from ocrodjvu_spark.functions import bpe
+    docs = T.load_table(spark, sf_dir, 'documents')
+    state = bpe.word_counts(docs).select(
+        bpe.word_repr_col(F.col('word')).alias('toks_str'), 'cnt')
+    return (bpe.pair_counts(state)
+            .orderBy(F.desc('n'), F.asc('pair')).limit(20)
+            .select('pair', F.col('n').cast('long').alias('n')))
+
+
+def _q_bpe_train(spark, sf_dir):
+    # distributed BPE training (iterative argmax-merge over the
+    # vocabulary-sized state); the oracle unrolls the same 10
+    # iterations as chained materialized CTEs, so the learned merge
+    # table is value-checked end-to-end
+    from ocrodjvu_spark.functions import bpe
+    docs = T.load_table(spark, sf_dir, 'documents')
+    merges = bpe.train(docs, _BPE_MERGES, min_count=1)
+    return spark.createDataFrame(
+        [(i + 1, f'{a}{bpe.PAIR_SEP}{b}')
+         for i, (a, b) in enumerate(merges)],
+        'rank int, pair string')
+
+
+def _q_bpe_tokenize(spark, sf_dir):
+    # train-then-apply: the full tokenizer path, all JVM-side (merges
+    # as separator-bounded string replaces); hash-checked down to the
+    # full per-document token-list string
+    from ocrodjvu_spark.functions import bpe
+    docs = T.load_table(spark, sf_dir, 'documents')
+    merges = bpe.train(docs, _BPE_MERGES, min_count=1)
+    return bpe.tokenize(docs, merges)
+
+
 def _q_ann_cosine_topk(spark, sf_dir):
     emb = T.load_table(spark, sf_dir, 'embeddings')
     return similarity.cosine_topk(emb, n_queries=10, k=5)
@@ -1671,6 +1710,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'checkpoint_resume': _q_checkpoint_resume,
         'checkpoint_metrics': _q_checkpoint_metrics,
         'checkpoint_snapshot': _q_checkpoint_snapshot,   # new r5 (late)
+        'bpe_pair_counts': _q_bpe_pair_counts,           # new r5 (late)
+        'bpe_train': _q_bpe_train,                       # new r5 (late)
+        'bpe_tokenize': _q_bpe_tokenize,                 # new r5 (late)
     }
 
 
@@ -2138,6 +2180,66 @@ def _sql_ann_recall_kmeans() -> str:
 
     return (f'WITH exact AS ({_SQL_ANN_EXACT})'
             + ' UNION ALL '.join(block(np_) for np_ in (1, 2, 4)))
+
+
+# -- BPE oracle: the training loop unrolled as chained materialized CTEs.
+# State s{i} is the distinct-word token-list-string table after merge i
+# (every token individually bracketed: 'fast' -> '<f><a><s><t>'); p{i}
+# is the argmax pair label 'a|b' of iteration i (count DESC, pair ASC —
+# the engine's exact tie-break). A merge's replace pattern is rebuilt
+# from the label itself ('<'||replace(pair,'|','><')||'>' ->
+# '<'||replace(pair,'|','')||'>'), so the SQL needs no knowledge of the
+# learned tokens.
+_SQL_BPE_NORM = ("trim(regexp_replace(regexp_replace(text, '[<>/|]', '',"
+                 " 'g'), '\\s+', ' ', 'g'))")
+_SQL_BPE_TOKS = "regexp_extract_all({src}, '<([^<>]*)>', 1)"
+
+
+_SQL_BPE_PAIRS = f'''
+        SELECT unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || '|' || toks[i + 1])) AS pair,
+               cnt
+        FROM (SELECT {_SQL_BPE_TOKS.format(src='toks_str')} AS toks, cnt
+              FROM s{{prev}})'''
+
+
+def _sql_bpe_merge_expr(expr: str, i: int) -> str:
+    return (f"replace({expr}, "
+            f"'<' || replace((SELECT pair FROM p{i}), '|', '><') || '>', "
+            f"'<' || replace((SELECT pair FROM p{i}), '|', '') || '>')")
+
+
+def _sql_bpe_ctes(n_merges: int) -> str:
+    parts = [f'''
+s0 AS MATERIALIZED (
+    SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS toks_str,
+           count(*) AS cnt
+    FROM (SELECT unnest(string_split({_SQL_BPE_NORM}, ' ')) AS word
+          FROM documents)
+    WHERE word <> ''
+    GROUP BY 1
+)''']
+    for i in range(1, n_merges + 1):
+        parts.append(f'''
+p{i} AS MATERIALIZED (
+    SELECT pair FROM ({_SQL_BPE_PAIRS.format(prev=i - 1)})
+    GROUP BY pair
+    ORDER BY sum(cnt) DESC, pair
+    LIMIT 1
+)''')
+        if i < n_merges:
+            parts.append(f'''
+s{i} AS MATERIALIZED (
+    SELECT {_sql_bpe_merge_expr('toks_str', i)} AS toks_str, cnt
+    FROM s{i - 1}
+)''')
+    return 'WITH ' + ','.join(parts)
+
+
+def _sql_bpe_apply_chain(expr: str, n_merges: int) -> str:
+    for i in range(1, n_merges + 1):
+        expr = _sql_bpe_merge_expr(expr, i)
+    return expr
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3117,6 +3219,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_CONV} AS conv_id, {_TIDX} AS turn_idx,
                    {_NORM} AS extracted_text
             FROM documents
+        ''',
+        'bpe_pair_counts': _sql_bpe_ctes(0) + f'''
+            SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+            FROM ({_SQL_BPE_PAIRS.format(prev=0)})
+            GROUP BY pair
+            ORDER BY n DESC, pair
+            LIMIT 20
+        ''',
+        'bpe_train': _sql_bpe_ctes(_BPE_MERGES) + ' ' + ' UNION ALL '.join(
+            f'SELECT CAST({i} AS INTEGER) AS rank,'
+            f' (SELECT pair FROM p{i}) AS pair'
+            for i in range(1, _BPE_MERGES + 1)),
+        'bpe_tokenize': _sql_bpe_ctes(_BPE_MERGES) + f''',
+            reprd AS (
+                SELECT doc_id,
+                       len(string_split(norm, ' ')) AS n_words,
+                       replace(regexp_replace(norm, '(.)', '<\\1>', 'g'),
+                               '< >', '/') AS r0
+                FROM (SELECT doc_id, {_SQL_BPE_NORM} AS norm
+                      FROM documents)
+            )
+            SELECT doc_id,
+                   CAST(len({_SQL_BPE_TOKS.format(src='toks_str')})
+                        AS INTEGER) AS n_tokens,
+                   CAST(n_words AS INTEGER) AS n_words,
+                   toks_str
+            FROM (SELECT doc_id, n_words,
+                         {_sql_bpe_apply_chain('r0', _BPE_MERGES)}
+                             AS toks_str
+                  FROM reprd)
         ''',
         'checkpoint_metrics': f'''
             SELECT CAST(8 AS INTEGER) AS n_buckets,
