@@ -1292,6 +1292,37 @@ def _q_bpe_tokenize(spark, sf_dir):
     return bpe.tokenize(docs, merges)
 
 
+_BLOOM_M = 256
+_BLOOM_K = 3
+
+
+def _q_bloom_filter(spark, sf_dir):
+    # Bloom-filter membership pre-filter (the scalable first stage of
+    # cross-corpus dedup/decontamination): build over the corpus
+    # vocabulary, probe with a present set (words of every 7th doc) and
+    # a synthetic absent set (same words + 'zz'); the gate checks the
+    # exact bit-level outcome INCLUDING the designed false positives
+    # (m=256 over the ~60-word sf0.01 vocabulary yields exactly one FP
+    # and zero false negatives — both engines must agree on which key)
+    from ocrodjvu_spark.functions import bloom
+    docs = T.load_table(spark, sf_dir, 'documents')
+    vocab = (docs.select(F.explode(textops.tokens('text')).alias('key'))
+             .where(F.col('key') != '').distinct())
+    filt = bloom.bloom_build(vocab, 'key', m_bits=_BLOOM_M, k=_BLOOM_K)
+    present = (docs.where(F.col('doc_id') % 7 == 0)
+               .select(F.explode(textops.tokens('text')).alias('key'))
+               .where(F.col('key') != '').distinct())
+    absent = present.select(F.concat('key', F.lit('zz')).alias('key'))
+    probes = present.unionByName(absent).distinct()
+    res = bloom.bloom_probe(probes, filt, 'key',
+                            m_bits=_BLOOM_M, k=_BLOOM_K)
+    truth = vocab.withColumn('in_vocab', F.lit(1))
+    return (res.join(truth, 'key', 'left')
+            .select('key', 'maybe_present',
+                    F.col('in_vocab').isNotNull()
+                     .alias('actually_present')))
+
+
 def _q_ann_cosine_topk(spark, sf_dir):
     emb = T.load_table(spark, sf_dir, 'embeddings')
     return similarity.cosine_topk(emb, n_queries=10, k=5)
@@ -1710,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'checkpoint_resume': _q_checkpoint_resume,
         'checkpoint_metrics': _q_checkpoint_metrics,
         'checkpoint_snapshot': _q_checkpoint_snapshot,   # new r5 (late)
+        'bloom_filter': _q_bloom_filter,                 # new r5 (late)
         'bpe_pair_counts': _q_bpe_pair_counts,           # new r5 (late)
         'bpe_train': _q_bpe_train,                       # new r5 (late)
         'bpe_tokenize': _q_bpe_tokenize,                 # new r5 (late)
@@ -2240,6 +2272,60 @@ def _sql_bpe_apply_chain(expr: str, n_merges: int) -> str:
     for i in range(1, n_merges + 1):
         expr = _sql_bpe_merge_expr(expr, i)
     return expr
+
+
+def _sql_bloom() -> str:
+    # mirrors functions/bloom.py: double hashing (h1 + i*h2 + i^2) mod m,
+    # 63 bits per int64 word (sign bit clear — DuckDB raises on 1<<63)
+    idx = '[' + ', '.join(str(i) for i in range(_BLOOM_K)) + ']'
+    mask = "CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)"
+    return f'''
+        WITH vocab AS MATERIALIZED (
+            SELECT DISTINCT word AS key
+            FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+            WHERE word <> ''
+        ),
+        present AS MATERIALIZED (
+            SELECT DISTINCT word AS key
+            FROM (SELECT unnest({_TOKS}) AS word FROM documents
+                  WHERE doc_id % 7 = 0)
+            WHERE word <> ''
+        ),
+        probes AS MATERIALIZED (
+            SELECT key FROM present
+            UNION
+            SELECT key || 'zz' FROM present
+        ),
+        vpos AS (
+            SELECT unnest(list_transform({idx},
+                i -> (h1 + i * h2 + i * i) % {_BLOOM_M})) AS pos
+            FROM (SELECT h1, (h1 * 48271 + 11) % 2147483647 AS h2
+                  FROM (SELECT {_SQL_HASH('key')} AS h1 FROM vocab))
+        ),
+        bitmap AS MATERIALIZED (
+            SELECT pos // 63 AS word_idx, bit_or({mask}) AS bits
+            FROM vpos GROUP BY 1
+        ),
+        ppos AS (
+            SELECT key, unnest(list_transform({idx},
+                i -> (h1 + i * h2 + i * i) % {_BLOOM_M})) AS pos
+            FROM (SELECT key, h1,
+                         (h1 * 48271 + 11) % 2147483647 AS h2
+                  FROM (SELECT key, {_SQL_HASH('key')} AS h1
+                        FROM probes))
+        )
+        SELECT p.key,
+               (count(CASE WHEN b.bits IS NOT NULL
+                            AND (b.bits & ({mask.replace('pos', 'p.pos')}))
+                                <> 0 THEN 1 END) = {_BLOOM_K})
+                   AS maybe_present,
+               (max(CASE WHEN v.key IS NOT NULL THEN 1 ELSE 0 END) = 1)
+                   AS actually_present
+        FROM ppos p
+        LEFT JOIN bitmap b ON b.word_idx = p.pos // 63
+        LEFT JOIN vocab v ON v.key = p.key
+        GROUP BY p.key
+    '''
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3220,6 +3306,7 @@ def oracle_sql() -> dict[str, str]:
                    {_NORM} AS extracted_text
             FROM documents
         ''',
+        'bloom_filter': _sql_bloom(),
         'bpe_pair_counts': _sql_bpe_ctes(0) + f'''
             SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
             FROM ({_SQL_BPE_PAIRS.format(prev=0)})
