@@ -1296,6 +1296,24 @@ _BLOOM_M = 256
 _BLOOM_K = 3
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    # cross-snapshot dedup THROUGH the bloom prefilter: "seen" = every
+    # 3rd doc's content hash; the batch = the whole corpus; survivors
+    # must be identical to the plain anti-join (the oracle is
+    # bloom-agnostic — the filter's no-false-negative guarantee is the
+    # thing under test, composed end-to-end)
+    from ocrodjvu_spark.functions import bloom
+    docs = T.load_table(spark, sf_dir, 'documents')
+    seen = (docs.where(F.col('doc_id') % 3 == 0)
+            .select(F.md5(textops.norm_text('text'))
+                    .alias('content_hash')))
+    filt = bloom.bloom_build(
+        seen.select(F.col('content_hash').alias('key')).distinct(),
+        m_bits=_BLOOM_M, k=_BLOOM_K)
+    return textops.incremental_dedup(
+        docs, seen, bloom_df=filt, m_bits=_BLOOM_M, k=_BLOOM_K)
+
+
 def _q_bloom_filter(spark, sf_dir):
     # Bloom-filter membership pre-filter (the scalable first stage of
     # cross-corpus dedup/decontamination): build over the corpus
@@ -1742,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'checkpoint_metrics': _q_checkpoint_metrics,
         'checkpoint_snapshot': _q_checkpoint_snapshot,   # new r5 (late)
         'bloom_filter': _q_bloom_filter,                 # new r5 (late)
+        'dedup_incremental': _q_dedup_incremental,       # new r5 (late)
         'bpe_pair_counts': _q_bpe_pair_counts,           # new r5 (late)
         'bpe_train': _q_bpe_train,                       # new r5 (late)
         'bpe_tokenize': _q_bpe_tokenize,                 # new r5 (late)
@@ -3307,6 +3326,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         ''',
         'bloom_filter': _sql_bloom(),
+        # bloom-agnostic on purpose: the prefiltered survivor set must
+        # equal the plain anti-join + batch-internal keep-first
+        'dedup_incremental': f'''
+            WITH keyed AS (
+                SELECT doc_id, md5({_NORM}) AS content_hash
+                FROM documents
+            ),
+            seen AS (
+                SELECT DISTINCT content_hash FROM keyed
+                WHERE doc_id % 3 = 0
+            )
+            SELECT min(k.doc_id) AS doc_id, k.content_hash
+            FROM keyed k LEFT JOIN seen s USING (content_hash)
+            WHERE s.content_hash IS NULL
+            GROUP BY k.content_hash
+        ''',
         'bpe_pair_counts': _sql_bpe_ctes(0) + f'''
             SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
             FROM ({_SQL_BPE_PAIRS.format(prev=0)})

@@ -1107,6 +1107,58 @@ def dedup_lines(docs: DataFrame, id_col='doc_id', text_col='text',
                  .alias('n_removed')))
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_keys: DataFrame,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    key_col: str = 'content_hash',
+    bloom_df: Optional[DataFrame] = None,
+    m_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Cross-snapshot dedup: which new-crawl documents survive against
+    an existing corpus snapshot?
+
+    Survivors are documents whose normalized-content hash (a) does not
+    appear in ``seen_keys`` (one column named ``key_col``) and (b) are
+    the first occurrence of their hash inside this batch (min id —
+    the skew-safe min-struct aggregation, not a window).
+
+    ``bloom_df`` (a ``bloom.bloom_build`` bitmap over the seen keys)
+    is the scale path: keys the filter rejects are DEFINITELY unseen
+    (no false negatives) and skip the anti-join entirely; only the
+    ``maybe_present`` minority — true dupes plus the designed FP rate —
+    reaches the exact check. At 100 TB the anti-join's shuffle shrinks
+    by whatever fraction of the batch is genuinely new, for the cost
+    of a broadcast-sized bitmap probe. The result is provably
+    IDENTICAL with or without the prefilter, which is exactly what the
+    driver gate checks (its oracle is bloom-agnostic).
+    """
+    keyed = new_docs.select(
+        F.col(id_col), F.md5(norm_text(text_col)).alias(key_col))
+    seen = seen_keys.select(F.col(key_col)).distinct()
+    if bloom_df is not None:
+        from .bloom import bloom_probe
+        probed = bloom_probe(
+            keyed.select(F.col(key_col).alias('key')).distinct(),
+            bloom_df, m_bits=m_bits, k=k)
+        flagged = keyed.join(
+            probed.withColumnRenamed('key', key_col), key_col)
+        fast = (flagged.where(~F.col('maybe_present'))
+                .select(id_col, key_col))
+        slow = (flagged.where(F.col('maybe_present'))
+                .select(id_col, key_col)
+                .join(seen, key_col, 'left_anti'))
+        unseen = fast.unionByName(slow)
+    else:
+        unseen = keyed.join(seen, key_col, 'left_anti')
+    return (unseen
+            .groupBy(key_col)
+            .agg(F.min(F.col(id_col)).alias(id_col))
+            .select(id_col, key_col))
+
+
 SCRIPT_CLASSES = (
     # (name, Java regex class, RE2/DuckDB regex class) — order is the
     # deterministic tie-break for the dominant script

@@ -3,7 +3,7 @@ equivalence, and the plan shapes the scale story relies on."""
 
 import random
 
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 from ocrodjvu_spark.functions import bloom
 from ocrodjvu_spark.functions.textops import HASH_MOD
@@ -66,6 +66,30 @@ def test_probe_matches_python_reference_bitwise(spark):
         # sanity: the parameters actually exercise the FP path
         fps = [p for p in probes if want[p] and p not in members]
         assert fps, f'seed {seed}: no false positives to check'
+
+
+def test_incremental_dedup_prefilter_is_lossless(spark):
+    # the bloom-prefiltered survivor set must equal the plain anti-join
+    # (no-false-negative guarantee composed end-to-end), across seeds
+    # where the filter does produce false positives
+    from ocrodjvu_spark.functions import textops
+    rng = random.Random(5)
+    texts = [' '.join(_rand_keys(rng, rng.randrange(1, 6)))
+             for _ in range(60)]
+    texts += texts[:15]  # genuine cross/batch dupes
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    seen = (docs.where((docs.doc_id % 4) == 0)
+            .select(F.md5(textops.norm_text('text'))
+                    .alias('content_hash')))
+    filt = bloom.bloom_build(
+        seen.select(seen.content_hash.alias('key')).distinct(),
+        m_bits=128, k=3)
+    plain = textops.incremental_dedup(docs, seen)
+    fast = textops.incremental_dedup(docs, seen, bloom_df=filt,
+                                     m_bits=128, k=3)
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, fast.collect()))
 
 
 def test_build_plan_has_partial_bitmap_aggregation(spark):
