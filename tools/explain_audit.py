@@ -337,6 +337,54 @@ def main():
 
     import __spark_entry__ as entrymod
 
+    from ocrodjvu_spark.functions import bloom, bpe  # noqa: E402
+    docs = T.load_table(spark, sf_dir, 'documents')
+
+    audit(
+        'BPE tokenize (map-only JVM replace chain)',
+        bpe.tokenize(docs, [('t', 'h'), ('th', 'e'), ('e', 'r')]),
+        [
+            ('no Python stage (merges are JVM string replaces)',
+             lambda p: 'EvalPython' not in p),
+            ('no shuffle (pure projection)',
+             lambda p: 'Exchange' not in p),
+            ('scan reads only doc_id and text',
+             lambda p: 'ReadSchema: struct<doc_id:bigint,text:string>'
+             in p),
+        ])
+
+    _bpe_state = bpe.word_counts(docs).select(
+        bpe.word_repr_col(F.col('word')).alias('toks_str'), 'cnt')
+    audit(
+        'BPE pair counts (training inner loop)',
+        bpe.pair_counts(_bpe_state),
+        [
+            ('map-side partial count before the pair shuffle',
+             lambda p: 'partial_sum' in p or 'partial' in p),
+            ('pair explode via Generate (no repeated higher-order '
+             'array expression)',
+             lambda p: 'Generate explode' in p),
+        ])
+
+    _vocab = docs.select(
+        F.explode(textops.tokens('text')).alias('key')).where(
+        F.col('key') != '').distinct()
+    _filt = bloom.bloom_build(_vocab, m_bits=4096, k=3)
+    audit(
+        'bloom build (shuffle bounded by bitmap size)',
+        _filt,
+        [
+            ('partial bit_or before the word_idx shuffle',
+             lambda p: 'partial_bit_or' in p),
+        ])
+    audit(
+        'bloom probe (broadcast bitmap, no bitmap-side shuffle)',
+        bloom.bloom_probe(_vocab, _filt, m_bits=4096, k=3),
+        [
+            ('bitmap joins as BroadcastHashJoin',
+             lambda p: 'BroadcastHashJoin' in p),
+        ])
+
     audit(
         'conversation packing (partition-local window, no global sort)',
         entrymod.queries()['conversation_packing'](spark, sf_dir),
