@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from typing import Iterable, List, Sequence, Union
 
+from .sexpr import _escape_string
+
 # --- zone types: total order, coarser is greater -------------------------
 
 ZONE_CHARACTER = 1
@@ -108,7 +110,9 @@ class Zone:
 
     def __init__(self, type: int, bbox=None, children: Iterable[ZoneChild] = ()):
         self.type = type
-        self.bbox = bbox
+        # inline the bbox property setter: __init__ runs once per zone
+        # on the extraction hot path
+        self._bbox = None if bbox is None else tuple(bbox)
         self.children: List[ZoneChild] = list(children)
 
     @property
@@ -173,7 +177,6 @@ class Zone:
         return ''.join(out)
 
     def _compact_into(self, out: List[str]) -> None:
-        from . import sexpr as _sexpr
         x0, y0, x1, y1 = self._bbox
         if x0 > x1:
             x0, x1 = x1, x0
@@ -186,7 +189,7 @@ class Zone:
         out.append(f'({ZONE_NAME[self.type]} {x0} {y0} {x1} {y1}')
         children = self.children
         if children:
-            escape = _sexpr._escape_string
+            escape = _escape_string
             for child in children:
                 out.append(' ')
                 if isinstance(child, Zone):

@@ -54,8 +54,13 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
         F.pmod(F.xxhash64('conv_id'), F.lit(n_buckets)).cast('int'))
 
 
-def completed_buckets(spark: SparkSession, sidecar_path: str) -> List[int]:
-    sidecar = _read_sidecar(spark, sidecar_path)
+def completed_buckets(spark: SparkSession, sidecar_path: str,
+                      table_format: str = 'parquet') -> List[int]:
+    if table_format == 'snapshot':
+        from .snapstore import SnapshotTable
+        sidecar = SnapshotTable(sidecar_path).read(spark)
+    else:
+        sidecar = _read_sidecar(spark, sidecar_path)
     if sidecar is None:
         return []
     rows = sidecar.select(BUCKET_COL).distinct().collect()
@@ -72,6 +77,7 @@ def run_extraction(
     salt_buckets: Optional[int] = None,
     raw_output_path: Optional[str] = None,
     raw_template: str = '{id}/p{page+1}',
+    table_format: str = 'parquet',
     **extract_kwargs,
 ) -> List[int]:
     """Run (or resume) the extraction job; returns buckets processed.
@@ -82,8 +88,23 @@ def run_extraction(
     mega-conversation spreads over that many tasks (skew split); the
     extraction UDF then runs on the salted layout before the final
     by-bucket exchange for the partitioned write.
+
+    ``table_format``: ``'parquet'`` commits via dynamic partition
+    overwrite (zero metadata, loud in-flight-reader failures);
+    ``'snapshot'`` commits output and sidecar through
+    ``snapstore.SnapshotTable`` (atomic manifest swap — pinned readers
+    keep working across a resumed bucket's re-commit, time travel,
+    optimistic concurrency). The idempotency/resume contract is
+    identical in both.
     """
-    done = set(completed_buckets(spark, sidecar_path))
+    if table_format not in ('parquet', 'snapshot'):
+        raise ValueError(f'unknown table_format: {table_format!r}')
+    snap_out = snap_side = None
+    if table_format == 'snapshot':
+        from .snapstore import SnapshotTable
+        snap_out = SnapshotTable(output_path)
+        snap_side = SnapshotTable(sidecar_path)
+    done = set(completed_buckets(spark, sidecar_path, table_format))
     pending = [b for b in range(n_buckets) if b not in done]
     if max_buckets is not None:
         pending = pending[:max_buckets]
@@ -100,19 +121,27 @@ def run_extraction(
         src, keep_columns=('role', 'tool', 'ts', BUCKET_COL),
         salt_buckets=salt_buckets, **extract_kwargs)
 
-    (extracted
-     .repartition(max(len(pending), 1), F.col(BUCKET_COL))
-     .write
-     .partitionBy(BUCKET_COL)
-     .option('partitionOverwriteMode', 'dynamic')
-     .mode('overwrite')
-     .parquet(output_path))
+    shaped = extracted.repartition(max(len(pending), 1), F.col(BUCKET_COL))
+    if snap_out is not None:
+        snap_out.replace_partitions(shaped, BUCKET_COL)
+        written = snap_out.read(spark, partition_values=pending)
+    else:
+        (shaped
+         .write
+         .partitionBy(BUCKET_COL)
+         .option('partitionOverwriteMode', 'dynamic')
+         .mode('overwrite')
+         .parquet(output_path))
+        written = (spark.read.parquet(output_path)
+                   .where(F.col(BUCKET_COL).isin(pending)))
+
+    if written is None:  # snapshot path, every pending bucket empty
+        written = shaped.limit(0)
 
     # lineage + metrics, appended only after the bucket data is durable;
     # empty buckets get a zero row so they are marked complete too
     observed = (
-        spark.read.parquet(output_path)
-        .where(F.col(BUCKET_COL).isin(pending))
+        written
         .groupBy(BUCKET_COL)
         .agg(
             # distinct turns, not exploded page rows (same rule as
@@ -141,7 +170,10 @@ def run_extraction(
             F.current_timestamp().alias('run_ts'),
         )
     )
-    metrics.write.mode('append').parquet(sidecar_path)
+    if snap_side is not None:
+        snap_side.append(metrics)
+    else:
+        metrics.write.mode('append').parquet(sidecar_path)
     return pending
 
 

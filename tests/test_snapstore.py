@@ -211,6 +211,42 @@ def test_exhausted_retries_raise(spark, tmp_path):
         t.append(_docs(spark, 'x', n=1))
 
 
+def test_run_extraction_snapshot_backend_resumes(spark, tmp_path):
+    # the checkpoint driver on the snapshot store: phase 1 commits 3
+    # buckets (snapshot v1+v2: data + sidecar), phase 2 resumes the
+    # rest; final HEAD equals a clean full recompute, sidecar marks all
+    # 8 buckets, and a reader pinned before phase 2 still reads
+    # phase 1's snapshot afterwards.
+    from ocrodjvu_spark import pipeline
+    from ocrodjvu_spark.plans.snapstore import SnapshotTable
+    out = str(tmp_path / 'out')
+    side = str(tmp_path / 'side')
+    tr = T.synthesize_transcripts(spark, SF_DIR)
+    done1 = checkpoint.run_extraction(
+        spark, tr, out, side, n_buckets=8, max_buckets=3,
+        table_format='snapshot', emit_spans=False, emit_sexpr=False)
+    assert len(done1) == 3
+    pinned = SnapshotTable(out).read(spark)
+    n_phase1 = pinned.count()
+    done2 = checkpoint.run_extraction(
+        spark, tr, out, side, n_buckets=8,
+        table_format='snapshot', emit_spans=False, emit_sexpr=False)
+    assert sorted(done1 + done2) == list(range(8))
+    # resume is idempotent: nothing pending on a third run
+    assert checkpoint.run_extraction(
+        spark, tr, out, side, n_buckets=8,
+        table_format='snapshot', emit_spans=False, emit_sexpr=False) == []
+    full = pipeline.extract_turns(
+        checkpoint.with_bucket(tr, 8),
+        keep_columns=(checkpoint.BUCKET_COL,),
+        emit_spans=False, emit_sexpr=False).count()
+    assert SnapshotTable(out).read(spark).count() == full
+    # pinned reader unaffected by phase 2's commits
+    assert pinned.count() == n_phase1
+    sidecar = SnapshotTable(side).read(spark)
+    assert sidecar.select(checkpoint.BUCKET_COL).distinct().count() == 8
+
+
 def test_extraction_into_snapshot_table(spark, tmp_path):
     # End-to-end: bucketed extraction committed per-run via
     # replace_partitions carries the checkpoint idempotency contract on

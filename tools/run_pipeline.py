@@ -47,6 +47,13 @@ def main(argv=None):
                              "'{id}/p{page+1}'")
     parser.add_argument('--pages', default=None,
                         help="turn ranges, e.g. '17,37-42'")
+    parser.add_argument('--table-format', default='parquet',
+                        choices=('parquet', 'snapshot'),
+                        dest='table_format',
+                        help='output/sidecar commit protocol: plain '
+                             'dynamic-partition overwrite, or the '
+                             'snapshot-manifest store (atomic commits, '
+                             'pinned readers, time travel)')
     args = parser.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -71,12 +78,19 @@ def main(argv=None):
         n_buckets=args.buckets, max_buckets=args.max_buckets,
         salt_buckets=args.salt,
         raw_output_path=args.raw_output, raw_template=args.raw_template,
+        table_format=args.table_format,
         details=args.details,
         uax29=(args.language if args.segmentation == 'uax29' else None),
         rotation=args.rotation, fix_utf8=args.fix_utf8,
     )
     elapsed = time.time() - t0
-    metrics = spark.read.parquet(args.sidecar) if processed else None
+    if not processed:
+        metrics = None
+    elif args.table_format == 'snapshot':
+        from ocrodjvu_spark.plans.snapstore import SnapshotTable
+        metrics = SnapshotTable(args.sidecar).read(spark)
+    else:
+        metrics = spark.read.parquet(args.sidecar)
     summary = {
         'buckets_processed': len(processed),
         'elapsed_sec': round(elapsed, 2),
