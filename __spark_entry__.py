@@ -1296,6 +1296,21 @@ _BLOOM_M = 256
 _BLOOM_K = 3
 
 
+_HLL_P = 6
+
+
+def _q_hll_registers(spark, sf_dir):
+    # HyperLogLog sketch over the corpus vocabulary: the gate compares
+    # the full (register, max_rank) table — integer-exact across
+    # engines (no float estimate in the hash compare; estimator
+    # accuracy is tolerance-asserted in tests/test_hll.py)
+    from ocrodjvu_spark.functions import hll
+    docs = T.load_table(spark, sf_dir, 'documents')
+    words = (docs.select(F.explode(textops.tokens('text')).alias('key'))
+             .where(F.col('key') != ''))
+    return hll.hll_sketch(words, p=_HLL_P)
+
+
 def _q_dedup_incremental(spark, sf_dir):
     # cross-snapshot dedup THROUGH the bloom prefilter: "seen" = every
     # 3rd doc's content hash; the batch = the whole corpus; survivors
@@ -1761,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'checkpoint_snapshot': _q_checkpoint_snapshot,   # new r5 (late)
         'bloom_filter': _q_bloom_filter,                 # new r5 (late)
         'dedup_incremental': _q_dedup_incremental,       # new r5 (late)
+        'hll_registers': _q_hll_registers,               # new r5 (late)
         'bpe_pair_counts': _q_bpe_pair_counts,           # new r5 (late)
         'bpe_train': _q_bpe_train,                       # new r5 (late)
         'bpe_tokenize': _q_bpe_tokenize,                 # new r5 (late)
@@ -3326,6 +3342,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         ''',
         'bloom_filter': _sql_bloom(),
+        # register/rank arithmetic mirrored from functions/hll.py:
+        # two finalization rounds, register = h mod m, payload = h div
+        # m, rank = W+1-bit_length
+        'hll_registers': f'''
+            SELECT CAST(h % {1 << _HLL_P} AS INTEGER) AS register,
+                   CAST(max(CASE WHEN h // {1 << _HLL_P} = 0
+                                 THEN {31 - _HLL_P + 1}
+                                 ELSE {31 - _HLL_P + 1}
+                                      - length(bin(h // {1 << _HLL_P}))
+                            END) AS INTEGER) AS max_rank
+            FROM (
+                SELECT ((h0 * 48271 + 11) % 2147483647 * 69621 + 7)
+                           % 2147483647 AS h
+                FROM (
+                    SELECT {_SQL_HASH('word')} AS h0
+                    FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+                    WHERE word <> ''
+                )
+            )
+            GROUP BY 1
+        ''',
         # bloom-agnostic on purpose: the prefiltered survivor set must
         # equal the plain anti-join + batch-internal keep-first
         'dedup_incremental': f'''
