@@ -48,6 +48,12 @@ def get_spark(
         .config('spark.ui.enabled', 'false')
         .config('spark.driver.memory',
                 os.environ.get('SPARK_GRAFT_DRIVER_MEM', '8g'))
+        # catalog tables (bucketed co-located joins) go under /tmp, not
+        # the repo working directory
+        .config('spark.sql.warehouse.dir',
+                '/tmp/ocrodjvu-spark-warehouse')
+        .config('spark.driver.extraJavaOptions',
+                '-Dderby.system.home=/tmp/ocrodjvu-spark-derby')
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
