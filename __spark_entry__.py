@@ -243,6 +243,66 @@ def _q_streaming_dedup(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+def _q_streaming_ingest(spark, sf_dir):
+    # streaming incremental ingestion (foreachBatch + durable seen-keys
+    # registry on the snapshot store): batch 1 = the whole corpus,
+    # batch 2 = full-copy re-deliveries of every 7th/11th row, registry
+    # pre-seeded with every 5th doc's hash ("previously ingested").
+    # Batch 2's duplicates must be dropped BY THE REGISTRY (cross-batch
+    # durable state), not in-memory stream state; final corpus = one
+    # min-doc_id row per content hash not in the seed. Tagged commits
+    # make replays idempotent (tested in test_snapstore).
+    import os
+    import shutil
+    import time
+
+    from ocrodjvu_spark.plans.snapstore import SnapshotTable
+    from ocrodjvu_spark.streaming import ingest as IG
+    base = _gate_tempdir('ocrodjvu-spark-ingest-')
+    src = os.path.join(base, 'src')
+    os.makedirs(src)
+    docs = T.load_table(spark, sf_dir, 'documents')
+    conv_id, turn_idx, role, ts = T.turn_key_exprs()
+    turns = docs.select(
+        F.col('doc_id'), conv_id.alias('conv_id'),
+        turn_idx.alias('turn_idx'), role.alias('role'),
+        F.col('text'), ts.alias('ts'))
+    redeliveries = turns.where(
+        (F.col('doc_id') % 7 == 0) | (F.col('doc_id') % 11 == 0))
+    now = time.time()
+    for i, (name, df_part) in enumerate(
+            (('b1', turns), ('b2', redeliveries))):
+        tmp = os.path.join(base, f'tmp_{name}')
+        (df_part.coalesce(1).sortWithinPartitions('doc_id')
+         .write.parquet(tmp))
+        part = [f for f in os.listdir(tmp)
+                if f.endswith('.parquet')][0]
+        dst = os.path.join(src, f'{name}.parquet')
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (now + i, now + i))  # b1 triggers first
+    registry_root = os.path.join(base, 'registry')
+    IG.seed_registry(
+        spark, registry_root,
+        docs.where(F.col('doc_id') % 5 == 0)
+            .select(F.md5(textops.norm_text('text'))
+                    .alias(IG.KEY_COL)))
+    stream = (spark.readStream
+              .schema('doc_id bigint, conv_id string, turn_idx int, '
+                      'role string, text string, ts timestamp')
+              .option('maxFilesPerTrigger', 1)
+              .parquet(src))
+    corpus_root = os.path.join(base, 'corpus')
+    IG.run_incremental_ingest(
+        stream, corpus_root, registry_root,
+        os.path.join(base, 'ckpt')).awaitTermination()
+    corpus = SnapshotTable(corpus_root)
+    if corpus.find_tag('ingest-1-corpus') is None:
+        raise AssertionError('second micro-batch never committed — '
+                             'the cross-batch registry path was not '
+                             'exercised')
+    return corpus.read(spark).select('conv_id', 'turn_idx', 'text')
+
+
 def _gate_tempdir(prefix: str) -> str:
     """mkdtemp + exit-time removal (gate runs must not accumulate a
     corpus copy per invocation under /tmp)."""
@@ -1777,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'bloom_filter': _q_bloom_filter,                 # new r5 (late)
         'dedup_incremental': _q_dedup_incremental,       # new r5 (late)
         'hll_registers': _q_hll_registers,               # new r5 (late)
+        'streaming_ingest': _q_streaming_ingest,         # new r5 (late)
         'bpe_pair_counts': _q_bpe_pair_counts,           # new r5 (late)
         'bpe_train': _q_bpe_train,                       # new r5 (late)
         'bpe_tokenize': _q_bpe_tokenize,                 # new r5 (late)
@@ -3362,6 +3423,28 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             GROUP BY 1
+        ''',
+        # the streamed, registry-backed variant of dedup_incremental:
+        # seed = every 5th doc's hash; survivors = min-doc_id row per
+        # unseen hash (batch-2 re-deliveries are full copies, so the
+        # result is delivery-order-independent)
+        'streaming_ingest': f'''
+            WITH keyed AS (
+                SELECT doc_id, {_CONV} AS conv_id, {_TIDX} AS turn_idx,
+                       text, md5({_NORM}) AS h
+                FROM documents
+            ),
+            seen AS (
+                SELECT DISTINCT h FROM keyed WHERE doc_id % 5 = 0
+            )
+            SELECT k.conv_id, k.turn_idx, k.text
+            FROM keyed k
+            JOIN (
+                SELECT h, min(doc_id) AS doc_id
+                FROM keyed
+                WHERE h NOT IN (SELECT h FROM seen)
+                GROUP BY h
+            ) w ON w.doc_id = k.doc_id
         ''',
         # bloom-agnostic on purpose: the prefiltered survivor set must
         # equal the plain anti-join + batch-internal keep-first

@@ -168,11 +168,31 @@ class SnapshotTable:
     # -- writes -------------------------------------------------------------
 
     def append(self, df: DataFrame,
-               partition_col: Optional[str] = None) -> int:
-        """Commit ``df`` as new files appended to HEAD; returns the version."""
+               partition_col: Optional[str] = None,
+               tag: Optional[str] = None) -> int:
+        """Commit ``df`` as new files appended to HEAD; returns the version.
+
+        ``tag`` makes the append IDEMPOTENT: if any committed snapshot
+        already carries the tag, the call is a no-op returning that
+        version (and nothing is staged). This is how a streaming
+        ``foreachBatch`` writer achieves exactly-once appends — tag with
+        the batch id, and a replayed batch after a crash commits
+        nothing twice.
+        """
+        if tag is not None:
+            existing = self.find_tag(tag)
+            if existing is not None:
+                return existing
         entries, schema = self._stage(df, partition_col)
         return self._commit('append', entries, schema,
-                            apply=lambda base: base + entries)
+                            apply=lambda base: base + entries, tag=tag)
+
+    def find_tag(self, tag: str) -> Optional[int]:
+        """The version committed under ``tag``, or None."""
+        for v in self.versions():
+            if self.snapshot(v).get('tag') == tag:
+                return v
+        return None
 
     def overwrite(self, df: DataFrame,
                   partition_col: Optional[str] = None) -> int:
@@ -284,11 +304,19 @@ class SnapshotTable:
         return pq.ParquetFile(path).metadata.num_rows
 
     def _commit(self, operation: str, entries, schema,
-                apply: Callable[[List[dict]], List[dict]]) -> int:
+                apply: Callable[[List[dict]], List[dict]],
+                tag: Optional[str] = None) -> int:
         """Optimistic-concurrency commit loop: build the child manifest on
         the observed HEAD, claim version HEAD+1 by atomic rename, rebase
         and retry on collision."""
         for _attempt in range(self.max_commit_retries):
+            if tag is not None:
+                # the race variant of the idempotence check: a replayed
+                # committer that lost the claim to its twin must not
+                # re-commit on rebase
+                existing = self.find_tag(tag)
+                if existing is not None:
+                    return existing
             base_version = self.current_version()
             base = self.snapshot(base_version)
             manifest = {
@@ -298,6 +326,8 @@ class SnapshotTable:
                 'schema': schema or base.get('schema'),
                 'files': apply(list(base['files'])),
             }
+            if tag is not None:
+                manifest['tag'] = tag
             if self._claim_version(base_version + 1, manifest):
                 return base_version + 1
         raise CommitConflict(

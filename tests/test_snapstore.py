@@ -172,6 +172,43 @@ def test_concurrent_threaded_appends_all_land(spark, tmp_path):
         set('abcd')
 
 
+def test_tagged_append_is_idempotent(spark, tmp_path):
+    # the exactly-once seam for foreachBatch writers: replaying a
+    # tagged commit is a no-op
+    t = SnapshotTable(str(tmp_path / 't'))
+    v1 = t.append(_docs(spark, 'a'), tag='batch-0')
+    v2 = t.append(_docs(spark, 'a'), tag='batch-0')  # replay
+    assert v1 == v2 == 1
+    assert t.current_version() == 1
+    assert t.read(spark).count() == 20
+    assert t.find_tag('batch-0') == 1
+    assert t.find_tag('batch-1') is None
+    t.append(_docs(spark, 'b'), tag='batch-1')
+    assert t.read(spark).count() == 40
+
+
+def test_tagged_append_race_commits_once(spark, tmp_path):
+    # twin committers with the same tag (a replayed batch racing its
+    # original): the loser must observe the winner's tag on rebase and
+    # commit nothing
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'base', n=4))
+    twin_df = _docs(spark, 'twin', n=6)
+    orig_claim = t._claim_version
+    raced = {'done': False}
+
+    def racing_claim(version, manifest):
+        if not raced['done']:
+            raced['done'] = True
+            SnapshotTable(t.root).append(twin_df, tag='batch-7')
+        return orig_claim(version, manifest)
+
+    t._claim_version = racing_claim
+    v = t.append(twin_df, tag='batch-7')
+    assert v == t.current_version() == 2
+    assert t.read(spark).count() == 4 + 6  # twin landed exactly once
+
+
 def test_expire_snapshots_keeps_live_files(spark, tmp_path):
     t = SnapshotTable(str(tmp_path / 't'))
     t.append(_docs(spark, 'v1'))
