@@ -1357,6 +1357,26 @@ _BLOOM_K = 3
 
 
 _HLL_P = 6
+_CMS_D = 3
+_CMS_W = 64
+
+
+def _q_cms_counts(spark, sf_dir):
+    # Count-Min frequency sketch over all word occurrences, probed with
+    # the distinct vocabulary: (key, est, true_n) — w=64 forces real
+    # collisions at sf0.01, so est > true_n for some keys and both
+    # engines must agree on the exact overcounts (integer-exact);
+    # est >= true_n always (one-sided error, asserted in tests)
+    from ocrodjvu_spark.functions import cms
+    docs = T.load_table(spark, sf_dir, 'documents')
+    words = (docs.select(F.explode(textops.tokens('text')).alias('key'))
+             .where(F.col('key') != ''))
+    sketch = cms.cms_build(words, d=_CMS_D, w=_CMS_W)
+    est = cms.cms_estimate(words.distinct(), sketch,
+                           d=_CMS_D, w=_CMS_W)
+    truth = words.groupBy(F.col('key')).agg(
+        F.count('*').alias('true_n'))
+    return est.join(truth, 'key')
 
 
 def _q_hll_registers(spark, sf_dir):
@@ -1838,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_incremental': _q_dedup_incremental,       # new r5 (late)
         'hll_registers': _q_hll_registers,               # new r5 (late)
         'streaming_ingest': _q_streaming_ingest,         # new r5 (late)
+        'cms_counts': _q_cms_counts,                     # new r5 (late)
         'bpe_pair_counts': _q_bpe_pair_counts,           # new r5 (late)
         'bpe_train': _q_bpe_train,                       # new r5 (late)
         'bpe_tokenize': _q_bpe_tokenize,                 # new r5 (late)
@@ -3403,6 +3424,44 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         ''',
         'bloom_filter': _sql_bloom(),
+        # counter arithmetic mirrored from functions/cms.py: finalized
+        # fold hash, row-salted double hashing, min over d counters
+        'cms_counts': f'''
+            WITH occ AS MATERIALIZED (
+                SELECT word AS key
+                FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+                WHERE word <> ''
+            ),
+            hashed AS MATERIALIZED (
+                SELECT key,
+                       (h * 48271 + 11) % 2147483647 AS h2, h
+                FROM (
+                    SELECT key,
+                           ((h0 * 48271 + 11) % 2147483647 * 69621 + 7)
+                               % 2147483647 AS h
+                    FROM (SELECT key, {_SQL_HASH('key')} AS h0
+                          FROM occ)
+                )
+            ),
+            cells AS MATERIALIZED (
+                SELECT u.j AS row_, (h + u.j * h2 + u.j * u.j)
+                           % {_CMS_W} AS pos, key
+                FROM hashed,
+                     (SELECT unnest(range(0, {_CMS_D})) AS j) u
+            ),
+            counters AS MATERIALIZED (
+                SELECT row_, pos, count(*) AS n
+                FROM cells GROUP BY 1, 2
+            )
+            SELECT c.key,
+                   CAST(min(ct.n) AS BIGINT) AS est,
+                   CAST(min(tr.true_n) AS BIGINT) AS true_n
+            FROM (SELECT DISTINCT row_, pos, key FROM cells) c
+            JOIN counters ct USING (row_, pos)
+            JOIN (SELECT key, count(*) AS true_n FROM occ GROUP BY 1) tr
+              ON tr.key = c.key
+            GROUP BY c.key
+        ''',
         # register/rank arithmetic mirrored from functions/hll.py:
         # two finalization rounds, register = h mod m, payload = h div
         # m, rank = W+1-bit_length
