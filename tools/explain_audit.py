@@ -385,6 +385,25 @@ def main():
              lambda p: 'BroadcastHashJoin' in p),
         ])
 
+    from ocrodjvu_spark.functions import cms, hll  # noqa: E402
+    _words = docs.select(
+        F.explode(textops.tokens('text')).alias('key')).where(
+        F.col('key') != '')
+    audit(
+        'HLL sketch build (shuffle bounded at m registers)',
+        hll.hll_sketch(_words, p=6),
+        [
+            ('partial max before the register shuffle',
+             lambda p: 'partial_max' in p),
+        ])
+    audit(
+        'CMS build (shuffle bounded at d*w cells)',
+        cms.cms_build(_words, d=3, w=64),
+        [
+            ('partial count before the cell shuffle',
+             lambda p: 'partial_count' in p),
+        ])
+
     audit(
         'conversation packing (partition-local window, no global sort)',
         entrymod.queries()['conversation_packing'](spark, sf_dir),
