@@ -353,13 +353,14 @@ def _q_stateful_conversation_state(spark, sf_dir):
 
 def _q_multimodal_features(spark, sf_dir):
     # binary multimodal pipeline end-to-end: real netpbm/BMP/TIFF image
-    # payloads AND real 8-bit-PCM WAV audio payloads -> mapInPandas
-    # decode (stdlib codecs, kernel/image_codecs.py +
-    # kernel/audio_codecs.py) with exact geometry / sample counts /
-    # integer sample sums / duration; video stays the one documented
-    # stub (no codec in this container). checksum (md5 of raw payload
-    # bytes) is pinned by unit tests instead — DuckDB cannot rebuild
-    # the binary payload to hash it.
+    # payloads, real 8-bit-PCM WAV audio AND real uncompressed-AVI
+    # video payloads -> mapInPandas decode (stdlib codecs,
+    # kernel/{image,audio,video}_codecs.py) with exact geometry /
+    # sample counts / integer sample sums / duration; compressed
+    # codecs remain out of scope (no codec library in this container;
+    # undecodable payloads stub-route with decoder='stub'). checksum
+    # (md5 of raw payload bytes) is pinned by unit tests instead —
+    # DuckDB cannot rebuild the binary payload to hash it.
     from ocrodjvu_spark.functions import multimodal as MM
     media = MM.synthesize_media(spark, sf_dir)
     return MM.extract_features(media).drop('checksum')
@@ -1406,7 +1407,7 @@ def _q_dedup_incremental(spark, sf_dir):
         seen.select(F.col('content_hash').alias('key')).distinct(),
         m_bits=_BLOOM_M, k=_BLOOM_K)
     return textops.incremental_dedup(
-        docs, seen, bloom_df=filt, m_bits=_BLOOM_M, k=_BLOOM_K)
+        docs, seen, bloom_filter=filt)
 
 
 def _q_bloom_filter(spark, sf_dir):
@@ -1427,8 +1428,7 @@ def _q_bloom_filter(spark, sf_dir):
                .where(F.col('key') != '').distinct())
     absent = present.select(F.concat('key', F.lit('zz')).alias('key'))
     probes = present.unionByName(absent).distinct()
-    res = bloom.bloom_probe(probes, filt, 'key',
-                            m_bits=_BLOOM_M, k=_BLOOM_K)
+    res = bloom.bloom_probe(probes, filt, 'key')
     truth = vocab.withColumn('in_vocab', F.lit(1))
     return (res.join(truth, 'key', 'left')
             .select('key', 'maybe_present',

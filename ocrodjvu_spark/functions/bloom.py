@@ -28,7 +28,7 @@ including its false positives.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Union
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -38,6 +38,15 @@ from .textops import HASH_MOD, rolling_hash
 # second base hash: the same derived-word constants the SimHash key uses
 H2_MUL = 48271
 H2_ADD = 11
+
+
+class BloomFilter(NamedTuple):
+    """A built filter WITH its parameters — probing with the wrong
+    (m_bits, k) silently produces false negatives, so the bitmap never
+    travels without them."""
+    bitmap: DataFrame
+    m_bits: int
+    k: int
 
 
 def positions_col(key: Column, k: int, m_bits: int) -> Column:
@@ -55,23 +64,25 @@ def bloom_build(
     key_col: str = 'key',
     m_bits: int = 4096,
     k: int = 3,
-) -> DataFrame:
-    """Keys -> bitmap words (word_idx, bits). Duplicate keys are free
-    (bit_or is idempotent), so no distinct pass is needed."""
+) -> BloomFilter:
+    """Keys -> a BloomFilter (bitmap words (word_idx, bits) + the
+    parameters bound to them). Duplicate keys are free (bit_or is
+    idempotent), so no distinct pass is needed."""
     pos = F.explode(positions_col(F.col(key_col), k, m_bits)).alias('pos')
-    return (keys
-            .select(pos)
-            .select(
-                (F.col('pos') / 63).cast('long').alias('word_idx'),
-                F.expr('shiftleft(CAST(1 AS BIGINT), '
-                       'CAST(pos % 63 AS INT))').alias('mask'))
-            .groupBy('word_idx')
-            .agg(F.bit_or('mask').alias('bits')))
+    bitmap = (keys
+              .select(pos)
+              .select(
+                  (F.col('pos') / 63).cast('long').alias('word_idx'),
+                  F.expr('shiftleft(CAST(1 AS BIGINT), '
+                         'CAST(pos % 63 AS INT))').alias('mask'))
+              .groupBy('word_idx')
+              .agg(F.bit_or('mask').alias('bits')))
+    return BloomFilter(bitmap, m_bits, k)
 
 
 def bloom_probe(
     probes: DataFrame,
-    bloom: DataFrame,
+    bloom: Union[BloomFilter, DataFrame],
     key_col: str = 'key',
     m_bits: int = 4096,
     k: int = 3,
@@ -79,13 +90,29 @@ def bloom_probe(
 ) -> DataFrame:
     """Membership test: (key, maybe_present).
 
+    Pass the ``BloomFilter`` from ``bloom_build`` and its bound
+    (m_bits, k) are used — explicit values must agree or this raises
+    (a mismatch would silently produce false negatives). A bare bitmap
+    DataFrame is accepted with caller-supplied parameters.
+
     ``broadcast_bloom`` fits every filter up to the broadcast threshold
     (the common case); disable it for giant filters and the probe
     becomes a plain equi-join on word_idx.
     """
+    if isinstance(bloom, BloomFilter):
+        if (m_bits, k) not in ((4096, 3), (bloom.m_bits, bloom.k)):
+            raise ValueError(
+                f'probe parameters ({m_bits}, {k}) contradict the '
+                f'filter\'s bound ({bloom.m_bits}, {bloom.k})')
+        m_bits, k = bloom.m_bits, bloom.k
+        bloom = bloom.bitmap
     pos = F.explode(positions_col(F.col(key_col), k, m_bits))
+    # distinct FIRST: a duplicated probe key would explode to 2k rows
+    # and fail the count==k membership test — a false negative the
+    # Bloom contract forbids
     probed = (probes
-              .select(F.col(key_col).alias('key'), pos.alias('pos'))
+              .select(F.col(key_col).alias('key')).distinct()
+              .select('key', pos.alias('pos'))
               .select('key',
                       (F.col('pos') / 63).cast('long').alias('word_idx'),
                       F.expr('shiftleft(CAST(1 AS BIGINT), '

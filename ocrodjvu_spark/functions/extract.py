@@ -40,15 +40,22 @@ def pack_word_spans(zone) -> str:
     ``x0 FS y0 FS x1 FS y1 FS text`` joined by RS. Text is the last
     field so it may contain anything except the two separator bytes,
     which are replaced with U+FFFD (the emitters escape C0 controls, so
-    real corpora never hit this). A page with no words packs to ''.
+    real corpora never hit this). A NULL text (word zones under chars
+    detail carry their text in child zones) packs as a 4-field record
+    — the decoder's out-of-range ``get`` restores NULL, keeping the
+    packed path byte-equivalent to the struct path, where ``''`` and
+    NULL are distinct values. A page with no words packs to ''.
     """
     recs = []
     for _, _, _, x0, y0, x1, y1, text in flatten_word_zones(zone):
-        t = text or ''
+        head = f'{x0}{SPAN_FS}{y0}{SPAN_FS}{x1}{SPAN_FS}{y1}'
+        if text is None:
+            recs.append(head)
+            continue
+        t = text
         if SPAN_RS in t or SPAN_FS in t:
             t = t.replace(SPAN_RS, '�').replace(SPAN_FS, '�')
-        recs.append(f'{x0}{SPAN_FS}{y0}{SPAN_FS}{x1}{SPAN_FS}'
-                    f'{y1}{SPAN_FS}{t}')
+        recs.append(f'{head}{SPAN_FS}{t}')
     return SPAN_RS.join(recs)
 
 

@@ -1113,9 +1113,7 @@ def incremental_dedup(
     id_col: str = 'doc_id',
     text_col: str = 'text',
     key_col: str = 'content_hash',
-    bloom_df: Optional[DataFrame] = None,
-    m_bits: int = 4096,
-    k: int = 3,
+    bloom_filter=None,
 ) -> DataFrame:
     """Cross-snapshot dedup: which new-crawl documents survive against
     an existing corpus snapshot?
@@ -1125,7 +1123,9 @@ def incremental_dedup(
     the first occurrence of their hash inside this batch (min id —
     the skew-safe min-struct aggregation, not a window).
 
-    ``bloom_df`` (a ``bloom.bloom_build`` bitmap over the seen keys)
+    ``bloom_filter`` (the ``bloom.bloom_build`` result over the seen
+    keys — the BloomFilter carries its own (m_bits, k), so a parameter
+    mismatch with build time cannot silently corrupt the result)
     is the scale path: keys the filter rejects are DEFINITELY unseen
     (no false negatives) and skip the anti-join entirely; only the
     ``maybe_present`` minority — true dupes plus the designed FP rate —
@@ -1138,11 +1138,11 @@ def incremental_dedup(
     keyed = new_docs.select(
         F.col(id_col), F.md5(norm_text(text_col)).alias(key_col))
     seen = seen_keys.select(F.col(key_col)).distinct()
-    if bloom_df is not None:
+    if bloom_filter is not None:
         from .bloom import bloom_probe
         probed = bloom_probe(
-            keyed.select(F.col(key_col).alias('key')).distinct(),
-            bloom_df, m_bits=m_bits, k=k)
+            keyed.select(F.col(key_col).alias('key')),
+            bloom_filter)
         flagged = keyed.join(
             probed.withColumnRenamed('key', key_col), key_col)
         fast = (flagged.where(~F.col('maybe_present'))

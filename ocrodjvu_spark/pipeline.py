@@ -121,7 +121,11 @@ def word_spans(extracted: DataFrame) -> DataFrame:
             )
             .select(
                 *KEY_COLUMNS, 'page_idx', 'word_idx',
-                F.element_at(fields, 5).alias('word'),
+                # get (0-based) is NULL out of range: a 4-field record
+                # is a NULL-text word (packed/struct parity; '' stays
+                # a real 5th field because split keeps trailing
+                # empties)
+                F.get(fields, 4).alias('word'),
                 F.element_at(fields, 1).cast('int').alias('x0'),
                 F.element_at(fields, 2).cast('int').alias('y0'),
                 F.element_at(fields, 3).cast('int').alias('x1'),

@@ -68,7 +68,7 @@ def _unquote_partition(raw: str):
     i = 0
     while i < len(raw):
         c = raw[i]
-        if c == '%' and i + 2 < len(raw) + 1:
+        if c == '%' and i + 3 <= len(raw):  # a full 2-hex-digit escape
             try:
                 out.append(chr(int(raw[i + 1:i + 3], 16)))
                 i += 3
@@ -313,9 +313,11 @@ class SnapshotTable:
             if tag is not None:
                 # the race variant of the idempotence check: a replayed
                 # committer that lost the claim to its twin must not
-                # re-commit on rebase
+                # re-commit on rebase — and its already-staged files are
+                # referenced by no manifest, so reclaim them (no leak)
                 existing = self.find_tag(tag)
                 if existing is not None:
+                    self._delete_entries(entries)
                     return existing
             base_version = self.current_version()
             base = self.snapshot(base_version)
@@ -330,15 +332,27 @@ class SnapshotTable:
                 manifest['tag'] = tag
             if self._claim_version(base_version + 1, manifest):
                 return base_version + 1
+        self._delete_entries(entries)  # never published — reclaim
         raise CommitConflict(
             f'{operation}: lost {self.max_commit_retries} commit races')
+
+    def _delete_entries(self, entries) -> None:
+        for f in entries:
+            path = os.path.join(self.root, f['path'])
+            if os.path.exists(path):
+                os.remove(path)
 
     def _claim_version(self, version: int, manifest: dict) -> bool:
         """Atomically claim ``v<version>.json``; False if already taken.
 
-        POSIX ``O_CREAT|O_EXCL`` + rename on one filesystem. On an object
-        store, replace with a conditional put (S3 If-None-Match) or a
-        metastore compare-and-swap — this method is the only seam.
+        ``os.link`` claims the slot AND publishes the payload in one
+        syscall (link fails with FileExistsError if the name is taken),
+        so no observer can ever see a claimed-but-empty manifest and a
+        crash between "claim" and "publish" cannot brick the table —
+        the two-step O_EXCL-then-rename variant had exactly that
+        window. On an object store, replace with a conditional put
+        (S3 If-None-Match) or a metastore compare-and-swap — this
+        method is the only seam.
         """
         final = os.path.join(self.manifest_dir, f'v{version}.json')
         tmp = os.path.join(self.manifest_dir,
@@ -348,12 +362,9 @@ class SnapshotTable:
             fh.flush()
             os.fsync(fh.fileno())
         try:
-            # claim the slot exclusively, then atomically publish the
-            # payload over it (rename over our own placeholder)
-            fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
+            os.link(tmp, final)
+            return True
         except FileExistsError:
-            os.remove(tmp)
             return False
-        os.rename(tmp, final)
-        return True
+        finally:
+            os.remove(tmp)

@@ -41,7 +41,7 @@ def test_no_false_negatives(spark):
     df = spark.createDataFrame([Row(key=x) for x in keys])
     filt = bloom.bloom_build(df, m_bits=512, k=3)
     got = {r.key: r.maybe_present
-           for r in bloom.bloom_probe(df, filt, m_bits=512, k=3).collect()}
+           for r in bloom.bloom_probe(df, filt).collect()}
     assert all(got[x] for x in keys)
 
 
@@ -61,11 +61,25 @@ def test_probe_matches_python_reference_bitwise(spark):
             m_bits=m, k=k)
         got = {r.key: r.maybe_present for r in bloom.bloom_probe(
             spark.createDataFrame([Row(key=x) for x in probes]),
-            filt, m_bits=m, k=k).collect()}
+            filt).collect()}
         assert got == want, f'seed {seed}'
         # sanity: the parameters actually exercise the FP path
         fps = [p for p in probes if want[p] and p not in members]
         assert fps, f'seed {seed}: no false positives to check'
+
+
+def test_duplicate_probe_keys_keep_no_false_negatives(spark):
+    # regression: a duplicated probe key must not explode to 2k rows
+    # and fail the count==k membership test
+    keys = ['apple', 'pear']
+    filt = bloom.bloom_build(
+        spark.createDataFrame([Row(key=x) for x in keys]),
+        m_bits=512, k=3)
+    probes = spark.createDataFrame(
+        [Row(key=x) for x in ['apple', 'apple', 'apple', 'pear']])
+    got = {r.key: r.maybe_present
+           for r in bloom.bloom_probe(probes, filt).collect()}
+    assert got == {'apple': True, 'pear': True}
 
 
 def test_incremental_dedup_prefilter_is_lossless(spark):
@@ -86,8 +100,7 @@ def test_incremental_dedup_prefilter_is_lossless(spark):
         seen.select(seen.content_hash.alias('key')).distinct(),
         m_bits=128, k=3)
     plain = textops.incremental_dedup(docs, seen)
-    fast = textops.incremental_dedup(docs, seen, bloom_df=filt,
-                                     m_bits=128, k=3)
+    fast = textops.incremental_dedup(docs, seen, bloom_filter=filt)
     assert sorted(map(tuple, plain.collect())) == \
         sorted(map(tuple, fast.collect()))
 
@@ -96,7 +109,7 @@ def test_build_plan_has_partial_bitmap_aggregation(spark):
     # shuffle volume must be bounded by bitmap size: partial bit_or
     # before the exchange
     df = spark.createDataFrame([Row(key='a'), Row(key='b')])
-    plan = (bloom.bloom_build(df, m_bits=256, k=3)
+    plan = (bloom.bloom_build(df, m_bits=256, k=3).bitmap
             ._jdf.queryExecution().executedPlan().toString())
     assert 'partial_bit_or' in plan
 
@@ -104,6 +117,6 @@ def test_build_plan_has_partial_bitmap_aggregation(spark):
 def test_probe_plan_broadcasts_bitmap(spark):
     df = spark.createDataFrame([Row(key='a'), Row(key='b')])
     filt = bloom.bloom_build(df, m_bits=256, k=3)
-    plan = (bloom.bloom_probe(df, filt, m_bits=256, k=3)
+    plan = (bloom.bloom_probe(df, filt)
             ._jdf.queryExecution().executedPlan().toString())
     assert 'BroadcastHashJoin' in plan

@@ -233,3 +233,24 @@ def test_raw_sidecar_bucketed_resume(spark, tmp_path):
     sample = raw2.select('conv_id', 'turn_idx', 'raw_name').first()
     assert sample.raw_name == \
         f'{sample.conv_id}/p{sample.turn_idx + 1}'
+
+
+def test_run_extraction_with_packed_spans_metrics(spark, tmp_path):
+    # regression (review finding): the sidecar metrics aggregation
+    # hardcoded F.col('spans') and crashed AFTER the data write when
+    # emit_spans='packed' flowed through extract_kwargs — n_spans must
+    # come from either emission shape
+    out = str(tmp_path / 'out')
+    side = str(tmp_path / 'side')
+    tr = T.synthesize_transcripts(spark, '/root/testdata/sf0.001')
+    done = checkpoint.run_extraction(
+        spark, tr, out, side, n_buckets=4,
+        emit_spans='packed', emit_sexpr=False)
+    assert len(done) == 4
+    side_df = spark.read.parquet(side)
+    total_spans = side_df.agg(F.sum('n_spans')).first()[0]
+    # the synthetic corpus has one span per word; must be non-zero and
+    # equal the decoded span count
+    from ocrodjvu_spark import pipeline
+    decoded = pipeline.word_spans(spark.read.parquet(out)).count()
+    assert total_spans == decoded > 0

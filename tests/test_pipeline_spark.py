@@ -188,6 +188,27 @@ def test_packed_spans_match_struct_spans(spark):
         plan_a.count('ArrowEvalPython')
 
 
+def test_packed_spans_null_word_text_matches_struct(spark):
+    # details='chars': word zones carry their text in child char zones,
+    # so the word span's own text is NULL — the packed 4-field record
+    # must decode back to NULL, not '' (review finding: `text or ''`
+    # silently coerced)
+    from ocrodjvu_spark.sources import transcripts as T
+    df = T.synthesize_transcripts(spark, '/root/testdata/sf0.001') \
+        .limit(40)
+    a = pipeline.word_spans(
+        pipeline.extract_turns(df, details='chars',
+                               emit_spans=True, emit_sexpr=False))
+    b = pipeline.word_spans(
+        pipeline.extract_turns(df, details='chars',
+                               emit_spans='packed', emit_sexpr=False))
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b
+    # and the scenario is real: chars detail produces NULL word text
+    assert a.where(a.word.isNull()).count() > 0
+
+
 def test_packed_spans_separator_bytes_in_word_text(spark):
     # separator bytes inside markup text: the segmenter already breaks
     # on C0 controls, so packed and struct paths agree through Spark...

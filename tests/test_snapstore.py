@@ -207,6 +207,13 @@ def test_tagged_append_race_commits_once(spark, tmp_path):
     v = t.append(twin_df, tag='batch-7')
     assert v == t.current_version() == 2
     assert t.read(spark).count() == 4 + 6  # twin landed exactly once
+    # and the loser's staged files were reclaimed: every file on disk
+    # is referenced by the HEAD manifest (no orphan leak)
+    import os
+    on_disk = {f'data/{n}' for n in os.listdir(t.data_dir)
+               if n.endswith('.parquet')}
+    referenced = {f['path'] for f in t.snapshot()['files']}
+    assert on_disk == referenced
 
 
 def test_expire_snapshots_keeps_live_files(spark, tmp_path):

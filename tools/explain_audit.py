@@ -372,14 +372,14 @@ def main():
     _filt = bloom.bloom_build(_vocab, m_bits=4096, k=3)
     audit(
         'bloom build (shuffle bounded by bitmap size)',
-        _filt,
+        _filt.bitmap,
         [
             ('partial bit_or before the word_idx shuffle',
              lambda p: 'partial_bit_or' in p),
         ])
     audit(
         'bloom probe (broadcast bitmap, no bitmap-side shuffle)',
-        bloom.bloom_probe(_vocab, _filt, m_bits=4096, k=3),
+        bloom.bloom_probe(_vocab, _filt),
         [
             ('bitmap joins as BroadcastHashJoin',
              lambda p: 'BroadcastHashJoin' in p),
