@@ -219,6 +219,29 @@ class SnapshotTable:
 
     # -- maintenance --------------------------------------------------------
 
+    def compact(self, spark: SparkSession,
+                partition_col: Optional[str] = None,
+                target_partitions: int = 1) -> int:
+        """Rewrite HEAD's data into fewer, larger files (the
+        small-files problem every streaming-append table accumulates;
+        Iceberg's rewrite_data_files). Logically a no-op: the new
+        snapshot holds the same rows; old snapshots stay readable
+        until ``expire_snapshots`` reclaims the small files. With
+        ``partition_col`` the rewrite keeps the per-partition file
+        split (staged partitionBy), targeting ``target_partitions``
+        files per partition value."""
+        df = self.read(spark)
+        if df is None:
+            return self.current_version()
+        if partition_col is not None:
+            from pyspark.sql import functions as F
+            df = df.repartition(target_partitions, F.col(partition_col))
+        else:
+            df = df.repartition(target_partitions)
+        entries, schema = self._stage(df, partition_col)
+        return self._commit('compact', entries, schema,
+                            apply=lambda base: list(entries))
+
     def expire_snapshots(self, keep_last: int = 1) -> List[str]:
         """Drop all but the newest ``keep_last`` manifests and delete data
         files no kept snapshot references. Returns deleted file paths.

@@ -5,6 +5,7 @@ string-replace merge encoding relies on."""
 import random
 import re
 
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import Row
 
 from ocrodjvu_spark.functions import bpe
@@ -102,6 +103,42 @@ def test_early_stop_below_min_count(spark):
     df = spark.createDataFrame([Row(doc_id=0, text='ab cd')])
     assert bpe.train(df, 5, min_count=2) == []
     assert bpe.train(df, 5, min_count=1) != []
+
+
+@st.composite
+def _words_and_merges(draw):
+    words = draw(st.lists(
+        st.text(alphabet='ab', min_size=1, max_size=8),
+        min_size=1, max_size=6))
+    # merges build progressively over the growing token alphabet, like
+    # a real training run
+    tokens = ['a', 'b']
+    merges = []
+    for _ in range(draw(st.integers(0, 6))):
+        a = draw(st.sampled_from(tokens))
+        b = draw(st.sampled_from(tokens))
+        merges.append((a, b))
+        tokens.append(a + b)
+    return words, merges
+
+
+@given(_words_and_merges())
+@settings(max_examples=300, deadline=None)
+def test_bracket_replace_equals_canonical_merge_pass(wm):
+    # the load-bearing encoding claim, pinned without Spark: Python
+    # str.replace has the same left-to-right non-overlapping semantics
+    # as JVM replace, so simulating the bracketed encoding here proves
+    # one replace('<a><b>' -> '<ab>') == one canonical merge pass for
+    # ARBITRARY words and progressively-built merge tables (runs,
+    # prefix tokens, repeated pairs included)
+    words, merges = wm
+    for w in words:
+        s = ''.join(f'<{c}>' for c in w)
+        toks = list(w)
+        for a, b in merges:
+            s = s.replace(f'<{a}><{b}>', f'<{a}{b}>')
+            toks = bpe._merge_pass(toks, a, b)
+        assert re.findall('<([^<>]*)>', s) == toks, (w, merges)
 
 
 def test_plan_is_map_only_jvm(spark):

@@ -234,6 +234,40 @@ def test_expire_snapshots_keeps_live_files(spark, tmp_path):
         t.read(spark, version=1).count()
 
 
+def test_compact_rewrites_files_preserving_rows(spark, tmp_path):
+    # ten tiny appends -> compact -> far fewer files, identical rows;
+    # the pre-compaction snapshot stays readable until expiry
+    t = SnapshotTable(str(tmp_path / 't'))
+    for i in range(10):
+        t.append(_docs(spark, f'v{i}', n=4))
+    head = t.current_version()
+    n_files_before = len(t.snapshot()['files'])
+    before = sorted(map(tuple, t.read(spark).collect()))
+    v = t.compact(spark)
+    assert v == head + 1
+    n_files_after = len(t.snapshot()['files'])
+    assert n_files_after < n_files_before
+    assert sorted(map(tuple, t.read(spark).collect())) == before
+    # time travel to the un-compacted snapshot still works
+    assert t.read(spark, version=head).count() == 40
+    # expiry reclaims the small files
+    deleted = t.expire_snapshots(keep_last=1)
+    assert len(deleted) >= n_files_before - n_files_after
+    assert sorted(map(tuple, t.read(spark).collect())) == before
+
+
+def test_compact_partitioned_keeps_partition_pruning(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    for i, v in enumerate(('a', 'b', 'c')):
+        d = _docs(spark, v)
+        t.replace_partitions(d.where(d.bucket == i), 'bucket')
+    before = sorted(map(tuple, t.read(spark).collect()))
+    t.compact(spark, partition_col='bucket')
+    assert sorted(map(tuple, t.read(spark).collect())) == before
+    pruned = t.read(spark, partition_values=[1])
+    assert {r.bucket for r in pruned.collect()} == {1}
+
+
 def test_null_partition_value_roundtrip(spark, tmp_path):
     t = SnapshotTable(str(tmp_path / 't'))
     df = spark.createDataFrame(
