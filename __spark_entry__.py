@@ -1064,6 +1064,31 @@ def _q_corpus_pipeline(spark, sf_dir):
             .select('doc_id', 'text'))
 
 
+def _q_ingest_pipeline(spark, sf_dir):
+    # the round-5 primitives composed the way an ingestion job chains
+    # them: bloom-prefiltered incremental dedup vs a prior snapshot
+    # (every 3rd doc's hash) -> BPE token accounting (tokenizer trained
+    # on the incoming corpus) -> token-budget filter. Each stage is
+    # individually gated (dedup_incremental, bpe_tokenize); this pins
+    # the composition — join keys, prefilter losslessness inside a
+    # longer chain, count interplay — end to end.
+    from ocrodjvu_spark.functions import bloom, bpe
+    docs = T.load_table(spark, sf_dir, 'documents')
+    seen = (docs.where(F.col('doc_id') % 3 == 0)
+            .select(F.md5(textops.norm_text('text'))
+                    .alias('content_hash')))
+    filt = bloom.bloom_build(
+        seen.select(F.col('content_hash').alias('key')).distinct(),
+        m_bits=_BLOOM_M, k=_BLOOM_K)
+    survivors = textops.incremental_dedup(docs, seen, bloom_filter=filt)
+    merges = bpe.train(docs, _BPE_MERGES, min_count=1)
+    toks = bpe.tokenize(docs, merges, keep_tokens=False)
+    return (survivors.select('doc_id')
+            .join(toks, 'doc_id')
+            .where((F.col('n_tokens') >= 20) & (F.col('n_tokens') <= 400))
+            .select('doc_id', 'n_tokens', 'n_words'))
+
+
 def _q_script_profile(spark, sf_dir):
     # per-doc script composition + dominant script (the segmentation-
     # locale routing signal); deterministic injections cover thai/cjk
@@ -1859,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'hll_registers': _q_hll_registers,               # new r5 (late)
         'streaming_ingest': _q_streaming_ingest,         # new r5 (late)
         'cms_counts': _q_cms_counts,                     # new r5 (late)
+        'ingest_pipeline': _q_ingest_pipeline,           # new r5 (late)
         'bpe_pair_counts': _q_bpe_pair_counts,           # new r5 (late)
         'bpe_train': _q_bpe_train,                       # new r5 (late)
         'bpe_tokenize': _q_bpe_tokenize,                 # new r5 (late)
@@ -3482,6 +3508,47 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             GROUP BY 1
+        ''',
+        # composition oracle: the BPE CTE chain + the dedup survivor
+        # set + the token-budget filter, stitched on doc_id (the
+        # engine side additionally runs the bloom prefilter, which
+        # must be invisible here)
+        'ingest_pipeline': _sql_bpe_ctes(_BPE_MERGES) + f''',
+            reprd AS (
+                SELECT doc_id,
+                       len(string_split(norm, ' ')) AS n_words,
+                       replace(regexp_replace(norm, '(.)', '<\\1>', 'g'),
+                               '< >', '/') AS r0
+                FROM (SELECT doc_id, {_SQL_BPE_NORM} AS norm
+                      FROM documents)
+            ),
+            toks AS (
+                SELECT doc_id,
+                       CAST(len({_SQL_BPE_TOKS.format(src='toks_str')})
+                            AS INTEGER) AS n_tokens,
+                       CAST(n_words AS INTEGER) AS n_words
+                FROM (SELECT doc_id, n_words,
+                             {_sql_bpe_apply_chain('r0', _BPE_MERGES)}
+                                 AS toks_str
+                      FROM reprd)
+            ),
+            keyed AS (
+                SELECT doc_id, md5({_NORM}) AS content_hash
+                FROM documents
+            ),
+            seenh AS (
+                SELECT DISTINCT content_hash FROM keyed
+                WHERE doc_id % 3 = 0
+            ),
+            surv AS (
+                SELECT min(k.doc_id) AS doc_id
+                FROM keyed k LEFT JOIN seenh s USING (content_hash)
+                WHERE s.content_hash IS NULL
+                GROUP BY k.content_hash
+            )
+            SELECT t.doc_id, t.n_tokens, t.n_words
+            FROM toks t JOIN surv USING (doc_id)
+            WHERE t.n_tokens BETWEEN 20 AND 400
         ''',
         # the streamed, registry-backed variant of dedup_incremental:
         # seed = every 5th doc's hash; survivors = min-doc_id row per
