@@ -1878,6 +1878,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'extract_uax29_cjk': _q_extract_uax29_cjk,
         'checkpoint_resume': _q_checkpoint_resume,
         'checkpoint_metrics': _q_checkpoint_metrics,
+        # -- late-round-5 gates: deliberately OUTSIDE the ~50-slot
+        #    driver window (the rotation contract reserves it for the
+        #    44 stale-verdict gates + the 6 round-5-changed ones).
+        #    Round-5 evidence = committed local replica sweeps
+        #    (FAILURES: 0). ROUND-6 ROTATION: move this block to the
+        #    front (block 2), then the oldest-driver-verified gates
+        #    from CORRECTNESS_r05 ------------------------------------
         'checkpoint_snapshot': _q_checkpoint_snapshot,   # new r5 (late)
         'bloom_filter': _q_bloom_filter,                 # new r5 (late)
         'dedup_incremental': _q_dedup_incremental,       # new r5 (late)
