@@ -1641,6 +1641,43 @@ def _q_events_rollup(spark, sf_dir):
         .select('event_type', 'day', 'gid', 'n_events', 'sum_value'))
 
 
+def _q_events_cube(spark, sf_dir):
+    # full CUBE over (type, day): all four grouping sets in one Expand
+    # + one shuffle — the rollup's sibling for dashboards that slice by
+    # either dimension independently
+    events = T.load_table(spark, sf_dir, 'events')
+    return (
+        events
+        .cube('event_type',
+              F.date_format('ts', 'yyyy-MM-dd').alias('day'))
+        .agg(F.grouping_id().alias('gid'),
+             F.count('*').alias('n_events'),
+             F.round(F.sum('value'), 4).alias('sum_value'))
+        .select('event_type', 'day', 'gid', 'n_events', 'sum_value'))
+
+
+def _q_events_retention(spark, sf_dir):
+    # cohort retention: users bucketed by first-seen week, activity
+    # counted per week offset — the standard growth-analytics rollup.
+    # Two aggregations, both keyed (user, then cohort×offset); the
+    # distinct-user count sits in its own single-purpose groupBy, so
+    # no countDistinct-induced Expand mixes into a multi-aggregate.
+    events = T.load_table(spark, sf_dir, 'events')
+    week = F.date_format(F.date_trunc('week', F.col('ts')),
+                         'yyyy-MM-dd')
+    first = (events.groupBy('user_id')
+             .agg(F.min(week).alias('cohort_week')))
+    active = (events.select('user_id', week.alias('week')).distinct())
+    return (active.join(first, 'user_id')
+            .select('cohort_week',
+                    (F.datediff(F.to_date('week'),
+                                F.to_date('cohort_week')) / 7)
+                    .cast('int').alias('week_offset'),
+                    'user_id')
+            .groupBy('cohort_week', 'week_offset')
+            .agg(F.count('*').cast('long').alias('n_users')))
+
+
 _PIVOT_TYPES = ['click', 'view', 'purchase', 'signup', 'error']
 
 
@@ -1892,6 +1929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_ingest': _q_streaming_ingest,         # new r5 (late)
         'cms_counts': _q_cms_counts,                     # new r5 (late)
         'ingest_pipeline': _q_ingest_pipeline,           # new r5 (late)
+        'events_cube': _q_events_cube,                   # new r5 (late)
+        'events_retention': _q_events_retention,         # new r5 (late)
         'bpe_pair_counts': _q_bpe_pair_counts,           # new r5 (late)
         'bpe_train': _q_bpe_train,                       # new r5 (late)
         'bpe_tokenize': _q_bpe_tokenize,                 # new r5 (late)
@@ -3889,6 +3928,38 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM events
             GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
+        ''',
+        'events_cube': '''
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(GROUPING_ID(event_type, strftime(ts, '%Y-%m-%d'))
+                        AS BIGINT) AS gid,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY CUBE(event_type, strftime(ts, '%Y-%m-%d'))
+        ''',
+        # both engines week-truncate to Monday; offsets via day diff //
+        # 7 (integer, non-negative)
+        'events_retention': '''
+            WITH wk AS (
+                SELECT user_id,
+                       strftime(date_trunc('week', ts), '%Y-%m-%d')
+                           AS week
+                FROM events
+            ),
+            firstw AS (
+                SELECT user_id, min(week) AS cohort_week
+                FROM wk GROUP BY 1
+            ),
+            active AS (SELECT DISTINCT user_id, week FROM wk)
+            SELECT f.cohort_week,
+                   CAST(date_diff('day',
+                                  strptime(f.cohort_week, '%Y-%m-%d'),
+                                  strptime(a.week, '%Y-%m-%d')) // 7
+                        AS INTEGER) AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM active a JOIN firstw f USING (user_id)
+            GROUP BY 1, 2
         ''',
         'events_pivot': '''
             SELECT user_id,
