@@ -30,6 +30,9 @@ def get_spark(
         .master(master)
         # AQE: runtime coalescing + skew-join splitting; at cluster scale
         # this is what absorbs conv_id skew after the salted repartition.
+        # pin the session timezone: date_trunc/date_format gates must
+        # not depend on the host TZ (DuckDB oracles compute in UTC)
+        .config('spark.sql.session.timeZone', 'UTC')
         .config('spark.sql.adaptive.enabled', 'true')
         .config('spark.sql.adaptive.coalescePartitions.enabled', 'true')
         .config('spark.sql.adaptive.skewJoin.enabled', 'true')
