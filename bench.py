@@ -184,8 +184,26 @@ def main():
         # best-of-`reps` per query, flagship elides the spans payload
         'reps': reps,
         'flagship': 'extract_text+sexpr (spans elided)',
+        # host-drift normalizer: a fixed 10M-iteration fold-arithmetic
+        # loop on one core. This shared box drifts (measured 1.40-1.45s
+        # slow state vs faster earlier states); divide totals by the
+        # control ratio before reading a cross-run delta as a
+        # regression (see BENCH/BASELINE.md host-drift section).
+        'host_ctl_sec': round(_host_control(), 3),
     }
     print(json.dumps(result))
+
+
+def _host_control() -> float:
+    import time as _time
+    best = float('inf')
+    for _ in range(2):
+        t0 = _time.time()
+        s = 0
+        for i in range(10_000_000):
+            s = (s * 31 + i) % 2147483647
+        best = min(best, _time.time() - t0)
+    return best
 
 
 if __name__ == '__main__':
