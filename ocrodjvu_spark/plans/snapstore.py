@@ -56,6 +56,10 @@ class CommitConflict(RuntimeError):
     """Raised when optimistic commit retries are exhausted."""
 
 
+class _CompactConflict(Exception):
+    """Internal: the snapshot changed under an in-flight compact."""
+
+
 _PART_DIR = '__pv='  # staged partition directory prefix
 
 
@@ -221,26 +225,66 @@ class SnapshotTable:
 
     def compact(self, spark: SparkSession,
                 partition_col: Optional[str] = None,
-                target_partitions: int = 1) -> int:
+                target_partitions: int = 1,
+                max_retries: int = 5) -> int:
         """Rewrite HEAD's data into fewer, larger files (the
         small-files problem every streaming-append table accumulates;
         Iceberg's rewrite_data_files). Logically a no-op: the new
         snapshot holds the same rows; old snapshots stay readable
-        until ``expire_snapshots`` reclaims the small files. With
-        ``partition_col`` the rewrite keeps the per-partition file
-        split (staged partitionBy), targeting ``target_partitions``
-        files per partition value."""
-        df = self.read(spark)
-        if df is None:
-            return self.current_version()
-        if partition_col is not None:
-            from pyspark.sql import functions as F
-            df = df.repartition(target_partitions, F.col(partition_col))
-        else:
-            df = df.repartition(target_partitions)
-        entries, schema = self._stage(df, partition_col)
-        return self._commit('compact', entries, schema,
-                            apply=lambda base: list(entries))
+        until ``expire_snapshots`` reclaims the small files.
+
+        ``partition_col`` is REQUIRED on a partitioned table (the
+        rewrite re-stages through partitionBy so every manifest entry
+        keeps its partition value; compacting without it would write
+        partition=None entries and break manifest pruning and later
+        ``replace_partitions``). Hash repartitioning sends each
+        partition value to one task, so the result is one file per
+        partition value; ``target_partitions`` shapes only the
+        unpartitioned rewrite.
+
+        Concurrency-safe, not lost-update-prone: the commit asserts the
+        base file set is EXACTLY the one that was read and compacted —
+        if a concurrent append/replace lands first, this rewrite is
+        thrown away (staged files reclaimed) and the whole compact
+        retries on the new snapshot, like Iceberg's
+        rewrite_data_files validation. Already-compacted tables
+        return immediately without rewriting (idempotent maintenance
+        cron)."""
+        for _attempt in range(max_retries):
+            base_version = self.current_version()
+            files0 = self.snapshot(base_version)['files']
+            if not files0:
+                return base_version
+            part_values = {f.get('partition') for f in files0}
+            if part_values != {None} and partition_col is None:
+                raise ValueError(
+                    'table is partitioned — pass partition_col so the '
+                    'rewrite keeps manifest partition values')
+            target_total = (len(part_values) if partition_col
+                            else target_partitions)
+            if len(files0) <= target_total:
+                return base_version  # nothing to gain; do not copy data
+            df = self.read(spark, base_version)  # pinned to files0
+            if partition_col is not None:
+                df = df.repartition(F.col(partition_col))
+            else:
+                df = df.repartition(target_partitions)
+            entries, schema = self._stage(df, partition_col)
+            expected = sorted(f['path'] for f in files0)
+
+            def apply(base):
+                if sorted(f['path'] for f in base) != expected:
+                    raise _CompactConflict
+                return list(entries)
+
+            try:
+                return self._commit('compact', entries, schema,
+                                    apply=apply)
+            except _CompactConflict:
+                self._delete_entries(entries)  # stale rewrite
+                continue
+        raise CommitConflict(
+            f'compact: base kept changing for {max_retries} attempts')
 
     def expire_snapshots(self, keep_last: int = 1) -> List[str]:
         """Drop all but the newest ``keep_last`` manifests and delete data

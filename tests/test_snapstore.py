@@ -258,14 +258,72 @@ def test_compact_rewrites_files_preserving_rows(spark, tmp_path):
 
 def test_compact_partitioned_keeps_partition_pruning(spark, tmp_path):
     t = SnapshotTable(str(tmp_path / 't'))
-    for i, v in enumerate(('a', 'b', 'c')):
-        d = _docs(spark, v)
-        t.replace_partitions(d.where(d.bucket == i), 'bucket')
+    for v in ('a', 'b', 'c'):  # several appends -> many small files
+        t.append(_docs(spark, v), partition_col='bucket')
     before = sorted(map(tuple, t.read(spark).collect()))
+    n_before = len(t.snapshot()['files'])
     t.compact(spark, partition_col='bucket')
+    assert len(t.snapshot()['files']) < n_before
     assert sorted(map(tuple, t.read(spark).collect())) == before
     pruned = t.read(spark, partition_values=[1])
     assert {r.bucket for r in pruned.collect()} == {1}
+    # partition values survived the rewrite (manifest pruning intact)
+    assert {f['partition'] for f in t.snapshot()['files']} == \
+        {'0', '1', '2', '3'}
+
+
+def test_compact_requires_partition_col_on_partitioned_table(
+        spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a'), partition_col='bucket')
+    with pytest.raises(ValueError, match='partitioned'):
+        t.compact(spark)
+
+
+def test_compact_is_idempotent(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    for v in 'abc':
+        t.append(_docs(spark, v, n=4))
+    v1 = t.compact(spark)
+    # an already-compacted table is NOT rewritten again (a maintenance
+    # cron must not duplicate the data every run)
+    assert t.compact(spark) == v1
+    assert t.current_version() == v1
+
+
+def test_compact_race_keeps_concurrent_append(spark, tmp_path):
+    # the lost-update regression: an append lands while compact is
+    # staging — compact must retry on the new base, never commit a
+    # snapshot missing the appended rows
+    t = SnapshotTable(str(tmp_path / 't'))
+    for v in 'ab':
+        t.append(_docs(spark, v, n=4))
+    late = _docs(spark, 'late', n=6)
+    orig_claim = t._claim_version
+    raced = {'done': False}
+
+    def racing_claim(version, manifest):
+        if not raced['done']:
+            raced['done'] = True
+            SnapshotTable(t.root).append(late)
+        return orig_claim(version, manifest)
+
+    t._claim_version = racing_claim
+    t.compact(spark)
+    got = t.read(spark)
+    assert got.count() == 4 + 4 + 6
+    assert {r.ver for r in got.select('ver').distinct().collect()} == \
+        {'a', 'b', 'late'}
+    # no orphans: every file on disk is referenced by SOME snapshot
+    # (the aborted rewrite's staged files were reclaimed; older
+    # snapshots legitimately keep their files until expiry)
+    import os
+    on_disk = {f'data/{n}' for n in os.listdir(t.data_dir)
+               if n.endswith('.parquet')}
+    referenced = set()
+    for v in t.versions():
+        referenced |= {f['path'] for f in t.snapshot(v)['files']}
+    assert on_disk == referenced
 
 
 def test_null_partition_value_roundtrip(spark, tmp_path):
