@@ -959,6 +959,38 @@ def _q_checkpoint_snapshot(spark, sf_dir):
             .select('conv_id', 'turn_idx', 'extracted_text'))
 
 
+def _q_corpus_takedown(spark, sf_dir):
+    # the takedown/right-to-be-forgotten flow on the snapshot store:
+    # corpus committed -> content-level opt-out list (every 9th doc's
+    # hash, so natural duplicates of an opted-out text go too) ->
+    # copy-on-write delete_where -> expire physically reclaims the
+    # pre-delete snapshot. Gate output = the surviving corpus.
+    import os
+    from ocrodjvu_spark.plans.snapstore import SnapshotTable
+    base = _gate_tempdir('ocrodjvu-spark-takedown-')
+    t = SnapshotTable(os.path.join(base, 'corpus'))
+    docs = T.load_table(spark, sf_dir, 'documents') \
+        .select('doc_id', 'text')
+    t.append(docs.withColumn(
+        'content_hash', F.md5(textops.norm_text('text'))))
+    optout = [r.content_hash for r in
+              docs.where(F.col('doc_id') % 9 == 0)
+              .select(F.md5(textops.norm_text('text'))
+                      .alias('content_hash'))
+              .distinct().collect()]
+    v_before = t.current_version()
+    t.delete_where(spark, F.col('content_hash').isin(optout))
+    # pre-delete snapshot retains the rows until expiry (time travel),
+    # then expiry reclaims it — both halves asserted
+    n_before = t.read(spark, version=v_before).count()
+    if n_before != docs.count():
+        raise AssertionError('pre-delete snapshot lost rows')
+    t.expire_snapshots(keep_last=1)
+    if v_before in t.versions():
+        raise AssertionError('expiry left the pre-delete snapshot')
+    return t.read(spark).select('doc_id', 'content_hash')
+
+
 def _q_dedup_substring_capped(spark, sf_dir):
     # stop-gram cap bound: max_df=2 excludes the 5-grams shared by >= 3
     # docs (74 hashes at sf0.01), the skew guard for boilerplate
@@ -1931,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ingest_pipeline': _q_ingest_pipeline,           # new r5 (late)
         'events_cube': _q_events_cube,                   # new r5 (late)
         'events_retention': _q_events_retention,         # new r5 (late)
+        'corpus_takedown': _q_corpus_takedown,           # new r5 (late)
         'bpe_pair_counts': _q_bpe_pair_counts,           # new r5 (late)
         'bpe_train': _q_bpe_train,                       # new r5 (late)
         'bpe_tokenize': _q_bpe_tokenize,                 # new r5 (late)
@@ -3617,6 +3650,20 @@ def oracle_sql() -> dict[str, str]:
                 WHERE h NOT IN (SELECT h FROM seen)
                 GROUP BY h
             ) w ON w.doc_id = k.doc_id
+        ''',
+        # surviving corpus after the content-level takedown (rows whose
+        # hash matches ANY opted-out doc's content are gone)
+        'corpus_takedown': f'''
+            WITH keyed AS (
+                SELECT doc_id, md5({_NORM}) AS content_hash
+                FROM documents
+            )
+            SELECT doc_id, content_hash
+            FROM keyed
+            WHERE content_hash NOT IN (
+                SELECT DISTINCT content_hash FROM keyed
+                WHERE doc_id % 9 = 0
+            )
         ''',
         # bloom-agnostic on purpose: the prefiltered survivor set must
         # equal the plain anti-join + batch-internal keep-first

@@ -221,6 +221,53 @@ class SnapshotTable:
         return self._commit('replace_partitions', entries, schema,
                             apply=apply)
 
+    def delete_where(self, spark: SparkSession, condition,
+                     partition_col: Optional[str] = None,
+                     max_retries: int = 5) -> int:
+        """Copy-on-write row delete: commit a snapshot without the rows
+        matching ``condition`` (a pyspark Column predicate).
+
+        The takedown primitive a training-corpus table needs (opt-out
+        lists, right-to-be-forgotten): deleted rows vanish from HEAD
+        atomically; prior snapshots still contain them until
+        ``expire_snapshots`` — run it after a takedown to physically
+        reclaim the data. Minimal copy-on-write: every file is
+        rewritten (Iceberg's optimization — rewriting only files whose
+        min/max ranges can match — needs column stats the manifest
+        does not carry yet; with ``partition_col`` the staged write at
+        least keeps manifest partition pruning intact). Base-validated
+        like ``compact``: a concurrent commit aborts and retries the
+        delete on the new snapshot, so concurrent appends survive.
+        """
+        for _attempt in range(max_retries):
+            base_version = self.current_version()
+            files0 = self.snapshot(base_version)['files']
+            if not files0:
+                return base_version
+            part_values = {f.get('partition') for f in files0}
+            if part_values != {None} and partition_col is None:
+                raise ValueError(
+                    'table is partitioned — pass partition_col so the '
+                    'rewrite keeps manifest partition values')
+            df = self.read(spark, base_version).where(~condition)
+            entries, schema = self._stage(df, partition_col)
+            expected = sorted(f['path'] for f in files0)
+
+            def apply(base):
+                if sorted(f['path'] for f in base) != expected:
+                    raise _CompactConflict
+                return list(entries)
+
+            try:
+                return self._commit('delete', entries, schema,
+                                    apply=apply)
+            except _CompactConflict:
+                self._delete_entries(entries)
+                continue
+        raise CommitConflict(
+            f'delete_where: base kept changing for {max_retries} '
+            'attempts')
+
     # -- maintenance --------------------------------------------------------
 
     def compact(self, spark: SparkSession,

@@ -326,6 +326,55 @@ def test_compact_race_keeps_concurrent_append(spark, tmp_path):
     assert on_disk == referenced
 
 
+def test_delete_where_copy_on_write(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a'))
+    v1 = t.current_version()
+    t.delete_where(spark, F.col('doc_id') % 2 == 0)
+    assert t.read(spark).count() == 10
+    assert t.read(spark).where('doc_id % 2 = 0').count() == 0
+    # pre-delete snapshot still holds everything until expiry
+    assert t.read(spark, version=v1).count() == 20
+    t.expire_snapshots(keep_last=1)
+    assert t.versions() == [t.current_version()]
+
+
+def test_delete_where_race_keeps_concurrent_append(spark, tmp_path):
+    # concurrent append during the delete's rewrite: the delete must
+    # retry on the new base, and the appended rows (which also match
+    # the predicate) are deleted too — semantics apply to the snapshot
+    # the commit actually lands on
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=8))
+    late = _docs(spark, 'late', n=6)
+    orig_claim = t._claim_version
+    raced = {'done': False}
+
+    def racing_claim(version, manifest):
+        if not raced['done']:
+            raced['done'] = True
+            SnapshotTable(t.root).append(late)
+        return orig_claim(version, manifest)
+
+    t._claim_version = racing_claim
+    t.delete_where(spark, F.col('ver') == 'a')
+    got = t.read(spark)
+    assert got.count() == 6
+    assert {r.ver for r in got.select('ver').distinct().collect()} == \
+        {'late'}
+
+
+def test_delete_where_partitioned_requires_partition_col(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a'), partition_col='bucket')
+    with pytest.raises(ValueError, match='partitioned'):
+        t.delete_where(spark, F.col('doc_id') == 1)
+    t.delete_where(spark, F.col('doc_id') < 4, partition_col='bucket')
+    assert t.read(spark).count() == 16
+    assert {f['partition'] for f in t.snapshot()['files']} == \
+        {'0', '1', '2', '3'}
+
+
 def test_null_partition_value_roundtrip(spark, tmp_path):
     t = SnapshotTable(str(tmp_path / 't'))
     df = spark.createDataFrame(
