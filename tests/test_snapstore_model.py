@@ -1,0 +1,87 @@
+"""Model-based randomized testing of the snapshot table: arbitrary
+operation sequences must keep HEAD equal to a pure-Python model, every
+data file referenced by some snapshot, and partition pruning exact."""
+
+import os
+import random
+from collections import Counter
+
+from pyspark.sql import Row, functions as F
+
+from ocrodjvu_spark.plans.snapstore import SnapshotTable
+
+N_BUCKETS = 3
+
+
+def _batch(spark, rng, tag):
+    rows = [(rng.randrange(1000), rng.randrange(N_BUCKETS), tag)
+            for _ in range(rng.randrange(1, 8))]
+    df = spark.createDataFrame(
+        [Row(doc_id=d, bucket=b, ver=v) for d, b, v in rows])
+    return df, rows
+
+
+def _table_rows(spark, t):
+    df = t.read(spark)
+    if df is None:
+        return Counter()
+    return Counter((r.doc_id, r.bucket, r.ver) for r in df.collect())
+
+
+def _check_invariants(spark, t, model):
+    assert _table_rows(spark, t) == model
+    # every on-disk file referenced by some snapshot (no orphans, no
+    # dangling references)
+    on_disk = {f'data/{n}' for n in os.listdir(t.data_dir)
+               if n.endswith('.parquet')}
+    referenced = set()
+    for v in t.versions():
+        referenced |= {f['path'] for f in t.snapshot(v)['files']}
+    assert on_disk == referenced
+    # manifest pruning returns exactly the bucket's rows
+    if model:
+        some_bucket = next(iter(model))[1]
+        pruned = t.read(spark, partition_values=[some_bucket])
+        want = Counter((d, b, v) for (d, b, v) in model.elements()
+                       if b == some_bucket)
+        got = Counter() if pruned is None else Counter(
+            (r.doc_id, r.bucket, r.ver) for r in pruned.collect())
+        assert got == want
+
+
+def test_random_operation_sequences_match_model(spark, tmp_path):
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        t = SnapshotTable(str(tmp_path / f't{seed}'))
+        model = Counter()
+        ops_run = []
+        for step in range(10):
+            op = rng.choice(
+                ['append', 'append', 'replace', 'delete', 'compact',
+                 'expire'])
+            ops_run.append(op)
+            if op == 'append':
+                df, rows = _batch(spark, rng, f's{step}')
+                t.append(df, partition_col='bucket')
+                model.update(rows)
+            elif op == 'replace':
+                df, rows = _batch(spark, rng, f's{step}')
+                t.replace_partitions(df, 'bucket')
+                replaced = {b for _, b, _ in rows}
+                model = Counter({k: n for k, n in model.items()
+                                 if k[1] not in replaced})
+                model.update(rows)
+            elif op == 'delete':
+                if not model:
+                    continue
+                m = rng.randrange(2, 5)
+                t.delete_where(spark, F.col('doc_id') % m == 0,
+                               partition_col='bucket')
+                model = Counter({k: n for k, n in model.items()
+                                 if k[0] % m != 0})
+            elif op == 'compact':
+                t.compact(spark, partition_col='bucket')
+            elif op == 'expire':
+                t.expire_snapshots(keep_last=2)
+            _check_invariants(spark, t, model)
+        assert len(ops_run) == 10, ops_run
