@@ -38,8 +38,14 @@ def frame_to_rows(df):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if '--json' in argv:
+        i = argv.index('--json')
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else '/root/testdata/sf0.01'
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from ocrodjvu_spark.session import get_spark
@@ -54,12 +60,14 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    record = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
         spark_df = fn(spark, sf_dir).toPandas()
         if name not in oracles:
             print(f'{name}: rows-only check, {len(spark_df)} rows')
+            record[name] = {'status': 'rows-only', 'rows': len(spark_df)}
             continue
         oracle_df = con.execute(oracles[name]).df()
         s_cols, s_rows = frame_to_rows(spark_df)
@@ -80,9 +88,16 @@ def main():
         if status:
             failures += 1
             print(f'{name}: FAIL', *status, sep='\n  ')
+            record[name] = {'status': 'FAIL', 'detail': status}
         else:
             print(f'{name}: OK ({len(s_rows)} rows)')
+            record[name] = {'status': 'OK', 'rows': len(s_rows)}
     print('FAILURES:', failures)
+    if json_out:
+        import json as _json
+        with open(json_out, 'w') as fh:
+            _json.dump({'sf_dir': sf_dir, 'failures': failures,
+                        'results': record}, fh, indent=1)
     return 1 if failures else 0
 
 
