@@ -991,6 +991,36 @@ def _q_corpus_takedown(spark, sf_dir):
     return t.read(spark).select('doc_id', 'content_hash')
 
 
+def _q_snapshot_upsert(spark, sf_dir):
+    # MERGE INTO on the snapshot store (plans/snapstore.py merge_into):
+    # the corpus-refresh upsert a CDC/re-crawl pipeline commits — the
+    # source batch re-extracts every 7th doc ('v2 ' prefix, n_chars+3)
+    # and inserts brand-new docs (doc_id+1,000,000 for every 11th);
+    # unmatched target rows carry forward untouched. One left-anti
+    # shuffle join + union, base-validated commit. The pre-merge
+    # snapshot must stay readable and intact (time travel) — asserted
+    # in-gate.
+    import os
+    from ocrodjvu_spark.plans.snapstore import SnapshotTable
+    base = _gate_tempdir('ocrodjvu-spark-upsert-')
+    t = SnapshotTable(os.path.join(base, 'corpus'))
+    docs = T.load_table(spark, sf_dir, 'documents') \
+        .select('doc_id', 'text', 'n_chars')
+    t.append(docs)
+    v0 = t.current_version()
+    updates = docs.where(F.col('doc_id') % 7 == 0).select(
+        'doc_id',
+        F.concat(F.lit('v2 '), F.col('text')).alias('text'),
+        (F.col('n_chars') + F.lit(3)).alias('n_chars'))
+    inserts = docs.where(F.col('doc_id') % 11 == 0).select(
+        (F.col('doc_id') + F.lit(1000000)).alias('doc_id'),
+        'text', 'n_chars')
+    t.merge_into(spark, updates.unionByName(inserts), ['doc_id'])
+    if t.read(spark, version=v0).count() != docs.count():
+        raise AssertionError('pre-merge snapshot drifted')
+    return t.read(spark).select('doc_id', 'text', 'n_chars')
+
+
 def _q_dedup_substring_capped(spark, sf_dir):
     # stop-gram cap bound: max_df=2 excludes the 5-grams shared by >= 3
     # docs (74 hashes at sf0.01), the skew guard for boilerplate
@@ -1967,6 +1997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'bpe_pair_counts': _q_bpe_pair_counts,           # new r5 (late)
         'bpe_train': _q_bpe_train,                       # new r5 (late)
         'bpe_tokenize': _q_bpe_tokenize,                 # new r5 (late)
+        'snapshot_upsert': _q_snapshot_upsert,           # new r5 (late)
     }
 
 
@@ -3710,6 +3741,20 @@ def oracle_sql() -> dict[str, str]:
                          {_sql_bpe_apply_chain('r0', _BPE_MERGES)}
                              AS toks_str
                   FROM reprd)
+        ''',
+        'snapshot_upsert': '''
+            WITH src AS (
+                SELECT doc_id, 'v2 ' || text AS text,
+                       n_chars + 3 AS n_chars
+                FROM documents WHERE doc_id % 7 = 0
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text, n_chars
+                FROM documents WHERE doc_id % 11 = 0
+            )
+            SELECT doc_id, text, n_chars FROM src
+            UNION ALL
+            SELECT doc_id, text, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM src)
         ''',
         'checkpoint_metrics': f'''
             SELECT CAST(8 AS INTEGER) AS n_buckets,

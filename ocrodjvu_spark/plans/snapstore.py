@@ -268,6 +268,96 @@ class SnapshotTable:
             f'delete_where: base kept changing for {max_retries} '
             'attempts')
 
+    def merge_into(self, spark: SparkSession, source: DataFrame,
+                   key_cols: Sequence[str],
+                   partition_col: Optional[str] = None,
+                   when_matched: str = 'update',
+                   insert_not_matched: bool = True,
+                   max_retries: int = 5) -> int:
+        """``MERGE INTO target USING source ON key`` — the copy-on-write
+        upsert every CDC / corpus-refresh pipeline runs (Iceberg's
+        ``MERGE INTO``; Spark SQL's on a v2 table):
+
+        * target rows whose key matches a source row are **updated**
+          (replaced by the source row) — or **deleted** with
+          ``when_matched='delete'``;
+        * source rows with no target match are **inserted**
+          (``insert_not_matched=False`` turns the merge into pure
+          UPDATE/DELETE semantics);
+        * everything else is carried forward unchanged.
+
+        ``source`` must have the target's columns (update replaces the
+        whole row) and be key-unique: like Iceberg, a merge where one
+        target row matches several source rows is ambiguous and raises
+        instead of picking one nondeterministically.
+
+        Shape at scale: one left-anti shuffle join of the target against
+        the source on the key + a union — no window, no driver-side
+        rows. Copy-on-write rewrites the whole table like
+        ``delete_where`` (file-level pruning of untouched files needs
+        the column stats the manifest does not carry — same documented
+        seam). Base-validated commit: a concurrent append lands first
+        -> this rewrite is discarded and the merge retries on the new
+        snapshot, so no concurrent commit is ever lost.
+        """
+        if when_matched not in ('update', 'delete'):
+            raise ValueError(
+                f"when_matched must be 'update' or 'delete', "
+                f'got {when_matched!r}')
+        key_cols = list(key_cols)
+        dup = (source.groupBy(*key_cols).count()
+               .where(F.col('count') > 1).limit(1).collect())
+        if dup:
+            raise ValueError(
+                f'merge_into: source is not unique on {key_cols} '
+                f'(e.g. {dup[0].asDict()}) — ambiguous merge')
+        for _attempt in range(max_retries):
+            base_version = self.current_version()
+            files0 = self.snapshot(base_version)['files']
+            if not files0:
+                if not insert_not_matched:
+                    return base_version
+                # empty table: the merge degenerates to an insert-only
+                # append (nothing to rewrite, ordinary optimistic commit)
+                return self.append(source, partition_col=partition_col)
+            part_values = {f.get('partition') for f in files0}
+            if part_values != {None} and partition_col is None:
+                raise ValueError(
+                    'table is partitioned — pass partition_col so the '
+                    'rewrite keeps manifest partition values')
+            target = self.read(spark, base_version)  # pinned to files0
+            missing = [c for c in target.columns if c not in source.columns]
+            if missing:
+                raise ValueError(
+                    f'merge_into: source lacks target columns {missing}')
+            kept = target.join(source.select(*key_cols), key_cols,
+                               'left_anti')
+            if when_matched == 'update':
+                incoming = (source if insert_not_matched
+                            else source.join(target.select(*key_cols),
+                                             key_cols, 'left_semi'))
+            else:  # matched rows deleted
+                incoming = (source.join(target.select(*key_cols),
+                                        key_cols, 'left_anti')
+                            if insert_not_matched
+                            else source.limit(0))
+            merged = kept.unionByName(incoming.select(*target.columns))
+            entries, schema = self._stage(merged, partition_col)
+            expected = sorted(f['path'] for f in files0)
+
+            def apply(base):
+                if sorted(f['path'] for f in base) != expected:
+                    raise _CompactConflict
+                return list(entries)
+
+            try:
+                return self._commit('merge', entries, schema, apply=apply)
+            except _CompactConflict:
+                self._delete_entries(entries)
+                continue
+        raise CommitConflict(
+            f'merge_into: base kept changing for {max_retries} attempts')
+
     # -- maintenance --------------------------------------------------------
 
     def compact(self, spark: SparkSession,

@@ -454,3 +454,121 @@ def test_extraction_into_snapshot_table(spark, tmp_path):
     direct = extracted.where(F.col(checkpoint.BUCKET_COL) == 1).count()
     got = t.read(spark, partition_values=[1]).count()
     assert got == direct
+
+
+# -- MERGE INTO (upsert) ----------------------------------------------------
+
+
+def test_merge_into_upsert_updates_and_inserts(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=10))
+    v1 = t.current_version()
+    src = _docs(spark, 'b', n=16)  # 0..9 match (update), 10..15 insert
+    t.merge_into(spark, src, ['doc_id'])
+    got = t.read(spark)
+    assert got.count() == 16
+    # every surviving row carries the source version
+    assert {r.ver for r in got.select('ver').distinct().collect()} == {'b'}
+    # time travel: the pre-merge snapshot is untouched
+    pre = t.read(spark, version=v1)
+    assert pre.count() == 10
+    assert {r.ver for r in pre.select('ver').distinct().collect()} == {'a'}
+
+
+def test_merge_into_update_only(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=10))
+    src = _docs(spark, 'b', n=16)
+    t.merge_into(spark, src, ['doc_id'], insert_not_matched=False)
+    got = t.read(spark)
+    assert got.count() == 10  # no inserts
+    assert {r.ver for r in got.select('ver').distinct().collect()} == {'b'}
+
+
+def test_merge_into_matched_delete(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=10))
+    # source rows 6..11: 6..9 match -> deleted, 10..11 -> inserted
+    src = _docs(spark, 'b', n=12).where(F.col('doc_id') >= 6)
+    t.merge_into(spark, src, ['doc_id'], when_matched='delete')
+    got = t.read(spark).collect()
+    ids = sorted(r.doc_id for r in got)
+    assert ids == [0, 1, 2, 3, 4, 5, 10, 11]
+    vers = {r.doc_id: r.ver for r in got}
+    assert vers[10] == 'b' and vers[0] == 'a'
+
+
+def test_merge_into_matched_delete_no_insert(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=10))
+    src = _docs(spark, 'b', n=12).where(F.col('doc_id') >= 6)
+    t.merge_into(spark, src, ['doc_id'], when_matched='delete',
+                 insert_not_matched=False)
+    ids = sorted(r.doc_id for r in t.read(spark).collect())
+    assert ids == [0, 1, 2, 3, 4, 5]
+
+
+def test_merge_into_ambiguous_source_raises(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=4))
+    dup = _docs(spark, 'b', n=4).union(_docs(spark, 'c', n=2))
+    with pytest.raises(ValueError, match='not unique'):
+        t.merge_into(spark, dup, ['doc_id'])
+    # table unchanged by the failed merge
+    assert {r.ver for r in
+            t.read(spark).select('ver').distinct().collect()} == {'a'}
+
+
+def test_merge_into_missing_columns_raise(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=4))
+    with pytest.raises(ValueError, match='lacks target columns'):
+        t.merge_into(spark, _docs(spark, 'b', n=2).drop('ver'), ['doc_id'])
+
+
+def test_merge_into_empty_table_is_insert(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.merge_into(spark, _docs(spark, 'b', n=5), ['doc_id'])
+    assert t.read(spark).count() == 5
+    assert t.snapshot()['operation'] == 'append'
+
+
+def test_merge_into_partitioned_requires_partition_col(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=8), partition_col='bucket')
+    with pytest.raises(ValueError, match='partitioned'):
+        t.merge_into(spark, _docs(spark, 'b', n=4), ['doc_id'])
+    t.merge_into(spark, _docs(spark, 'b', n=4), ['doc_id'],
+                 partition_col='bucket')
+    assert t.read(spark).count() == 8
+    # manifest partition values survive the rewrite (pruning intact)
+    assert {f['partition'] for f in t.snapshot()['files']} == \
+        {'0', '1', '2', '3'}
+    assert t.read(spark, partition_values=[1]).count() == 2
+
+
+def test_merge_into_race_keeps_concurrent_append(spark, tmp_path):
+    # a concurrent append lands mid-merge: the merge must throw away its
+    # stale rewrite and retry on the new base, so the appended rows are
+    # merged too (here: late doc_ids 20..25 do not match the source and
+    # are carried forward)
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=8))
+    late = spark.createDataFrame(
+        [Row(doc_id=i, bucket=i % 4, ver='late') for i in range(20, 26)])
+    orig_claim = t._claim_version
+    raced = {'done': False}
+
+    def racing_claim(version, manifest):
+        if not raced['done']:
+            raced['done'] = True
+            SnapshotTable(t.root).append(late)
+        return orig_claim(version, manifest)
+
+    t._claim_version = racing_claim
+    t.merge_into(spark, _docs(spark, 'b', n=8), ['doc_id'])
+    got = t.read(spark)
+    assert got.count() == 14
+    by_ver = {r.ver: r.n for r in
+              got.groupBy('ver').agg(F.count('*').alias('n')).collect()}
+    assert by_ver == {'b': 8, 'late': 6}
