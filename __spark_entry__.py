@@ -1021,6 +1021,34 @@ def _q_snapshot_upsert(spark, sf_dir):
     return t.read(spark).select('doc_id', 'text', 'n_chars')
 
 
+def _q_snapshot_skipping(spark, sf_dir):
+    # File-level data skipping on the snapshot store: per-column
+    # min/max stats harvested from each staged file's parquet footer
+    # (one footer read at stage time, no extra scan) prune the
+    # manifest DRIVER-side before Spark opens a single file —
+    # Iceberg's lower_bounds/upper_bounds skipping. The corpus is
+    # staged range-clustered on doc_id (8 files, disjoint ranges); a
+    # scan for doc_id in [400, 449] must skip most files (asserted
+    # in-gate via file_may_match), then the row-level filter applies
+    # on the survivors — exactly how an engine consumes the bounds.
+    import os
+    from ocrodjvu_spark.plans.snapstore import (SnapshotTable,
+                                                file_may_match)
+    base = _gate_tempdir('ocrodjvu-spark-skip-')
+    t = SnapshotTable(os.path.join(base, 'corpus'))
+    docs = T.load_table(spark, sf_dir, 'documents') \
+        .select('doc_id', 'lang', 'n_chars')
+    t.append(docs.repartitionByRange(8, 'doc_id'))
+    filters = [('doc_id', '>=', 400), ('doc_id', '<=', 449)]
+    files = t.snapshot()['files']
+    kept = [f for f in files if file_may_match(f, filters)]
+    if not (0 < len(kept) < len(files)):
+        raise AssertionError(
+            f'data skipping pruned nothing: {len(kept)}/{len(files)}')
+    return (t.read(spark, stats_filters=filters)
+            .where((F.col('doc_id') >= 400) & (F.col('doc_id') <= 449)))
+
+
 def _q_dedup_substring_capped(spark, sf_dir):
     # stop-gram cap bound: max_df=2 excludes the 5-grams shared by >= 3
     # docs (74 hashes at sf0.01), the skew guard for boilerplate
@@ -1998,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'bpe_train': _q_bpe_train,                       # new r5 (late)
         'bpe_tokenize': _q_bpe_tokenize,                 # new r5 (late)
         'snapshot_upsert': _q_snapshot_upsert,           # new r5 (late)
+        'snapshot_skipping': _q_snapshot_skipping,       # new r5 (late)
     }
 
 
@@ -3755,6 +3784,10 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, text, n_chars FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM src)
+        ''',
+        'snapshot_skipping': '''
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id BETWEEN 400 AND 449
         ''',
         'checkpoint_metrics': f'''
             SELECT CAST(8 AS INTEGER) AS n_buckets,

@@ -28,6 +28,17 @@ re-implemented here, not copied):
 * **Manifest-level partition pruning.** ``read(partition_values=...)``
   prunes the file list driver-side before Spark opens a single footer —
   the same job Iceberg's manifest tree does.
+* **File-level column stats + data skipping.** Every staged file's
+  manifest entry carries per-column min/max harvested from the parquet
+  footer at stage time (one footer read of a file this writer just
+  wrote — no extra scan). ``read(stats_filters=...)`` skips files whose
+  stats disprove a conjunction of simple predicates, exactly Iceberg's
+  lower_bounds/upper_bounds skipping; files lacking stats for a column
+  are conservatively kept. ``merge_into`` uses the same stats to
+  rewrite ONLY the target files whose key range intersects the source's
+  (untouched files are carried forward by reference), and
+  ``delete_where`` accepts a caller-supplied ``prune_filters`` hint
+  with the same contract.
 
 Scale notes (100 TB): the manifest is O(n data files) driver-side JSON.
 At ~1 M files (100 TB / 100 MB) that is a ~100 MB manifest — workable but
@@ -61,6 +72,100 @@ class _CompactConflict(Exception):
 
 
 _PART_DIR = '__pv='  # staged partition directory prefix
+
+# stats are recorded only for values that serialize losslessly to JSON
+# and compare with Python operators; anything else (timestamps, bytes,
+# nested types) is left un-stated and its files are never skipped
+_STATS_TYPES = (bool, int, float, str)
+
+
+def _column_stats(meta):
+    """Per-column (min, max) across a parquet file's row groups, from
+    footer metadata only. Columns with any row group lacking exact
+    min/max stats — or with non-JSON-portable values — are omitted
+    (absent stats == never skip, the conservative default)."""
+    stats: Dict[str, List] = {}
+    dropped = set()
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            name = col.path_in_schema
+            if '.' in name or name in dropped:
+                continue  # nested leaf — no simple predicate maps to it
+            st = col.statistics
+            if (st is None or not st.has_min_max
+                    or not isinstance(st.min, _STATS_TYPES)
+                    or not isinstance(st.max, _STATS_TYPES)
+                    or isinstance(st.min, bool) != isinstance(st.max, bool)):
+                dropped.add(name)
+                stats.pop(name, None)
+                continue
+            if name in stats:
+                lo, hi = stats[name]
+                stats[name] = [min(lo, st.min), max(hi, st.max)]
+            else:
+                stats[name] = [st.min, st.max]
+    return stats
+
+
+def _comparable(value, lo, hi):
+    """True when ``value`` can be ordered against the recorded bounds
+    (same kind: both numeric-non-bool or both str)."""
+    def kind(v):
+        if isinstance(v, bool):
+            return 'bool'
+        if isinstance(v, (int, float)):
+            return 'num'
+        if isinstance(v, str):
+            return 'str'
+        return None
+    return kind(value) is not None and kind(value) == kind(lo) == kind(hi)
+
+
+def file_may_match(entry: dict, filters) -> bool:
+    """Conservative file-level evaluation of a conjunction of simple
+    predicates against a manifest entry's column stats.
+
+    ``filters`` is a sequence of ``(column, op, value)`` with op in
+    ``= < <= > >= in``. Returns False only when the stats PROVE no row
+    in the file can satisfy every predicate (null rows never satisfy
+    these null-rejecting ops, so null counts are irrelevant). Missing
+    stats for a column, or a value that cannot be ordered against the
+    recorded bounds, keep the file.
+    """
+    stats = entry.get('stats') or {}
+    for col, op, value in filters:
+        if col not in stats:
+            continue
+        lo, hi = stats[col]
+        if op == 'in':
+            vals = [v for v in value if _comparable(v, lo, hi)]
+            if len(vals) != len(list(value)):
+                continue  # an un-orderable member might match
+            if not any(lo <= v <= hi for v in vals):
+                return False
+            continue
+        if not _comparable(value, lo, hi):
+            continue
+        if op == '=':
+            if not (lo <= value <= hi):
+                return False
+        elif op == '<':
+            if not (lo < value):
+                return False
+        elif op == '<=':
+            if not (lo <= value):
+                return False
+        elif op == '>':
+            if not (hi > value):
+                return False
+        elif op == '>=':
+            if not (hi >= value):
+                return False
+        else:
+            raise ValueError(f'unknown stats-filter op: {op!r}')
+    return True
 
 
 def _unquote_partition(raw: str):
@@ -139,12 +244,20 @@ class SnapshotTable:
         spark: SparkSession,
         version: Optional[int] = None,
         partition_values: Optional[Sequence] = None,
+        stats_filters: Optional[Sequence] = None,
     ) -> Optional[DataFrame]:
         """A DataFrame pinned to one snapshot's explicit file list.
 
         ``partition_values`` prunes at the manifest (no footer is opened
-        for a pruned file). Returns None for an empty table/snapshot —
-        callers decide their own empty-schema story, same convention as
+        for a pruned file). ``stats_filters`` — a conjunction of
+        ``(column, op, value)`` tuples (op in ``= < <= > >= in``) —
+        additionally skips every file whose recorded min/max stats
+        disprove the predicates (see ``file_may_match``). Skipping is
+        FILE-level: the surviving files still contain non-matching rows,
+        so the caller applies the same predicate row-level on the
+        returned frame (exactly how an engine consumes Iceberg's
+        bounds). Returns None for an empty table/snapshot — callers
+        decide their own empty-schema story, same convention as
         ``checkpoint._read_sidecar``.
         """
         manifest = self.snapshot(version)
@@ -153,14 +266,20 @@ class SnapshotTable:
             wanted = {str(v) for v in partition_values}
             files = [f for f in files
                      if str(f.get('partition')) in wanted]
+        if stats_filters is not None:
+            files = [f for f in files if file_may_match(f, stats_filters)]
         if not files:
             return None
+        return self._read_entries(spark, files, manifest.get('schema'))
+
+    def _read_entries(self, spark: SparkSession, files, schema_json):
+        """A DataFrame over an explicit manifest-entry list."""
         paths = [os.path.join(self.root, f['path']) for f in files]
         reader = spark.read
-        if manifest.get('schema'):
+        if schema_json:
             from pyspark.sql.types import StructType
             reader = reader.schema(
-                StructType.fromJson(json.loads(manifest['schema'])))
+                StructType.fromJson(json.loads(schema_json)))
         return reader.parquet(*paths)
 
     def partitions(self, version: Optional[int] = None) -> List:
@@ -223,6 +342,7 @@ class SnapshotTable:
 
     def delete_where(self, spark: SparkSession, condition,
                      partition_col: Optional[str] = None,
+                     prune_filters: Optional[Sequence] = None,
                      max_retries: int = 5) -> int:
         """Copy-on-write row delete: commit a snapshot without the rows
         matching ``condition`` (a pyspark Column predicate).
@@ -231,32 +351,53 @@ class SnapshotTable:
         lists, right-to-be-forgotten): deleted rows vanish from HEAD
         atomically; prior snapshots still contain them until
         ``expire_snapshots`` — run it after a takedown to physically
-        reclaim the data. Minimal copy-on-write: every file is
-        rewritten (Iceberg's optimization — rewriting only files whose
-        min/max ranges can match — needs column stats the manifest
-        does not carry yet; with ``partition_col`` the staged write at
-        least keeps manifest partition pruning intact). Base-validated
+        reclaim the data.
+
+        ``prune_filters`` is the caller's stats-level statement of the
+        SAME predicate as ``condition`` (``(column, op, value)``
+        conjunction, see ``file_may_match``) — a pyspark Column cannot
+        be introspected driver-side, so the caller supplies it. Files
+        whose stats disprove it provably contain no matching row and
+        are carried forward BY REFERENCE (no rewrite, no data
+        movement); only files that may match are rewritten — Iceberg's
+        copy-on-write file pruning. The caller must keep the two in
+        sync: a ``prune_filters`` narrower than ``condition`` would
+        silently keep rows alive in skipped files. Without it, every
+        file is rewritten (the conservative default). Base-validated
         like ``compact``: a concurrent commit aborts and retries the
         delete on the new snapshot, so concurrent appends survive.
         """
         for _attempt in range(max_retries):
             base_version = self.current_version()
-            files0 = self.snapshot(base_version)['files']
+            base_manifest = self.snapshot(base_version)
+            files0 = base_manifest['files']
             if not files0:
                 return base_version
+            if prune_filters is not None:
+                touched = [f for f in files0
+                           if file_may_match(f, prune_filters)]
+            else:
+                touched = list(files0)
+            if not touched:
+                return base_version  # stats prove nothing matches
             part_values = {f.get('partition') for f in files0}
             if part_values != {None} and partition_col is None:
                 raise ValueError(
                     'table is partitioned — pass partition_col so the '
                     'rewrite keeps manifest partition values')
-            df = self.read(spark, base_version).where(~condition)
+            touched_paths = {f['path'] for f in touched}
+            untouched = [f for f in files0
+                         if f['path'] not in touched_paths]
+            df = self._read_entries(
+                spark, touched, base_manifest.get('schema')) \
+                .where(~condition)
             entries, schema = self._stage(df, partition_col)
             expected = sorted(f['path'] for f in files0)
 
             def apply(base):
                 if sorted(f['path'] for f in base) != expected:
                     raise _CompactConflict
-                return list(entries)
+                return untouched + entries
 
             try:
                 return self._commit('delete', entries, schema,
@@ -293,12 +434,17 @@ class SnapshotTable:
 
         Shape at scale: one left-anti shuffle join of the target against
         the source on the key + a union — no window, no driver-side
-        rows. Copy-on-write rewrites the whole table like
-        ``delete_where`` (file-level pruning of untouched files needs
-        the column stats the manifest does not carry — same documented
-        seam). Base-validated commit: a concurrent append lands first
-        -> this rewrite is discarded and the merge retries on the new
-        snapshot, so no concurrent commit is ever lost.
+        rows. Copy-on-write with AUTOMATIC file pruning: the source's
+        per-key-column min/max (one 1-row aggregate) is intersected
+        with each target file's manifest stats, and only files whose
+        key range can overlap the source's are rewritten — everything
+        else is carried forward by reference. A hot-key CDC batch
+        against a key-clustered table (append via
+        ``df.repartitionByRange(key)``) therefore rewrites a handful
+        of files, not 100 TB. Base-validated commit: a concurrent
+        append lands first -> this rewrite is discarded and the merge
+        retries on the new snapshot, so no concurrent commit is ever
+        lost.
         """
         if when_matched not in ('update', 'delete'):
             raise ValueError(
@@ -311,44 +457,80 @@ class SnapshotTable:
             raise ValueError(
                 f'merge_into: source is not unique on {key_cols} '
                 f'(e.g. {dup[0].asDict()}) — ambiguous merge')
+        # the source's key envelope, for file-level pruning of the
+        # target: one 1-row aggregate; None bounds mean an empty source
+        bounds_row = source.agg(*(
+            agg for k in key_cols
+            for agg in (F.min(k).alias(f'lo_{k}'),
+                        F.max(k).alias(f'hi_{k}')))).collect()[0]
+        key_filters = []
+        for k in key_cols:
+            lo, hi = bounds_row[f'lo_{k}'], bounds_row[f'hi_{k}']
+            if lo is not None and hi is not None:
+                key_filters.append((k, '>=', lo))
+                key_filters.append((k, '<=', hi))
         for _attempt in range(max_retries):
             base_version = self.current_version()
-            files0 = self.snapshot(base_version)['files']
+            base_manifest = self.snapshot(base_version)
+            files0 = base_manifest['files']
             if not files0:
                 if not insert_not_matched:
                     return base_version
                 # empty table: the merge degenerates to an insert-only
                 # append (nothing to rewrite, ordinary optimistic commit)
                 return self.append(source, partition_col=partition_col)
+            # a file whose key range cannot intersect the source's
+            # envelope provably holds no matched row — carry it forward
+            touched = [f for f in files0
+                       if file_may_match(f, key_filters)]
+            touched_paths = {f['path'] for f in touched}
+            untouched = [f for f in files0
+                         if f['path'] not in touched_paths]
             part_values = {f.get('partition') for f in files0}
             if part_values != {None} and partition_col is None:
                 raise ValueError(
                     'table is partitioned — pass partition_col so the '
                     'rewrite keeps manifest partition values')
-            target = self.read(spark, base_version)  # pinned to files0
-            missing = [c for c in target.columns if c not in source.columns]
+            schema_json = base_manifest.get('schema')
+            target_cols = [
+                fld['name'] for fld in
+                json.loads(schema_json)['fields']] if schema_json else \
+                self.read(spark, base_version).columns
+            missing = [c for c in target_cols if c not in source.columns]
             if missing:
                 raise ValueError(
                     f'merge_into: source lacks target columns {missing}')
-            kept = target.join(source.select(*key_cols), key_cols,
-                               'left_anti')
-            if when_matched == 'update':
-                incoming = (source if insert_not_matched
-                            else source.join(target.select(*key_cols),
-                                             key_cols, 'left_semi'))
-            else:  # matched rows deleted
-                incoming = (source.join(target.select(*key_cols),
-                                        key_cols, 'left_anti')
-                            if insert_not_matched
-                            else source.limit(0))
-            merged = kept.unionByName(incoming.select(*target.columns))
-            entries, schema = self._stage(merged, partition_col)
+            if not touched:
+                # no target file can match: pure insert (or no-op)
+                if not insert_not_matched:
+                    return base_version
+                entries, schema = self._stage(
+                    source.select(*target_cols), partition_col)
+                merged_entries = entries
+                target = None
+            else:
+                target = self._read_entries(spark, touched, schema_json)
+                kept = target.join(source.select(*key_cols), key_cols,
+                                   'left_anti')
+                if when_matched == 'update':
+                    incoming = (source if insert_not_matched
+                                else source.join(
+                                    target.select(*key_cols),
+                                    key_cols, 'left_semi'))
+                else:  # matched rows deleted
+                    incoming = (source.join(target.select(*key_cols),
+                                            key_cols, 'left_anti')
+                                if insert_not_matched
+                                else source.limit(0))
+                merged = kept.unionByName(incoming.select(*target_cols))
+                entries, schema = self._stage(merged, partition_col)
+                merged_entries = entries
             expected = sorted(f['path'] for f in files0)
 
             def apply(base):
                 if sorted(f['path'] for f in base) != expected:
                     raise _CompactConflict
-                return list(entries)
+                return untouched + merged_entries
 
             try:
                 return self._commit('merge', entries, schema, apply=apply)
@@ -489,11 +671,13 @@ class SnapshotTable:
                     rel = f'data/{stage_id}-{i}.parquet'
                     os.rename(os.path.join(dirpath, name),
                               os.path.join(self.root, rel))
+                    rows, stats = self._file_meta(
+                        os.path.join(self.root, rel))
                     entries.append({
                         'path': rel,
                         'partition': part_val,
-                        'rows': self._file_rows(
-                            os.path.join(self.root, rel)),
+                        'rows': rows,
+                        'stats': stats,
                     })
                     i += 1
         finally:
@@ -503,9 +687,13 @@ class SnapshotTable:
         return entries, schema
 
     @staticmethod
-    def _file_rows(path: str) -> int:
+    def _file_meta(path: str):
+        """(row count, column min/max stats) from one footer read of a
+        file this writer just staged — the manifest's data-skipping
+        index costs no extra data scan."""
         import pyarrow.parquet as pq
-        return pq.ParquetFile(path).metadata.num_rows
+        meta = pq.ParquetFile(path).metadata
+        return meta.num_rows, _column_stats(meta)
 
     def _commit(self, operation: str, entries, schema,
                 apply: Callable[[List[dict]], List[dict]],

@@ -572,3 +572,149 @@ def test_merge_into_race_keeps_concurrent_append(spark, tmp_path):
     by_ver = {r.ver: r.n for r in
               got.groupBy('ver').agg(F.count('*').alias('n')).collect()}
     assert by_ver == {'b': 8, 'late': 6}
+
+
+# -- column stats + file-level data skipping --------------------------------
+
+
+def _range_docs(spark, ver, n=30, files=3):
+    # range-clustered staging: each staged file covers a disjoint
+    # doc_id range, so manifest stats can actually prune
+    return _docs(spark, ver, n=n).repartitionByRange(files, 'doc_id')
+
+
+def test_manifest_records_column_stats(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_range_docs(spark, 'a', n=30, files=3))
+    files = t.snapshot()['files']
+    assert len(files) == 3
+    ids = set()
+    for f in files:
+        st = f['stats']
+        assert set(st) >= {'doc_id', 'bucket', 'ver'}
+        lo, hi = st['doc_id']
+        assert 0 <= lo <= hi <= 29
+        ids.update(range(lo, hi + 1))
+        assert st['ver'] == ['a', 'a']
+    # the three files' ranges tile 0..29 (range partitioning is disjoint)
+    assert ids == set(range(30))
+
+
+def test_stats_filters_prune_and_read_correctly(spark, tmp_path):
+    from ocrodjvu_spark.plans.snapstore import file_may_match
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_range_docs(spark, 'a', n=30, files=3))
+    files = t.snapshot()['files']
+    filters = [('doc_id', '>=', 25)]
+    surviving = [f for f in files if file_may_match(f, filters)]
+    assert 0 < len(surviving) < len(files)  # pruning actually happened
+    got = t.read(spark, stats_filters=filters).where(F.col('doc_id') >= 25)
+    assert sorted(r.doc_id for r in got.collect()) == list(range(25, 30))
+
+
+def test_stats_filters_in_op_and_equality(spark, tmp_path):
+    from ocrodjvu_spark.plans.snapstore import file_may_match
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_range_docs(spark, 'a', n=30, files=3))
+    files = t.snapshot()['files']
+    eq = [('doc_id', '=', 3)]
+    assert sum(file_may_match(f, eq) for f in files) == 1
+    got = t.read(spark, stats_filters=eq).where(F.col('doc_id') == 3)
+    assert got.count() == 1
+    inf = [('doc_id', 'in', [2, 3])]
+    assert sum(file_may_match(f, inf) for f in files) == 1
+    got = t.read(spark, stats_filters=inf) \
+        .where(F.col('doc_id').isin([2, 3]))
+    assert got.count() == 2
+
+
+def test_stats_missing_column_keeps_every_file(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_range_docs(spark, 'a', n=30, files=3))
+    # no stats recorded for an unknown column -> conservative keep-all
+    got = t.read(spark, stats_filters=[('no_such_col', '=', 1)])
+    assert got.count() == 30
+
+
+def test_file_may_match_type_mismatch_is_conservative():
+    from ocrodjvu_spark.plans.snapstore import file_may_match
+    entry = {'stats': {'k': [10, 20], 's': ['a', 'm']}}
+    # un-orderable value vs recorded bounds: keep the file
+    assert file_may_match(entry, [('k', '=', 'ten')])
+    assert file_may_match(entry, [('s', '>', 5)])
+    # orderable: prune works on both kinds
+    assert not file_may_match(entry, [('k', '<', 10)])
+    assert file_may_match(entry, [('k', '<=', 10)])
+    assert not file_may_match(entry, [('s', '>=', 'z')])
+    # bool is its own kind, never ordered against int bounds
+    assert file_may_match(entry, [('k', '=', True)])
+    # 'in' with one un-orderable member keeps the file
+    assert file_may_match(entry, [('k', 'in', [99, 'x'])])
+    assert not file_may_match(entry, [('k', 'in', [99, 100])])
+
+
+def test_merge_into_prunes_unmatched_files(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_range_docs(spark, 'a', n=30, files=3))
+    before = {f['path']: f for f in t.snapshot()['files']}
+    # source touches only doc_ids 25..29 -> the file(s) covering the
+    # low ranges must be carried forward BY REFERENCE (same path)
+    src = spark.createDataFrame(
+        [Row(doc_id=i, bucket=i % 4, ver='b') for i in range(25, 32)])
+    t.merge_into(spark, src, ['doc_id'])
+    after = {f['path'] for f in t.snapshot()['files']}
+    carried = [p for p in before
+               if p in after]
+    rewritten = [p for p in before if p not in after]
+    assert carried and rewritten  # some pruned, some rewritten
+    for p in carried:  # carried files provably out of the source range
+        lo, hi = before[p]['stats']['doc_id']
+        assert hi < 25
+    got = t.read(spark)
+    assert got.count() == 32
+    by_ver = {r.ver: r.n for r in
+              got.groupBy('ver').agg(F.count('*').alias('n')).collect()}
+    assert by_ver == {'a': 25, 'b': 7}
+
+
+def test_merge_into_disjoint_source_is_pure_insert(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_range_docs(spark, 'a', n=30, files=3))
+    before = {f['path'] for f in t.snapshot()['files']}
+    src = spark.createDataFrame(
+        [Row(doc_id=i, bucket=i % 4, ver='b') for i in range(100, 105)])
+    t.merge_into(spark, src, ['doc_id'])
+    after = {f['path'] for f in t.snapshot()['files']}
+    assert before <= after  # nothing rewritten: every base file carried
+    assert t.read(spark).count() == 35
+    # ...and with insert_not_matched=False the merge is a no-op commit
+    v = t.current_version()
+    src2 = spark.createDataFrame(
+        [Row(doc_id=i, bucket=i % 4, ver='c') for i in range(200, 203)])
+    assert t.merge_into(spark, src2, ['doc_id'],
+                        insert_not_matched=False) == v
+
+
+def test_delete_where_prune_filters_carry_files_forward(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_range_docs(spark, 'a', n=30, files=3))
+    before = {f['path']: f for f in t.snapshot()['files']}
+    t.delete_where(spark, F.col('doc_id') >= 27,
+                   prune_filters=[('doc_id', '>=', 27)])
+    after = {f['path'] for f in t.snapshot()['files']}
+    carried = [p for p in before if p in after]
+    assert carried  # low-range files untouched
+    for p in carried:
+        lo, hi = before[p]['stats']['doc_id']
+        assert hi < 27
+    got = t.read(spark)
+    assert sorted(r.doc_id for r in got.collect()) == list(range(27))
+
+
+def test_delete_where_prune_no_match_is_noop(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_range_docs(spark, 'a', n=30, files=3))
+    v = t.current_version()
+    assert t.delete_where(spark, F.col('doc_id') >= 1000,
+                          prune_filters=[('doc_id', '>=', 1000)]) == v
+    assert t.current_version() == v  # no commit at all
