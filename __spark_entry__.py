@@ -1049,6 +1049,48 @@ def _q_snapshot_skipping(spark, sf_dir):
             .where((F.col('doc_id') >= 400) & (F.col('doc_id') <= 449)))
 
 
+def _q_snapshot_changes(spark, sf_dir):
+    # Incremental append scan on the snapshot store (Iceberg's CDC
+    # read): a consumer that checkpointed at v1 tails ONLY the rows
+    # appended afterwards — file additions off the manifest parent
+    # chain, no re-read of the 100-TB base. Three appends land; the
+    # scan from v1 must return exactly batches 2+3, and the appends-
+    # only contract is load-bearing (a rewrite in the window raises,
+    # unit-tested).
+    import os
+    from ocrodjvu_spark.plans.snapstore import SnapshotTable
+    base = _gate_tempdir('ocrodjvu-spark-cdc-')
+    t = SnapshotTable(os.path.join(base, 'corpus'))
+    docs = T.load_table(spark, sf_dir, 'documents') \
+        .select('doc_id', 'lang', 'n_chars')
+    t.append(docs.where(F.col('doc_id') < 250))
+    v1 = t.current_version()
+    t.append(docs.where((F.col('doc_id') >= 250)
+                        & (F.col('doc_id') < 400)))
+    t.append(docs.where(F.col('doc_id') >= 400))
+    return t.read_changes(spark, v1)
+
+
+def _q_snapshot_evolution(spark, sf_dir):
+    # Additive schema evolution: the corpus starts without a lang
+    # column; a later crawl batch appends WITH it. The committed
+    # schema becomes the additive union, and files written before the
+    # column existed read as NULL through Spark's name-based parquet
+    # resolution — no rewrite of old data. Drops/retypes raise
+    # (unit-tested); renames need Iceberg field IDs and are scoped
+    # out in plans/snapstore.py.
+    import os
+    from ocrodjvu_spark.plans.snapstore import SnapshotTable
+    base = _gate_tempdir('ocrodjvu-spark-evolve-')
+    t = SnapshotTable(os.path.join(base, 'corpus'))
+    docs = T.load_table(spark, sf_dir, 'documents')
+    t.append(docs.select('doc_id', 'n_chars')
+             .where(F.col('doc_id') < 250))
+    t.append(docs.select('doc_id', 'n_chars', 'lang')
+             .where(F.col('doc_id') >= 250))
+    return t.read(spark)
+
+
 def _q_dedup_substring_capped(spark, sf_dir):
     # stop-gram cap bound: max_df=2 excludes the 5-grams shared by >= 3
     # docs (74 hashes at sf0.01), the skew guard for boilerplate
@@ -2027,6 +2069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'bpe_tokenize': _q_bpe_tokenize,                 # new r5 (late)
         'snapshot_upsert': _q_snapshot_upsert,           # new r5 (late)
         'snapshot_skipping': _q_snapshot_skipping,       # new r5 (late)
+        'snapshot_changes': _q_snapshot_changes,         # new r5 (late)
+        'snapshot_evolution': _q_snapshot_evolution,     # new r5 (late)
     }
 
 
@@ -3788,6 +3832,15 @@ def oracle_sql() -> dict[str, str]:
         'snapshot_skipping': '''
             SELECT doc_id, lang, n_chars FROM documents
             WHERE doc_id BETWEEN 400 AND 449
+        ''',
+        'snapshot_changes': '''
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id >= 250
+        ''',
+        'snapshot_evolution': '''
+            SELECT doc_id, n_chars,
+                   CASE WHEN doc_id >= 250 THEN lang END AS lang
+            FROM documents
         ''',
         'checkpoint_metrics': f'''
             SELECT CAST(8 AS INTEGER) AS n_buckets,

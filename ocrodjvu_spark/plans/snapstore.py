@@ -123,6 +123,52 @@ def _comparable(value, lo, hi):
     return kind(value) is not None and kind(value) == kind(lo) == kind(hi)
 
 
+def _merge_schema(base_json: Optional[str], new_json: str) -> str:
+    """Additive schema evolution: the union of the table's schema and an
+    appended batch's schema.
+
+    Every existing column must appear in the new batch with the same
+    type (an append may not silently DROP or RETYPE a column — reading
+    the table with a narrower schema would lose old data); brand-new
+    columns are allowed and become nullable, so files written before
+    the column existed read as NULL (Spark's name-based parquet
+    resolution fills absent columns for nullable fields). Renames and
+    type widening are out of scope — they need Iceberg's field IDs,
+    which name-based parquet mapping cannot express; this is the safe
+    additive core.
+    """
+    if not base_json:
+        return new_json
+    base = json.loads(base_json)
+    new = json.loads(new_json)
+    new_by_name = {f['name']: f for f in new['fields']}
+    merged = []
+    for bf in base['fields']:
+        nf = new_by_name.get(bf['name'])
+        if nf is None:
+            raise ValueError(
+                f"schema evolution: append drops column "
+                f"'{bf['name']}' — additive changes only")
+        if nf['type'] != bf['type']:
+            raise ValueError(
+                f"schema evolution: column '{bf['name']}' changes "
+                f"type {bf['type']!r} -> {nf['type']!r} — renames/"
+                'retypes need field IDs and are out of scope')
+        bf = dict(bf)
+        bf['nullable'] = bool(bf.get('nullable')) or \
+            bool(nf.get('nullable'))
+        merged.append(bf)
+    known = {f['name'] for f in base['fields']}
+    for nf in new['fields']:
+        if nf['name'] not in known:
+            nf = dict(nf)
+            nf['nullable'] = True  # absent in old files -> NULL
+            merged.append(nf)
+    out = dict(base)
+    out['fields'] = merged
+    return json.dumps(out)
+
+
 def file_may_match(entry: dict, filters) -> bool:
     """Conservative file-level evaluation of a conjunction of simple
     predicates against a manifest entry's column stats.
@@ -282,6 +328,52 @@ class SnapshotTable:
                 StructType.fromJson(json.loads(schema_json)))
         return reader.parquet(*paths)
 
+    def read_changes(self, spark: SparkSession, from_version: int,
+                     to_version: Optional[int] = None
+                     ) -> Optional[DataFrame]:
+        """Incremental append scan: the rows ADDED strictly after
+        ``from_version`` up to ``to_version`` (default HEAD) — the CDC
+        feed a downstream consumer tails instead of re-reading 100 TB
+        (Iceberg's incremental read / ``incremental_from_snapshot``).
+
+        Walks the parent chain and unions the file additions of each
+        traversed snapshot. Every traversed snapshot must be an
+        ``append``: a rewrite commit (overwrite / replace_partitions /
+        delete / merge / compact) makes "what changed" ambiguous at
+        file granularity, so it raises — the same contract as
+        Iceberg's append-only incremental scan. Returns None when
+        nothing was added.
+        """
+        if to_version is None:
+            to_version = self.current_version()
+        if from_version > to_version:
+            raise ValueError(
+                f'read_changes: from_version {from_version} is newer '
+                f'than to_version {to_version}')
+        added: List[dict] = []
+        v = to_version
+        while v > from_version:
+            manifest = self.snapshot(v)
+            if manifest['operation'] != 'append':
+                raise ValueError(
+                    f"read_changes: snapshot v{v} is a "
+                    f"'{manifest['operation']}' — incremental scans "
+                    'are defined over append-only history')
+            parent = manifest['parent'] or 0
+            parent_paths = {f['path']
+                            for f in self.snapshot(parent)['files']}
+            added[:0] = [f for f in manifest['files']
+                         if f['path'] not in parent_paths]
+            v = parent
+        if v != from_version:
+            raise ValueError(
+                f'read_changes: v{from_version} is not on '
+                f'v{to_version}\'s parent chain (expired?)')
+        if not added:
+            return None
+        return self._read_entries(
+            spark, added, self.snapshot(to_version).get('schema'))
+
     def partitions(self, version: Optional[int] = None) -> List:
         seen = {}
         for f in self.snapshot(version)['files']:
@@ -308,7 +400,8 @@ class SnapshotTable:
                 return existing
         entries, schema = self._stage(df, partition_col)
         return self._commit('append', entries, schema,
-                            apply=lambda base: base + entries, tag=tag)
+                            apply=lambda base: base + entries, tag=tag,
+                            evolve=True)
 
     def find_tag(self, tag: str) -> Optional[int]:
         """The version committed under ``tag``, or None."""
@@ -697,10 +790,14 @@ class SnapshotTable:
 
     def _commit(self, operation: str, entries, schema,
                 apply: Callable[[List[dict]], List[dict]],
-                tag: Optional[str] = None) -> int:
+                tag: Optional[str] = None,
+                evolve: bool = False) -> int:
         """Optimistic-concurrency commit loop: build the child manifest on
         the observed HEAD, claim version HEAD+1 by atomic rename, rebase
-        and retry on collision."""
+        and retry on collision. ``evolve`` merges the staged schema into
+        the base's additively (``_merge_schema``) instead of replacing
+        it — the append path's schema-evolution contract, re-evaluated
+        against the observed base on every rebase."""
         for _attempt in range(self.max_commit_retries):
             if tag is not None:
                 # the race variant of the idempotence check: a replayed
@@ -713,11 +810,20 @@ class SnapshotTable:
                     return existing
             base_version = self.current_version()
             base = self.snapshot(base_version)
+            if evolve and schema:
+                try:
+                    committed_schema = _merge_schema(
+                        base.get('schema'), schema)
+                except ValueError:
+                    self._delete_entries(entries)  # never published
+                    raise
+            else:
+                committed_schema = schema or base.get('schema')
             manifest = {
                 'version': base_version + 1,
                 'parent': base_version or None,
                 'operation': operation,
-                'schema': schema or base.get('schema'),
+                'schema': committed_schema,
                 'files': apply(list(base['files'])),
             }
             if tag is not None:

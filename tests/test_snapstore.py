@@ -718,3 +718,80 @@ def test_delete_where_prune_no_match_is_noop(spark, tmp_path):
     assert t.delete_where(spark, F.col('doc_id') >= 1000,
                           prune_filters=[('doc_id', '>=', 1000)]) == v
     assert t.current_version() == v  # no commit at all
+
+
+# -- incremental (CDC) append scans -----------------------------------------
+
+
+def test_read_changes_returns_only_appended_rows(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=10))
+    v1 = t.current_version()
+    t.append(spark.createDataFrame(
+        [Row(doc_id=i, bucket=i % 4, ver='b') for i in range(10, 16)]))
+    t.append(spark.createDataFrame(
+        [Row(doc_id=i, bucket=i % 4, ver='c') for i in range(16, 20)]))
+    got = t.read_changes(spark, v1)
+    assert sorted(r.doc_id for r in got.collect()) == list(range(10, 20))
+    # a narrower window sees only its own snapshot's additions
+    mid = t.read_changes(spark, v1, to_version=v1 + 1)
+    assert {r.ver for r in mid.select('ver').distinct().collect()} == {'b'}
+
+
+def test_read_changes_empty_and_bad_ranges(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=5))
+    v = t.current_version()
+    assert t.read_changes(spark, v) is None  # nothing after HEAD
+    with pytest.raises(ValueError, match='newer than'):
+        t.read_changes(spark, v + 3, to_version=v)
+
+
+def test_read_changes_rejects_rewrite_history(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=10))
+    v1 = t.current_version()
+    t.delete_where(spark, F.col('doc_id') >= 8)
+    t.append(_docs(spark, 'b', n=3))
+    with pytest.raises(ValueError, match="'delete'"):
+        t.read_changes(spark, v1)
+    # but a window that spans only appends still works
+    got = t.read_changes(spark, v1 + 1)
+    assert {r.ver for r in got.select('ver').distinct().collect()} == {'b'}
+
+
+# -- additive schema evolution ----------------------------------------------
+
+
+def test_append_adds_column_old_files_read_null(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=6))
+    t.append(spark.createDataFrame(
+        [Row(doc_id=i, bucket=i % 4, ver='b', lang='en')
+         for i in range(6, 10)]))
+    got = t.read(spark)
+    assert set(got.columns) == {'doc_id', 'bucket', 'ver', 'lang'}
+    rows = {r.doc_id: r.lang for r in got.collect()}
+    assert all(rows[i] is None for i in range(6))
+    assert all(rows[i] == 'en' for i in range(6, 10))
+    # the incremental scan of the new batch carries the evolved schema
+    changes = t.read_changes(spark, 1)
+    assert set(changes.columns) == {'doc_id', 'bucket', 'ver', 'lang'}
+
+
+def test_append_dropping_or_retyping_column_raises(spark, tmp_path):
+    import os
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=4))
+    v = t.current_version()
+    with pytest.raises(ValueError, match='drops column'):
+        t.append(spark.createDataFrame(
+            [Row(doc_id=9, bucket=1)]))  # no 'ver'
+    with pytest.raises(ValueError, match='changes type'):
+        t.append(spark.createDataFrame(
+            [Row(doc_id=9, bucket=1, ver=42)]))  # ver int, was string
+    assert t.current_version() == v  # nothing committed
+    # ...and the rejected appends' staged files were reclaimed
+    live = {f['path'] for f in t.snapshot()['files']}
+    on_disk = {f'data/{n}' for n in os.listdir(t.data_dir)}
+    assert on_disk == live
