@@ -1091,6 +1091,36 @@ def _q_snapshot_evolution(spark, sf_dir):
     return t.read(spark)
 
 
+def _q_snapshot_zorder(spark, sf_dir):
+    # Z-ordered compaction (Delta's OPTIMIZE ZORDER BY): the corpus
+    # lands append-ordered (round-robin repartition — every file spans
+    # the whole key domain, nothing prunes), then one Morton-clustered
+    # rewrite (zorder_expr: quantile rank-buckets, bit interleave, all
+    # whole-stage codegen; transient sort key never stored) makes BOTH
+    # doc_id and n_chars prunable at once — asserted in-gate per
+    # dimension via file_may_match. The returned scan composes the
+    # 2-dimensional skip with the row-level filter.
+    import os
+    from ocrodjvu_spark.plans.snapstore import (SnapshotTable,
+                                                file_may_match)
+    base = _gate_tempdir('ocrodjvu-spark-zorder-')
+    t = SnapshotTable(os.path.join(base, 'corpus'))
+    docs = T.load_table(spark, sf_dir, 'documents') \
+        .select('doc_id', 'lang', 'n_chars')
+    t.append(docs.repartition(8))
+    t.compact(spark, zorder_by=['doc_id', 'n_chars'],
+              target_partitions=8)
+    files = t.snapshot()['files']
+    for dim in ([('doc_id', '<', 100)], [('n_chars', '<', 150)]):
+        kept = sum(file_may_match(f, dim) for f in files)
+        if not kept < len(files):
+            raise AssertionError(
+                f'z-order pruned nothing on {dim}: {kept}/{len(files)}')
+    filters = [('doc_id', '<', 250), ('n_chars', '>=', 300)]
+    return (t.read(spark, stats_filters=filters)
+            .where((F.col('doc_id') < 250) & (F.col('n_chars') >= 300)))
+
+
 def _q_dedup_substring_capped(spark, sf_dir):
     # stop-gram cap bound: max_df=2 excludes the 5-grams shared by >= 3
     # docs (74 hashes at sf0.01), the skew guard for boilerplate
@@ -2071,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'snapshot_skipping': _q_snapshot_skipping,       # new r5 (late)
         'snapshot_changes': _q_snapshot_changes,         # new r5 (late)
         'snapshot_evolution': _q_snapshot_evolution,     # new r5 (late)
+        'snapshot_zorder': _q_snapshot_zorder,           # new r5 (late)
     }
 
 
@@ -3841,6 +3872,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars,
                    CASE WHEN doc_id >= 250 THEN lang END AS lang
             FROM documents
+        ''',
+        'snapshot_zorder': '''
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id < 250 AND n_chars >= 300
         ''',
         'checkpoint_metrics': f'''
             SELECT CAST(8 AS INTEGER) AS n_buckets,

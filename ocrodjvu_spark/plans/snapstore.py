@@ -123,6 +123,40 @@ def _comparable(value, lo, hi):
     return kind(value) is not None and kind(value) == kind(lo) == kind(hi)
 
 
+def zorder_expr(df: DataFrame, cols: Sequence[str], bits: int = 4):
+    """A JVM-computed Morton (z-order) value over ``cols``.
+
+    Each column is rank-bucketed into ``2**bits`` quantile buckets
+    (cut points from one driver-side ``percentile_approx`` collect —
+    metadata-scale, like k-means seeds; rank buckets, unlike
+    equal-width, stay balanced under skew), then the bucket bits are
+    interleaved so files clustered on the z-value cover tight ranges
+    in EVERY dimension at once — Delta's ``OPTIMIZE ZORDER BY``. The
+    bucketing is a plain CASE-WHEN chain per column (no higher-order
+    array lambda — Catalyst inlines those without CSE), and the
+    interleave is pure integer arithmetic, all whole-stage codegen.
+    NULLs bucket to 0 (sort first, prune like any other value).
+    """
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts_row = df.select(*[
+        F.percentile_approx(c, probs, 10000).alias(c) for c in cols
+    ]).collect()[0]
+    z = F.lit(0)
+    for ci, c in enumerate(cols):
+        bucket = F.lit(0)
+        for cut in cuts_row[c]:
+            bucket = bucket + F.when(F.col(c) >= F.lit(cut), 1) \
+                               .otherwise(0)
+        for b in range(bits):
+            # bit b of this column's bucket lands at interleaved
+            # position b*len(cols)+ci
+            z = z + F.shiftleft(
+                F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
+                b * len(cols) + ci)
+    return z
+
+
 def _merge_schema(base_json: Optional[str], new_json: str) -> str:
     """Additive schema evolution: the union of the table's schema and an
     appended batch's schema.
@@ -638,6 +672,8 @@ class SnapshotTable:
     def compact(self, spark: SparkSession,
                 partition_col: Optional[str] = None,
                 target_partitions: int = 1,
+                cluster_by: Optional[Sequence[str]] = None,
+                zorder_by: Optional[Sequence[str]] = None,
                 max_retries: int = 5) -> int:
         """Rewrite HEAD's data into fewer, larger files (the
         small-files problem every streaming-append table accumulates;
@@ -661,7 +697,24 @@ class SnapshotTable:
         retries on the new snapshot, like Iceberg's
         rewrite_data_files validation. Already-compacted tables
         return immediately without rewriting (idempotent maintenance
-        cron)."""
+        cron) — except when ``cluster_by`` is given, which always
+        rewrites (the point is the new layout, not fewer files).
+
+        ``cluster_by`` sorts the rewrite (range repartition on the
+        columns + in-partition sort, a total order across files) so
+        each output file covers a TIGHT, near-disjoint range of the
+        cluster columns — this is what makes the manifest's min/max
+        stats actually prune (Iceberg/Delta's sorted
+        rewrite_data_files): an append-ordered 100-TB table has every
+        file spanning the whole key domain and skips nothing; after a
+        clustered rewrite a point/range scan opens only the files
+        whose range intersects. Multi-column clustering is
+        lexicographic — files prune hard on the leading column;
+        ``zorder_by`` instead clusters on a Morton value
+        (``zorder_expr``) so EVERY listed dimension prunes, at some
+        cost to each (Delta's OPTIMIZE ZORDER BY). The z-value is a
+        transient sort key — it is dropped before staging, never
+        stored."""
         for _attempt in range(max_retries):
             base_version = self.current_version()
             files0 = self.snapshot(base_version)['files']
@@ -674,13 +727,41 @@ class SnapshotTable:
                     'rewrite keeps manifest partition values')
             target_total = (len(part_values) if partition_col
                             else target_partitions)
-            if len(files0) <= target_total:
+            if cluster_by and zorder_by:
+                raise ValueError(
+                    'cluster_by and zorder_by are mutually exclusive')
+            if len(files0) <= target_total and not (cluster_by
+                                                    or zorder_by):
                 return base_version  # nothing to gain; do not copy data
             df = self.read(spark, base_version)  # pinned to files0
-            if partition_col is not None:
+            cluster_cols = list(cluster_by) if cluster_by else None
+            drop_z = False
+            if zorder_by:
+                df = df.withColumn('__zv',
+                                   zorder_expr(df, list(zorder_by)))
+                cluster_cols = ['__zv']
+                drop_z = True
+            if cluster_cols:
+                sort_cols = [F.col(c) for c in cluster_cols]
+                if partition_col is not None:
+                    # cluster within each partition value: the staged
+                    # partitionBy re-splits by value, the sort shapes
+                    # file ranges inside it
+                    df = (df.repartitionByRange(
+                              target_partitions * max(len(part_values), 1),
+                              F.col(partition_col), *sort_cols)
+                          .sortWithinPartitions(
+                              F.col(partition_col), *sort_cols))
+                else:
+                    df = (df.repartitionByRange(target_partitions,
+                                                *sort_cols)
+                          .sortWithinPartitions(*sort_cols))
+            elif partition_col is not None:
                 df = df.repartition(F.col(partition_col))
             else:
                 df = df.repartition(target_partitions)
+            if drop_z:
+                df = df.drop('__zv')  # transient sort key, never stored
             entries, schema = self._stage(df, partition_col)
             expected = sorted(f['path'] for f in files0)
 

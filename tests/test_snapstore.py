@@ -795,3 +795,50 @@ def test_append_dropping_or_retyping_column_raises(spark, tmp_path):
     live = {f['path'] for f in t.snapshot()['files']}
     on_disk = {f'data/{n}' for n in os.listdir(t.data_dir)}
     assert on_disk == live
+
+
+# -- clustered / z-ordered compaction ---------------------------------------
+
+
+def test_compact_cluster_by_tightens_file_ranges(spark, tmp_path):
+    from ocrodjvu_spark.plans.snapstore import file_may_match
+    t = SnapshotTable(str(tmp_path / 't'))
+    # append-ordered layout: round-robin repartition scatters doc_ids,
+    # so every file spans (nearly) the whole key domain -> no pruning
+    t.append(_docs(spark, 'a', n=40).repartition(4))
+    before = t.snapshot()['files']
+    point = [('doc_id', '=', 7)]
+    assert sum(file_may_match(f, point) for f in before) > 1
+    t.compact(spark, cluster_by=['doc_id'], target_partitions=4)
+    after = t.snapshot()['files']
+    assert len(after) == 4
+    # clustered: exactly one file can hold any given key
+    assert sum(file_may_match(f, point) for f in after) == 1
+    got = t.read(spark)
+    assert sorted(r.doc_id for r in got.collect()) == list(range(40))
+
+
+def test_compact_zorder_prunes_on_both_dimensions(spark, tmp_path):
+    from ocrodjvu_spark.plans.snapstore import file_may_match
+    t = SnapshotTable(str(tmp_path / 't'))
+    # two independent dimensions: y enumerates a grid against x, so
+    # lexicographic clustering on x would leave y unprunable
+    rows = [Row(x=i, y=(i * 7) % 64, payload=f'p{i}') for i in range(64)]
+    t.append(spark.createDataFrame(rows).repartition(4))
+    t.compact(spark, zorder_by=['x', 'y'], target_partitions=4)
+    files = t.snapshot()['files']
+    assert len(files) == 4
+    assert all('__zv' not in (f['stats'] or {}) for f in files)
+    # z-order: BOTH single-dimension scans skip at least one file
+    assert sum(file_may_match(f, [('x', '<', 16)]) for f in files) < 4
+    assert sum(file_may_match(f, [('y', '<', 16)]) for f in files) < 4
+    got = t.read(spark)
+    assert set(got.columns) == {'x', 'y', 'payload'}
+    assert got.count() == 64
+
+
+def test_compact_cluster_and_zorder_mutually_exclusive(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=8))
+    with pytest.raises(ValueError, match='mutually exclusive'):
+        t.compact(spark, cluster_by=['doc_id'], zorder_by=['doc_id'])
