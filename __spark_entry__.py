@@ -1121,6 +1121,37 @@ def _q_snapshot_zorder(spark, sf_dir):
             .where((F.col('doc_id') < 250) & (F.col('n_chars') >= 300)))
 
 
+def _q_snapshot_mview(spark, sf_dir):
+    # Exactly-once incremental materialized view over the snapshot
+    # store: the English-corpus view refreshes after each source
+    # append by reading ONLY the added rows (read_changes), and the
+    # consumer cursor is the sink's own commit tag — data append and
+    # cursor advance are one atomic commit, so the duplicate refresh
+    # (a crashed refresher's replay) is a no-op, asserted in-gate.
+    import os
+    from ocrodjvu_spark.plans.snapstore import (SnapshotTable,
+                                                refresh_incremental)
+    base = _gate_tempdir('ocrodjvu-spark-mview-')
+    src = SnapshotTable(os.path.join(base, 'corpus'))
+    mv = SnapshotTable(os.path.join(base, 'corpus_en'))
+    docs = T.load_table(spark, sf_dir, 'documents') \
+        .select('doc_id', 'lang', 'n_chars')
+
+    def transform(batch):
+        return batch.where(F.col('lang') == 'en') \
+            .select('doc_id', 'n_chars')
+
+    src.append(docs.where(F.col('doc_id') < 250))
+    refresh_incremental(spark, src, mv, transform, name='en_view')
+    src.append(docs.where(F.col('doc_id') >= 250))
+    v = refresh_incremental(spark, src, mv, transform, name='en_view')
+    replay = refresh_incremental(spark, src, mv, transform,
+                                 name='en_view')
+    if replay is not None or mv.current_version() != v:
+        raise AssertionError('duplicate refresh was not a no-op')
+    return mv.read(spark)
+
+
 def _q_dedup_substring_capped(spark, sf_dir):
     # stop-gram cap bound: max_df=2 excludes the 5-grams shared by >= 3
     # docs (74 hashes at sf0.01), the skew guard for boilerplate
@@ -2102,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'snapshot_changes': _q_snapshot_changes,         # new r5 (late)
         'snapshot_evolution': _q_snapshot_evolution,     # new r5 (late)
         'snapshot_zorder': _q_snapshot_zorder,           # new r5 (late)
+        'snapshot_mview': _q_snapshot_mview,             # new r5 (late)
     }
 
 
@@ -3876,6 +3908,10 @@ def oracle_sql() -> dict[str, str]:
         'snapshot_zorder': '''
             SELECT doc_id, lang, n_chars FROM documents
             WHERE doc_id < 250 AND n_chars >= 300
+        ''',
+        'snapshot_mview': '''
+            SELECT doc_id, n_chars FROM documents
+            WHERE lang = 'en'
         ''',
         'checkpoint_metrics': f'''
             SELECT CAST(8 AS INTEGER) AS n_buckets,

@@ -352,6 +352,23 @@ class SnapshotTable:
             return None
         return self._read_entries(spark, files, manifest.get('schema'))
 
+    def last_consumed(self, name: str) -> int:
+        """The highest source version a ``refresh_incremental`` with
+        this consumer ``name`` has committed into THIS table (0 if
+        never refreshed). Derived from commit tags — the consumer
+        cursor lives inside the sink's own atomic commit history, so
+        there is no separate offset file to desync."""
+        lo = 0
+        prefix = f'{name}@'
+        for v in self.versions():
+            tag = self.snapshot(v).get('tag') or ''
+            if tag.startswith(prefix):
+                try:
+                    lo = max(lo, int(tag[len(prefix):]))
+                except ValueError:
+                    continue
+        return lo
+
     def _read_entries(self, spark: SparkSession, files, schema_json):
         """A DataFrame over an explicit manifest-entry list."""
         paths = [os.path.join(self.root, f['path']) for f in files]
@@ -947,3 +964,40 @@ class SnapshotTable:
             return False
         finally:
             os.remove(tmp)
+
+
+def refresh_incremental(spark: SparkSession, source: SnapshotTable,
+                        sink: SnapshotTable, transform,
+                        name: str = 'mv',
+                        partition_col: Optional[str] = None
+                        ) -> Optional[int]:
+    """Exactly-once incremental maintenance of an append-only derived
+    table (a materialized view): read the source rows added since the
+    last refresh, apply ``transform`` (row-wise: filter / project /
+    extract — an append-only source maps to an append-only view), and
+    append the result to ``sink``.
+
+    The consumer cursor IS the sink's commit tag (``<name>@<source
+    version>``): the data append and the cursor advance are one atomic
+    tagged commit, so a crash anywhere — or a concurrent duplicate
+    refresher — replays as a no-op (``append(tag=...)`` idempotence)
+    and can neither skip nor double-apply a batch. No offset file, no
+    two-phase dance: the same shape as the streaming ingester's tagged
+    foreachBatch, driven by table versions instead of micro-batches.
+
+    A rewrite commit (delete / merge / compact) inside the unread
+    window raises via ``read_changes`` — the view must then be rebuilt
+    with ``sink.overwrite(transform(source.read(spark)))``, which is
+    exactly Iceberg/Delta's incremental-view contract.
+
+    Returns the sink version committed, or None when already current.
+    """
+    hi = source.current_version()
+    lo = sink.last_consumed(name)
+    if hi <= lo:
+        return None
+    batch = source.read_changes(spark, lo, hi)
+    if batch is None:
+        return None  # empty window: nothing to commit, cursor re-derives
+    return sink.append(transform(batch), partition_col=partition_col,
+                       tag=f'{name}@{hi}')

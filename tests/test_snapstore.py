@@ -842,3 +842,57 @@ def test_compact_cluster_and_zorder_mutually_exclusive(spark, tmp_path):
     t.append(_docs(spark, 'a', n=8))
     with pytest.raises(ValueError, match='mutually exclusive'):
         t.compact(spark, cluster_by=['doc_id'], zorder_by=['doc_id'])
+
+
+# -- incremental materialized-view refresh ----------------------------------
+
+
+def test_refresh_incremental_exactly_once(spark, tmp_path):
+    from ocrodjvu_spark.plans.snapstore import refresh_incremental
+    src = SnapshotTable(str(tmp_path / 'src'))
+    mv = SnapshotTable(str(tmp_path / 'mv'))
+    transform = lambda df: df.where(F.col('doc_id') % 2 == 0) \
+        .select('doc_id', 'ver')
+    src.append(_docs(spark, 'a', n=10))
+    assert refresh_incremental(spark, src, mv, transform) is not None
+    assert sorted(r.doc_id for r in mv.read(spark).collect()) == \
+        [0, 2, 4, 6, 8]
+    # already current: no-op, no new sink version
+    v = mv.current_version()
+    assert refresh_incremental(spark, src, mv, transform) is None
+    assert mv.current_version() == v
+    # second source batch refreshes incrementally (only new rows read)
+    src.append(spark.createDataFrame(
+        [Row(doc_id=i, bucket=i % 4, ver='b') for i in range(10, 14)]))
+    refresh_incremental(spark, src, mv, transform)
+    got = {(r.doc_id, r.ver) for r in mv.read(spark).collect()}
+    assert got == {(0, 'a'), (2, 'a'), (4, 'a'), (6, 'a'), (8, 'a'),
+                   (10, 'b'), (12, 'b')}
+
+
+def test_refresh_incremental_replay_is_idempotent(spark, tmp_path):
+    from ocrodjvu_spark.plans.snapstore import refresh_incremental
+    src = SnapshotTable(str(tmp_path / 'src'))
+    mv = SnapshotTable(str(tmp_path / 'mv'))
+    src.append(_docs(spark, 'a', n=6))
+    v1 = refresh_incremental(spark, src, mv, lambda df: df)
+    # a crashed refresher restarts and replays the SAME window: the
+    # tagged append dedupes, so no rows double-apply
+    assert refresh_incremental(spark, src, mv, lambda df: df) is None
+    assert mv.current_version() == v1
+    assert mv.read(spark).count() == 6
+
+
+def test_refresh_incremental_rejects_rewritten_window(spark, tmp_path):
+    from ocrodjvu_spark.plans.snapstore import refresh_incremental
+    src = SnapshotTable(str(tmp_path / 'src'))
+    mv = SnapshotTable(str(tmp_path / 'mv'))
+    src.append(_docs(spark, 'a', n=6))
+    refresh_incremental(spark, src, mv, lambda df: df)
+    src.delete_where(spark, F.col('doc_id') >= 4)
+    src.append(_docs(spark, 'b', n=2))
+    with pytest.raises(ValueError, match='append-only'):
+        refresh_incremental(spark, src, mv, lambda df: df)
+    # the documented fallback: full rebuild
+    mv.overwrite(src.read(spark))
+    assert mv.read(spark).count() == src.read(spark).count()
