@@ -133,9 +133,13 @@ def zorder_expr(df: DataFrame, cols: Sequence[str], bits: int = 4):
     interleaved so files clustered on the z-value cover tight ranges
     in EVERY dimension at once — Delta's ``OPTIMIZE ZORDER BY``. The
     bucketing is a plain CASE-WHEN chain per column (no higher-order
-    array lambda — Catalyst inlines those without CSE), and the
-    interleave is pure integer arithmetic, all whole-stage codegen.
-    NULLs bucket to 0 (sort first, prune like any other value).
+    array lambda — Catalyst inlines those without CSE), evaluated
+    EXACTLY ONCE per column: the bit spreading goes through a 16-entry
+    Morton lookup-table literal (``element_at``) instead of per-bit
+    shift/mask arithmetic, which would inline the whole bucket chain
+    once per bit (Catalyst does not CSE across a projection either).
+    All whole-stage codegen. NULLs bucket to 0 (sort first, prune like
+    any other value).
     """
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
@@ -148,12 +152,15 @@ def zorder_expr(df: DataFrame, cols: Sequence[str], bits: int = 4):
         for cut in cuts_row[c]:
             bucket = bucket + F.when(F.col(c) >= F.lit(cut), 1) \
                                .otherwise(0)
-        for b in range(bits):
-            # bit b of this column's bucket lands at interleaved
-            # position b*len(cols)+ci
-            z = z + F.shiftleft(
-                F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
-                b * len(cols) + ci)
+        # bucket bit b lands at interleaved position b*len(cols)+ci;
+        # precomputed per bucket value, so `bucket` appears once
+        spread = [
+            sum(((v >> b) & 1) << (b * len(cols) + ci)
+                for b in range(bits))
+            for v in range(n_buckets)
+        ]
+        z = z + F.element_at(
+            F.array(*[F.lit(s) for s in spread]), bucket + 1)
     return z
 
 

@@ -414,6 +414,25 @@ def main():
             ('exactly one exchange',
              lambda p: p.count('Exchange hashpartitioning') == 1),
         ])
+    from ocrodjvu_spark.plans import snapstore as SS
+    _zdocs = T.load_table(spark, sf_dir, 'documents') \
+        .select('doc_id', 'n_chars')
+    audit(
+        'z-order clustering value (pure JVM, map-only)',
+        _zdocs.withColumn('__zv',
+                          SS.zorder_expr(_zdocs, ['doc_id', 'n_chars'])),
+        [
+            ('no Python eval in the z-value projection',
+             lambda p: 'EvalPython' not in p),
+            ('no shuffle (map-only projection)',
+             lambda p: 'Exchange' not in p),
+            ('whole-stage codegen covers the interleave',
+             lambda p: '*(1) Project' in p),
+            ('bucket CASE-chain evaluated once per column '
+             '(15 cuts once, not once per bit)',
+             lambda p: p.count('CASE WHEN (doc_id') == 15),
+        ])
+
     # df comes from a window count over tf's term partition, so there is
     # no tf|><|df join to mis-broadcast; the only join left is the 1-row
     # n_docs cross join (hinted broadcast, which is correct). Hints
