@@ -5,6 +5,8 @@ Usage:
     python tools/snapshot_admin.py <table_root> describe [--version N]
     python tools/snapshot_admin.py <table_root> show [--version N] [-n N]
     python tools/snapshot_admin.py <table_root> compact [--partition-col C]
+        [--cluster-by A,B | --zorder-by A,B] [--target-partitions N]
+    python tools/snapshot_admin.py <table_root> changes --from N [--to M]
     python tools/snapshot_admin.py <table_root> expire [--keep-last N]
 
 `log` / `describe` are metadata-only (no Spark); `show` / `compact`
@@ -35,6 +37,16 @@ def main(argv=None):
     p.add_argument('-n', type=int, default=20)
     p = sub.add_parser('compact')
     p.add_argument('--partition-col', default=None)
+    p.add_argument('--cluster-by', default=None,
+                   help='comma-separated sort columns (tight file ranges)')
+    p.add_argument('--zorder-by', default=None,
+                   help='comma-separated z-order columns '
+                        '(multi-dimensional skipping)')
+    p.add_argument('--target-partitions', type=int, default=1)
+    p = sub.add_parser('changes')
+    p.add_argument('--from', dest='from_version', type=int, required=True)
+    p.add_argument('--to', dest='to_version', type=int, default=None)
+    p.add_argument('-n', type=int, default=20)
     p = sub.add_parser('expire')
     p.add_argument('--keep-last', type=int, default=1)
     args = parser.parse_args(argv)
@@ -80,9 +92,22 @@ def main(argv=None):
         return 0
 
     if args.cmd == 'compact':
-        v = t.compact(spark, partition_col=args.partition_col)
+        split = lambda s: [c for c in s.split(',') if c] if s else None
+        v = t.compact(spark, partition_col=args.partition_col,
+                      cluster_by=split(args.cluster_by),
+                      zorder_by=split(args.zorder_by),
+                      target_partitions=args.target_partitions)
         print(f'compacted -> v{v} '
               f'({len(t.snapshot(v)["files"])} files)')
+        return 0
+
+    if args.cmd == 'changes':
+        df = t.read_changes(spark, args.from_version, args.to_version)
+        if df is None:
+            print('(no additions in window)')
+            return 0
+        df.show(args.n, truncate=40)
+        print('rows added:', df.count())
         return 0
 
     return 2
