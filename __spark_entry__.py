@@ -760,6 +760,18 @@ def _q_length_quantiles(spark, sf_dir):
     return textops.length_quantiles(docs)
 
 
+def _q_sampled_quantiles(spark, sf_dir):
+    # deterministic hash-sampled quantiles: the scale path that STAYS
+    # oracle-exact — the portable rolling hash draws the identical
+    # sample in both engines (no RNG), the sample is mergeable across
+    # snapshots/partitions (sample of union == union of samples), and
+    # the exact interpolating percentile buffers only ~1/rate of each
+    # stratum. Completes the portable sketch family (membership /
+    # cardinality / frequency / quantiles).
+    docs = T.load_table(spark, sf_dir, 'documents')
+    return textops.sampled_quantiles(docs, rate=4)
+
+
 def _q_dedup_apply(spark, sf_dir):
     # the 'apply' face of exact dedup: keep the min-doc_id representative
     # per normalized-text hash as a min AGGREGATION + equi-join back —
@@ -2134,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'snapshot_evolution': _q_snapshot_evolution,     # new r5 (late)
         'snapshot_zorder': _q_snapshot_zorder,           # new r5 (late)
         'snapshot_mview': _q_snapshot_mview,             # new r5 (late)
+        'sampled_quantiles': _q_sampled_quantiles,       # new r5 (late)
     }
 
 
@@ -3912,6 +3925,19 @@ def oracle_sql() -> dict[str, str]:
         'snapshot_mview': '''
             SELECT doc_id, n_chars FROM documents
             WHERE lang = 'en'
+        ''',
+        'sampled_quantiles': f'''
+            WITH sample AS (
+                SELECT lang, n_chars FROM documents
+                WHERE {_SQL_HASH("CAST(doc_id AS VARCHAR)")} % 4 = 0
+            )
+            SELECT lang AS stratum, count(*) AS n_sampled,
+                   round(quantile_cont(n_chars, 0.25), 6) AS p25,
+                   round(quantile_cont(n_chars, 0.5), 6) AS p50,
+                   round(quantile_cont(n_chars, 0.75), 6) AS p75,
+                   round(quantile_cont(n_chars, 0.95), 6) AS p95
+            FROM sample
+            GROUP BY lang
         ''',
         'checkpoint_metrics': f'''
             SELECT CAST(8 AS INTEGER) AS n_buckets,

@@ -1052,6 +1052,37 @@ def length_quantiles(docs: DataFrame, value_col='n_chars',
                       for i, p in enumerate(QUANTILE_PROBS)]))
 
 
+def sampled_quantiles(docs: DataFrame, value_col='n_chars',
+                      key_col='doc_id', stratum_col='lang',
+                      rate: int = 4) -> DataFrame:
+    """Deterministic hash-sampled quantiles: the third quantile path —
+    oracle-exact like ``length_quantiles(approx=False)`` AND
+    memory-bounded like ``approx=True``.
+
+    The sample is the rows whose portable rolling hash of the key is
+    ``0 (mod rate)``: deterministic (no RNG — stable across retries,
+    partitionings, and engines, so DuckDB draws the IDENTICAL sample),
+    uniform under the hash, and MERGEABLE — the sample of a corpus
+    union is the union of the samples, so per-snapshot/per-partition
+    samples compose exactly like the Bloom/HLL/CMS monoids
+    (completing the portable sketch family with quantiles). The exact
+    interpolating percentile then buffers only ~1/rate of each
+    stratum; at 100 TB pick rate so strata sample to ~10^6 rows.
+    Unlike ``approx_percentile`` (Greenwald-Khanna, engine-specific
+    internals), every step here is reproducible in plain SQL.
+    """
+    h = rolling_hash(F.col(key_col).cast('string'))
+    sample = docs.where(h % F.lit(rate) == 0)
+    probs = F.array(*[F.lit(p) for p in QUANTILE_PROBS])
+    return (sample.groupBy(F.col(stratum_col).alias('stratum'))
+            .agg(F.count('*').alias('n_sampled'),
+                 F.percentile(value_col, probs).alias('q'))
+            .select('stratum', 'n_sampled',
+                    *[F.round(F.element_at('q', i + 1), 6)
+                      .alias(f'p{int(p * 100)}')
+                      for i, p in enumerate(QUANTILE_PROBS)]))
+
+
 def dedup_lines(docs: DataFrame, id_col='doc_id', text_col='text',
                 min_chars: int = 10) -> DataFrame:
     """C4's cross-document span dedup at line granularity (Raffel et

@@ -827,3 +827,27 @@ def test_quantize_embeddings_bounds_and_determinism(spark):
                                  'vec_id long, embedding array<float>')
     z = similarity.quantize_embeddings(zero).collect()[0]
     assert z.scale is None and z.q_hash is None and z.max_abs_err is None
+
+
+def test_sampled_quantiles_deterministic_and_mergeable(spark):
+    from pyspark.sql import functions as F
+    docs = spark.createDataFrame(
+        [(i, 'xx' if i % 2 else 'yy', float(i * 3 % 97))
+         for i in range(200)],
+        'doc_id long, lang string, n_chars double')
+    a = sorted(map(tuple,
+                   textops.sampled_quantiles(docs, rate=4).collect()))
+    # partitioning-invariant (the hash sample has no RNG/partition
+    # dependence, unlike df.sample)
+    b = sorted(map(tuple, textops.sampled_quantiles(
+        docs.repartition(7), rate=4).collect()))
+    assert a == b
+    # sampling commutes with union: per-shard samples merge exactly
+    lo = docs.where(F.col('doc_id') < 100)
+    hi = docs.where(F.col('doc_id') >= 100)
+    c = sorted(map(tuple, textops.sampled_quantiles(
+        lo.unionByName(hi), rate=4).collect()))
+    assert a == c
+    # the sample is a real subsample, not the full data
+    n_sampled = sum(r[1] for r in a)
+    assert 0 < n_sampled < 200
