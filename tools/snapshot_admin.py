@@ -7,6 +7,7 @@ Usage:
     python tools/snapshot_admin.py <table_root> compact [--partition-col C]
         [--cluster-by A,B | --zorder-by A,B] [--target-partitions N]
     python tools/snapshot_admin.py <table_root> changes --from N [--to M]
+    python tools/snapshot_admin.py <table_root> diff --from N [--to M]
     python tools/snapshot_admin.py <table_root> expire [--keep-last N]
 
 `log` / `describe` are metadata-only (no Spark); `show` / `compact`
@@ -47,6 +48,9 @@ def main(argv=None):
     p.add_argument('--from', dest='from_version', type=int, required=True)
     p.add_argument('--to', dest='to_version', type=int, default=None)
     p.add_argument('-n', type=int, default=20)
+    p = sub.add_parser('diff')
+    p.add_argument('--from', dest='from_version', type=int, required=True)
+    p.add_argument('--to', dest='to_version', type=int, default=None)
     p = sub.add_parser('expire')
     p.add_argument('--keep-last', type=int, default=1)
     args = parser.parse_args(argv)
@@ -70,6 +74,28 @@ def main(argv=None):
 
     if args.cmd == 'describe':
         print(json.dumps(t.snapshot(args.version), indent=2))
+        return 0
+
+    if args.cmd == 'diff':
+        # metadata-only: file/row delta between two snapshots
+        a = t.snapshot(args.from_version)
+        b = t.snapshot(args.to_version)
+        af = {f['path']: f for f in a['files']}
+        bf = {f['path']: f for f in b['files']}
+        added = [p for p in bf if p not in af]
+        removed = [p for p in af if p not in bf]
+        print(f"v{a['version']} -> v{b['version']}: "
+              f"+{len(added)} files ({sum(bf[p]['rows'] for p in added)} "
+              f"rows), -{len(removed)} files "
+              f"({sum(af[p]['rows'] for p in removed)} rows)")
+        for p in added:
+            print(f'  + {p} rows={bf[p]["rows"]} '
+                  f'partition={bf[p].get("partition")}')
+        for p in removed:
+            print(f'  - {p} rows={af[p]["rows"]} '
+                  f'partition={af[p].get("partition")}')
+        if a.get('schema') != b.get('schema'):
+            print('  schema changed')
         return 0
 
     if args.cmd == 'expire':
