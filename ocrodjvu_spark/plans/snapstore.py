@@ -97,7 +97,13 @@ def _column_stats(meta):
             if (st is None or not st.has_min_max
                     or not isinstance(st.min, _STATS_TYPES)
                     or not isinstance(st.max, _STATS_TYPES)
-                    or isinstance(st.min, bool) != isinstance(st.max, bool)):
+                    or isinstance(st.min, bool) != isinstance(st.max, bool)
+                    # NaN poisons every comparison (all False), which
+                    # would prune files that DO contain matching rows —
+                    # parquet writers' NaN handling is historically
+                    # inconsistent, so drop such stats outright
+                    or (isinstance(st.min, float) and st.min != st.min)
+                    or (isinstance(st.max, float) and st.max != st.max)):
                 dropped.add(name)
                 stats.pop(name, None)
                 continue
@@ -115,6 +121,11 @@ def _comparable(value, lo, hi):
     def kind(v):
         if isinstance(v, bool):
             return 'bool'
+        if isinstance(v, float) and v != v:
+            # a NaN probe must never prune: Spark orders NaN greatest
+            # and NaN=NaN is true, but parquet stats may silently omit
+            # NaN rows — no bound can disprove a NaN match
+            return None
         if isinstance(v, (int, float)):
             return 'num'
         if isinstance(v, str):
@@ -684,7 +695,13 @@ class SnapshotTable:
                 return untouched + merged_entries
 
             try:
-                return self._commit('merge', entries, schema, apply=apply)
+                # evolve validates the staged schema against the base
+                # additively — load-bearing for the pruned pure-insert
+                # path, whose staged schema derives from the SOURCE
+                # frame (a retyped source column must fail the commit,
+                # not silently re-type files carried forward)
+                return self._commit('merge', entries, schema,
+                                    apply=apply, evolve=True)
             except _CompactConflict:
                 self._delete_entries(entries)
                 continue
@@ -896,14 +913,25 @@ class SnapshotTable:
     def _commit(self, operation: str, entries, schema,
                 apply: Callable[[List[dict]], List[dict]],
                 tag: Optional[str] = None,
-                evolve: bool = False) -> int:
+                evolve: bool = False,
+                validate: Optional[Callable[[], bool]] = None) -> int:
         """Optimistic-concurrency commit loop: build the child manifest on
         the observed HEAD, claim version HEAD+1 by atomic rename, rebase
         and retry on collision. ``evolve`` merges the staged schema into
         the base's additively (``_merge_schema``) instead of replacing
         it — the append path's schema-evolution contract, re-evaluated
-        against the observed base on every rebase."""
+        against the observed base on every rebase. ``validate`` is
+        re-checked on every attempt BEFORE the claim; a False result
+        reclaims the staged files and raises ``_CompactConflict`` for
+        the caller to re-derive its inputs. The version claim makes the
+        check atomic: if a competing commit lands between validation
+        and our claim, the claim fails and the next attempt
+        re-validates against the new state — a stale precondition can
+        never slip through."""
         for _attempt in range(self.max_commit_retries):
+            if validate is not None and not validate():
+                self._delete_entries(entries)
+                raise _CompactConflict
             if tag is not None:
                 # the race variant of the idempotence check: a replayed
                 # committer that lost the claim to its twin must not
@@ -987,10 +1015,18 @@ def refresh_incremental(spark: SparkSession, source: SnapshotTable,
     The consumer cursor IS the sink's commit tag (``<name>@<source
     version>``): the data append and the cursor advance are one atomic
     tagged commit, so a crash anywhere — or a concurrent duplicate
-    refresher — replays as a no-op (``append(tag=...)`` idempotence)
-    and can neither skip nor double-apply a batch. No offset file, no
-    two-phase dance: the same shape as the streaming ingester's tagged
-    foreachBatch, driven by table versions instead of micro-batches.
+    refresher — replays as a no-op and can neither skip nor
+    double-apply a batch. No offset file, no two-phase dance: the same
+    shape as the streaming ingester's tagged foreachBatch, driven by
+    table versions instead of micro-batches.
+
+    Concurrent refreshers that observed DIFFERENT source heads carry
+    different tags, so tag idempotence alone cannot serialize them
+    (both windows start at the same cursor — overlapping rows would
+    double-apply). The commit therefore re-validates ``last_consumed
+    == lo`` on every attempt, atomically with the version claim: the
+    loser's staged files are reclaimed and the refresh re-derives the
+    cursor, appending only the truly-unread remainder.
 
     A rewrite commit (delete / merge / compact) inside the unread
     window raises via ``read_changes`` — the view must then be rebuilt
@@ -999,12 +1035,22 @@ def refresh_incremental(spark: SparkSession, source: SnapshotTable,
 
     Returns the sink version committed, or None when already current.
     """
-    hi = source.current_version()
-    lo = sink.last_consumed(name)
-    if hi <= lo:
-        return None
-    batch = source.read_changes(spark, lo, hi)
-    if batch is None:
-        return None  # empty window: nothing to commit, cursor re-derives
-    return sink.append(transform(batch), partition_col=partition_col,
-                       tag=f'{name}@{hi}')
+    for _attempt in range(10):
+        hi = source.current_version()
+        lo = sink.last_consumed(name)
+        if hi <= lo:
+            return None
+        batch = source.read_changes(spark, lo, hi)
+        if batch is None:
+            return None  # empty window: nothing staged, cursor re-derives
+        entries, schema = sink._stage(transform(batch), partition_col)
+        try:
+            return sink._commit(
+                'append', entries, schema,
+                apply=lambda base: base + entries,
+                tag=f'{name}@{hi}', evolve=True,
+                validate=lambda: sink.last_consumed(name) == lo)
+        except _CompactConflict:
+            continue  # cursor moved under us: recompute the window
+    raise CommitConflict(
+        f'refresh_incremental({name}): cursor kept moving')

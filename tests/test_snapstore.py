@@ -896,3 +896,51 @@ def test_refresh_incremental_rejects_rewritten_window(spark, tmp_path):
     # the documented fallback: full rebuild
     mv.overwrite(src.read(spark))
     assert mv.read(spark).count() == src.read(spark).count()
+
+
+def test_refresh_incremental_racing_different_heads(spark, tmp_path):
+    # two refreshers share the cursor (lo=0) but observed DIFFERENT
+    # source heads: A saw v1, B saw v1+v2. Tag idempotence alone would
+    # let both commit (different tags) and double-apply v1's rows. The
+    # loser must re-derive the cursor and append only the remainder.
+    from ocrodjvu_spark.plans.snapstore import refresh_incremental
+    src = SnapshotTable(str(tmp_path / 'src'))
+    mv = SnapshotTable(str(tmp_path / 'mv'))
+    src.append(_docs(spark, 'a', n=4))          # v1 (A's head)
+    src.append(spark.createDataFrame(            # v2 (B's head)
+        [Row(doc_id=i, bucket=i % 4, ver='b') for i in range(4, 7)]))
+    orig_claim = mv._claim_version
+    raced = {'done': False}
+
+    def racing_claim(version, manifest):
+        if not raced['done']:
+            raced['done'] = True
+            # refresher A commits its (0, v1] window first, through a
+            # separate handle (it never saw v2)
+            a_mv = SnapshotTable(mv.root)
+            a_src = SnapshotTable(src.root)
+            batch = a_src.read_changes(spark, 0, 1)
+            a_mv.append(batch, tag='mv@1')
+        return orig_claim(version, manifest)
+
+    mv._claim_version = racing_claim
+    # refresher B runs with the full window (0, v2]; it must lose the
+    # race, re-derive lo=1, and append ONLY v2's rows
+    refresh_incremental(spark, src, mv, lambda df: df)
+    got = mv.read(spark)
+    assert got.count() == 7  # 4 + 3, no double-applied rows
+    by_ver = {r.ver: r.n for r in
+              got.groupBy('ver').agg(F.count('*').alias('n')).collect()}
+    assert by_ver == {'a': 4, 'b': 3}
+    assert mv.last_consumed('mv') == 2
+
+
+def test_file_may_match_nan_never_prunes():
+    from ocrodjvu_spark.plans.snapstore import file_may_match
+    entry = {'stats': {'k': [1.0, 2.0]}}
+    # Spark orders NaN greatest and NaN = NaN is true, but parquet
+    # writers may omit NaN from stats — a NaN probe must keep the file
+    nan = float('nan')
+    assert file_may_match(entry, [('k', '=', nan)])
+    assert file_may_match(entry, [('k', '>', nan)])
+    assert file_may_match(entry, [('k', 'in', [nan])])
