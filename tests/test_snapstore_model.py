@@ -47,6 +47,17 @@ def _check_invariants(spark, t, model):
         got = Counter() if pruned is None else Counter(
             (r.doc_id, r.bucket, r.ver) for r in pruned.collect())
         assert got == want
+    # stats skipping is file-level-conservative: pruned read + the
+    # row filter must equal the model filtered, whatever the layout
+    if model:
+        cut = next(iter(model))[0]
+        skipped = t.read(spark, stats_filters=[('doc_id', '>=', cut)])
+        want = Counter((d, b, v) for (d, b, v) in model.elements()
+                       if d >= cut)
+        got = Counter() if skipped is None else Counter(
+            (r.doc_id, r.bucket, r.ver)
+            for r in skipped.where(F.col('doc_id') >= cut).collect())
+        assert got == want
 
 
 def test_random_operation_sequences_match_model(spark, tmp_path):
@@ -58,7 +69,7 @@ def test_random_operation_sequences_match_model(spark, tmp_path):
         for step in range(10):
             op = rng.choice(
                 ['append', 'append', 'replace', 'delete', 'compact',
-                 'expire'])
+                 'expire', 'merge', 'delete_pruned', 'cluster'])
             ops_run.append(op)
             if op == 'append':
                 df, rows = _batch(spark, rng, f's{step}')
@@ -79,6 +90,34 @@ def test_random_operation_sequences_match_model(spark, tmp_path):
                                partition_col='bucket')
                 model = Counter({k: n for k, n in model.items()
                                  if k[0] % m != 0})
+            elif op == 'merge':
+                # key-unique source; update replaces EVERY target row
+                # sharing the doc_id, insert adds unmatched keys
+                df, rows = _batch(spark, rng, f's{step}')
+                uniq = {}
+                for d, b, v in rows:
+                    uniq[d] = (d, b, v)
+                rows = list(uniq.values())
+                df = spark.createDataFrame(
+                    [Row(doc_id=d, bucket=b, ver=v) for d, b, v in rows])
+                t.merge_into(spark, df, ['doc_id'],
+                             partition_col='bucket')
+                keys = {d for d, _, _ in rows}
+                model = Counter({k: n for k, n in model.items()
+                                 if k[0] not in keys})
+                model.update(rows)
+            elif op == 'delete_pruned':
+                if not model:
+                    continue
+                cut = rng.randrange(1000)
+                t.delete_where(spark, F.col('doc_id') >= cut,
+                               partition_col='bucket',
+                               prune_filters=[('doc_id', '>=', cut)])
+                model = Counter({k: n for k, n in model.items()
+                                 if k[0] < cut})
+            elif op == 'cluster':
+                t.compact(spark, partition_col='bucket',
+                          cluster_by=['doc_id'])
             elif op == 'compact':
                 t.compact(spark, partition_col='bucket')
             elif op == 'expire':
