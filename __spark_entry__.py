@@ -1164,6 +1164,39 @@ def _q_snapshot_mview(spark, sf_dir):
     return mv.read(spark)
 
 
+def _q_jsonl_roundtrip(spark, sf_dir):
+    # JSONL source/sink (sources/jsonl.py): the corpus exchange
+    # format. Export is JVM-side sharded line-JSON with schema-ordered
+    # keys; read-back uses an explicit schema + PERMISSIVE corrupt
+    # channel (never schema-infer at scale). In-gate cross-engine
+    # check: DuckDB parses the EXACT files Spark wrote (count + sum);
+    # the returned frame is the Spark round-trip vs the base-table
+    # oracle.
+    import os
+    import duckdb as _duckdb
+    from ocrodjvu_spark.sources import jsonl as J
+    base = _gate_tempdir('ocrodjvu-spark-jsonl-')
+    path = os.path.join(base, 'export')
+    docs = T.load_table(spark, sf_dir, 'documents') \
+        .select('doc_id', 'lang', 'text', 'n_chars')
+    J.write_jsonl(docs, path, shards=4)
+    back = J.read_jsonl(
+        spark, path,
+        'doc_id bigint, lang string, text string, n_chars bigint') \
+        .cache()  # Spark forbids queries over ONLY the corrupt column
+    if back.where(F.col('_corrupt_record').isNotNull()).count() != 0:
+        raise AssertionError('clean export produced corrupt records')
+    want = _duckdb.connect().execute(
+        f"SELECT count(*), sum(n_chars) "
+        f"FROM read_json_auto('{path}/*.json')").fetchone()
+    got = docs.agg(F.count('*'), F.sum('n_chars')).collect()[0]
+    if (want[0], want[1]) != (got[0], got[1]):
+        raise AssertionError(
+            f'DuckDB read of the Spark export disagrees: {want} != '
+            f'{tuple(got)}')
+    return back.select('doc_id', 'lang', 'text', 'n_chars')
+
+
 def _q_dedup_substring_capped(spark, sf_dir):
     # stop-gram cap bound: max_df=2 excludes the 5-grams shared by >= 3
     # docs (74 hashes at sf0.01), the skew guard for boilerplate
@@ -2147,6 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'snapshot_zorder': _q_snapshot_zorder,           # new r5 (late)
         'snapshot_mview': _q_snapshot_mview,             # new r5 (late)
         'sampled_quantiles': _q_sampled_quantiles,       # new r5 (late)
+        'jsonl_roundtrip': _q_jsonl_roundtrip,           # new r5 (late)
     }
 
 
@@ -3925,6 +3959,9 @@ def oracle_sql() -> dict[str, str]:
         'snapshot_mview': '''
             SELECT doc_id, n_chars FROM documents
             WHERE lang = 'en'
+        ''',
+        'jsonl_roundtrip': '''
+            SELECT doc_id, lang, text, n_chars FROM documents
         ''',
         'sampled_quantiles': f'''
             WITH sample AS (

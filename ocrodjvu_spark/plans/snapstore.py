@@ -370,6 +370,20 @@ class SnapshotTable:
             return None
         return self._read_entries(spark, files, manifest.get('schema'))
 
+    def count_rows(self, version: Optional[int] = None,
+                   partition_values: Optional[Sequence] = None) -> int:
+        """Metadata-only COUNT(*) — the manifest already carries every
+        file's row count, so a table/partition cardinality costs zero
+        data I/O at any scale (Iceberg's metadata aggregate pushdown).
+        No ``stats_filters`` variant: min/max bounds can prune files
+        but cannot count matching rows."""
+        files = self.snapshot(version)['files']
+        if partition_values is not None:
+            wanted = {str(v) for v in partition_values}
+            files = [f for f in files
+                     if str(f.get('partition')) in wanted]
+        return sum(f['rows'] for f in files)
+
     def last_consumed(self, name: str) -> int:
         """The highest source version a ``refresh_incremental`` with
         this consumer ``name`` has committed into THIS table (0 if

@@ -30,6 +30,10 @@ def _table_rows(spark, t):
 
 def _check_invariants(spark, t, model):
     assert _table_rows(spark, t) == model
+    # metadata-only count agrees with the data, totally and per bucket
+    assert t.count_rows() == sum(model.values())
+    assert t.count_rows(partition_values=[0]) == sum(
+        n for (d, b, v), n in model.items() if b == 0)
     # every on-disk file referenced by some snapshot (no orphans, no
     # dangling references)
     on_disk = {f'data/{n}' for n in os.listdir(t.data_dir)
