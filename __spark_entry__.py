@@ -1164,6 +1164,36 @@ def _q_snapshot_mview(spark, sf_dir):
     return mv.read(spark)
 
 
+def _q_snapshot_skipping_time(spark, sf_dir):
+    # Time-range data skipping — THE hot scan on an event table at
+    # scale: timestamp stats are normalized to epoch micros in the
+    # manifest (parquet datetime stats are not JSON-portable raw), and
+    # datetime probe values convert the same way, so a time-window
+    # scan on a ts-clustered table opens only the files whose range
+    # intersects (hypertable-style chunk exclusion). Pruning asserted
+    # in-gate per the skipping-gate convention.
+    import datetime
+    import os
+    from ocrodjvu_spark.plans.snapstore import (SnapshotTable,
+                                                file_may_match)
+    base = _gate_tempdir('ocrodjvu-spark-tskip-')
+    t = SnapshotTable(os.path.join(base, 'events'))
+    ev = T.load_table(spark, sf_dir, 'events') \
+        .select('event_id', 'ts', 'user_id', 'event_type')
+    t.append(ev.repartitionByRange(8, 'ts'))
+    lo = datetime.datetime(2024, 1, 20)
+    hi = datetime.datetime(2024, 1, 25)
+    filters = [('ts', '>=', lo), ('ts', '<', hi)]
+    files = t.snapshot()['files']
+    kept = [f for f in files if file_may_match(f, filters)]
+    if not (0 < len(kept) < len(files)):
+        raise AssertionError(
+            f'time skipping pruned nothing: {len(kept)}/{len(files)}')
+    return (t.read(spark, stats_filters=filters)
+            .where((F.col('ts') >= F.lit('2024-01-20'))
+                   & (F.col('ts') < F.lit('2024-01-25'))))
+
+
 def _q_jsonl_roundtrip(spark, sf_dir):
     # JSONL source/sink (sources/jsonl.py): the corpus exchange
     # format. Export is JVM-side sharded line-JSON with schema-ordered
@@ -2181,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'snapshot_mview': _q_snapshot_mview,             # new r5 (late)
         'sampled_quantiles': _q_sampled_quantiles,       # new r5 (late)
         'jsonl_roundtrip': _q_jsonl_roundtrip,           # new r5 (late)
+        'snapshot_skipping_time': _q_snapshot_skipping_time,  # r5 late
     }
 
 
@@ -3962,6 +3993,11 @@ def oracle_sql() -> dict[str, str]:
         ''',
         'jsonl_roundtrip': '''
             SELECT doc_id, lang, text, n_chars FROM documents
+        ''',
+        'snapshot_skipping_time': '''
+            SELECT event_id, ts, user_id, event_type FROM events
+            WHERE ts >= TIMESTAMP '2024-01-20'
+              AND ts < TIMESTAMP '2024-01-25'
         ''',
         'sampled_quantiles': f'''
             WITH sample AS (

@@ -74,9 +74,31 @@ class _CompactConflict(Exception):
 _PART_DIR = '__pv='  # staged partition directory prefix
 
 # stats are recorded only for values that serialize losslessly to JSON
-# and compare with Python operators; anything else (timestamps, bytes,
-# nested types) is left un-stated and its files are never skipped
+# and compare with Python operators; temporal values are normalized to
+# epoch integers (micros for timestamps, days for dates) so time-range
+# scans — THE hot path on an event table — can skip files; anything
+# else (bytes, nested types) is left un-stated and never skipped
 _STATS_TYPES = (bool, int, float, str)
+
+
+def _normalize_stat(v):
+    """A parquet stats value as a JSON-portable comparable, or None if
+    the type has no sound ordering encoding."""
+    import datetime
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:  # session TZ is pinned UTC (bench config)
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, datetime.date):
+        return v.toordinal()
+    if isinstance(v, float) and v != v:
+        # NaN poisons every comparison (all False), which would prune
+        # files that DO contain matching rows — parquet writers' NaN
+        # handling is historically inconsistent, so drop outright
+        return None
+    if isinstance(v, _STATS_TYPES):
+        return v
+    return None
 
 
 def _column_stats(meta):
@@ -94,25 +116,26 @@ def _column_stats(meta):
             if '.' in name or name in dropped:
                 continue  # nested leaf — no simple predicate maps to it
             st = col.statistics
-            if (st is None or not st.has_min_max
-                    or not isinstance(st.min, _STATS_TYPES)
-                    or not isinstance(st.max, _STATS_TYPES)
-                    or isinstance(st.min, bool) != isinstance(st.max, bool)
-                    # NaN poisons every comparison (all False), which
-                    # would prune files that DO contain matching rows —
-                    # parquet writers' NaN handling is historically
-                    # inconsistent, so drop such stats outright
-                    or (isinstance(st.min, float) and st.min != st.min)
-                    or (isinstance(st.max, float) and st.max != st.max)):
+            lo = hi = None
+            if st is not None and st.has_min_max:
+                lo, hi = _normalize_stat(st.min), _normalize_stat(st.max)
+            if (lo is None or hi is None
+                    or isinstance(lo, bool) != isinstance(hi, bool)):
                 dropped.add(name)
                 stats.pop(name, None)
                 continue
             if name in stats:
-                lo, hi = stats[name]
-                stats[name] = [min(lo, st.min), max(hi, st.max)]
+                plo, phi = stats[name]
+                stats[name] = [min(plo, lo), max(phi, hi)]
             else:
-                stats[name] = [st.min, st.max]
+                stats[name] = [lo, hi]
     return stats
+
+
+def _probe_value(v):
+    """A filter probe value in the stats encoding (temporal -> epoch
+    ints, matching ``_normalize_stat``); None if un-encodable."""
+    return _normalize_stat(v)
 
 
 def _comparable(value, lo, hi):
@@ -238,13 +261,15 @@ def file_may_match(entry: dict, filters) -> bool:
             continue
         lo, hi = stats[col]
         if op == 'in':
-            vals = [v for v in value if _comparable(v, lo, hi)]
+            vals = [pv for pv in map(_probe_value, value)
+                    if pv is not None and _comparable(pv, lo, hi)]
             if len(vals) != len(list(value)):
                 continue  # an un-orderable member might match
             if not any(lo <= v <= hi for v in vals):
                 return False
             continue
-        if not _comparable(value, lo, hi):
+        value = _probe_value(value)
+        if value is None or not _comparable(value, lo, hi):
             continue
         if op == '=':
             if not (lo <= value <= hi):

@@ -33,6 +33,12 @@ def get_spark(
         # pin the session timezone: date_trunc/date_format gates must
         # not depend on the host TZ (DuckDB oracles compute in UTC)
         .config('spark.sql.session.timeZone', 'UTC')
+        # int64 micros instead of legacy INT96 for TIMESTAMP columns:
+        # INT96 carries no parquet min/max stats, which would blind the
+        # snapshot store's time-range file skipping (and every other
+        # engine's row-group pruning) on ltz timestamp columns
+        .config('spark.sql.parquet.outputTimestampType',
+                'TIMESTAMP_MICROS')
         .config('spark.sql.adaptive.enabled', 'true')
         .config('spark.sql.adaptive.coalescePartitions.enabled', 'true')
         .config('spark.sql.adaptive.skewJoin.enabled', 'true')

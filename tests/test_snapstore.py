@@ -944,3 +944,25 @@ def test_file_may_match_nan_never_prunes():
     assert file_may_match(entry, [('k', '=', nan)])
     assert file_may_match(entry, [('k', '>', nan)])
     assert file_may_match(entry, [('k', 'in', [nan])])
+
+
+def test_timestamp_stats_prune_time_windows(spark, tmp_path):
+    import datetime
+    from ocrodjvu_spark.plans.snapstore import file_may_match
+    t = SnapshotTable(str(tmp_path / 't'))
+    base = datetime.datetime(2024, 3, 1)
+    rows = [Row(eid=i, ts=base + datetime.timedelta(hours=i))
+            for i in range(48)]
+    t.append(spark.createDataFrame(rows).repartitionByRange(4, 'ts'))
+    files = t.snapshot()['files']
+    # temporal bounds recorded as epoch micros (JSON-portable ints)
+    assert all(isinstance(f['stats']['ts'][0], int) for f in files)
+    day2 = [('ts', '>=', base + datetime.timedelta(hours=24))]
+    kept = [f for f in files if file_may_match(f, day2)]
+    assert 0 < len(kept) < len(files)
+    got = t.read(spark, stats_filters=day2) \
+        .where(F.col('ts') >= F.lit('2024-03-02')).count()
+    assert got == 24
+    # date probes use epoch-days and never cross-compare with micros
+    assert file_may_match(
+        files[0], [('ts', '>=', datetime.date(2024, 3, 1))])
