@@ -183,7 +183,9 @@ def zorder_expr(df: DataFrame, cols: Sequence[str], bits: int = 4):
     z = F.lit(0)
     for ci, c in enumerate(cols):
         bucket = F.lit(0)
-        for cut in cuts_row[c]:
+        # an all-NULL column (e.g. a fresh schema-evolution column)
+        # yields NULL cut points — constant bucket 0, no contribution
+        for cut in (cuts_row[c] or []):
             bucket = bucket + F.when(F.col(c) >= F.lit(cut), 1) \
                                .otherwise(0)
         # bucket bit b lands at interleaved position b*len(cols)+ci;
@@ -329,6 +331,7 @@ class SnapshotTable:
         self.data_dir = os.path.join(root, 'data')
         self.manifest_dir = os.path.join(root, 'manifests')
         self.max_commit_retries = max_commit_retries
+        self._tag_cache: Dict[int, Optional[str]] = {}
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.manifest_dir, exist_ok=True)
 
@@ -417,9 +420,8 @@ class SnapshotTable:
         there is no separate offset file to desync."""
         lo = 0
         prefix = f'{name}@'
-        for v in self.versions():
-            tag = self.snapshot(v).get('tag') or ''
-            if tag.startswith(prefix):
+        for tag in self._tags().values():
+            if tag and tag.startswith(prefix):
                 try:
                     lo = max(lo, int(tag[len(prefix):]))
                 except ValueError:
@@ -512,11 +514,36 @@ class SnapshotTable:
                             evolve=True)
 
     def find_tag(self, tag: str) -> Optional[int]:
-        """The version committed under ``tag``, or None."""
-        for v in self.versions():
-            if self.snapshot(v).get('tag') == tag:
-                return v
-        return None
+        """The version committed under ``tag``, or None. Sees expiry
+        TOMBSTONES too: a tag outlives its snapshot's data, so replay
+        idempotence and consumer cursors survive ``expire_snapshots``.
+        """
+        hits = [v for v, t in self._tags().items() if t == tag]
+        return min(hits) if hits else None
+
+    def _tags(self) -> Dict[int, Optional[str]]:
+        """version -> tag across live manifests AND expiry tombstones
+        (``x<V>.json``). Manifests are immutable, so entries memoize
+        per table handle — only unseen versions cost a file read,
+        keeping tag lookups O(new versions), not O(history) per call.
+        """
+        cache = self._tag_cache
+        for name in os.listdir(self.manifest_dir):
+            if not name.endswith('.json') or name[0] not in 'vx':
+                continue
+            try:
+                v = int(name[1:-5])
+            except ValueError:
+                continue
+            if v in cache:
+                continue
+            try:
+                with open(os.path.join(self.manifest_dir, name),
+                          encoding='utf-8') as fh:
+                    cache[v] = json.load(fh).get('tag')
+            except FileNotFoundError:
+                continue  # expired under us; tombstone visible next call
+        return cache
 
     def overwrite(self, df: DataFrame,
                   partition_col: Optional[str] = None) -> int:
@@ -589,9 +616,13 @@ class SnapshotTable:
             touched_paths = {f['path'] for f in touched}
             untouched = [f for f in files0
                          if f['path'] not in touched_paths]
+            # SQL DELETE semantics: rows where the condition is NULL
+            # are KEPT (bare ~condition would drop them — fatal when
+            # the condition references a schema-evolution column that
+            # reads NULL from pre-evolution files)
             df = self._read_entries(
                 spark, touched, base_manifest.get('schema')) \
-                .where(~condition)
+                .where(~F.coalesce(condition, F.lit(False)))
             entries, schema = self._stage(df, partition_col)
             expected = sorted(f['path'] for f in files0)
 
@@ -652,21 +683,27 @@ class SnapshotTable:
                 f"when_matched must be 'update' or 'delete', "
                 f'got {when_matched!r}')
         key_cols = list(key_cols)
-        dup = (source.groupBy(*key_cols).count()
-               .where(F.col('count') > 1).limit(1).collect())
-        if dup:
+        # ONE source pass answers both preconditions: key uniqueness
+        # (max group count) and the key envelope for file-level target
+        # pruning (min/max over the group keys == over the rows). The
+        # source lineage is often an expensive derived frame — a
+        # second full evaluation just for bounds would double the cost
+        # of every CDC merge. None bounds mean an empty source.
+        grouped = source.groupBy(*key_cols).agg(
+            F.count('*').alias('__cnt'))
+        probe = grouped.agg(
+            F.max('__cnt').alias('__maxcnt'),
+            *(agg for k in key_cols
+              for agg in (F.min(k).alias(f'lo_{k}'),
+                          F.max(k).alias(f'hi_{k}')))).collect()[0]
+        if (probe['__maxcnt'] or 0) > 1:
+            dup = grouped.where(F.col('__cnt') > 1).limit(1).collect()
             raise ValueError(
                 f'merge_into: source is not unique on {key_cols} '
                 f'(e.g. {dup[0].asDict()}) — ambiguous merge')
-        # the source's key envelope, for file-level pruning of the
-        # target: one 1-row aggregate; None bounds mean an empty source
-        bounds_row = source.agg(*(
-            agg for k in key_cols
-            for agg in (F.min(k).alias(f'lo_{k}'),
-                        F.max(k).alias(f'hi_{k}')))).collect()[0]
         key_filters = []
         for k in key_cols:
-            lo, hi = bounds_row[f'lo_{k}'], bounds_row[f'hi_{k}']
+            lo, hi = probe[f'lo_{k}'], probe[f'hi_{k}']
             if lo is not None and hi is not None:
                 key_filters.append((k, '>=', lo))
                 key_filters.append((k, '<=', hi))
@@ -707,8 +744,6 @@ class SnapshotTable:
                     return base_version
                 entries, schema = self._stage(
                     source.select(*target_cols), partition_col)
-                merged_entries = entries
-                target = None
             else:
                 target = self._read_entries(spark, touched, schema_json)
                 kept = target.join(source.select(*key_cols), key_cols,
@@ -725,13 +760,12 @@ class SnapshotTable:
                                 else source.limit(0))
                 merged = kept.unionByName(incoming.select(*target_cols))
                 entries, schema = self._stage(merged, partition_col)
-                merged_entries = entries
             expected = sorted(f['path'] for f in files0)
 
             def apply(base):
                 if sorted(f['path'] for f in base) != expected:
                     raise _CompactConflict
-                return untouched + merged_entries
+                return untouched + entries
 
             try:
                 # evolve validates the staged schema against the base
@@ -866,7 +900,13 @@ class SnapshotTable:
         This is the ONE destructive operation; readers pinned to an
         expired snapshot lose their files, exactly as in Iceberg after
         ``expireSnapshots`` — the isolation guarantee is scoped to the
-        retention window.
+        retention window. TAGS SURVIVE: an expired tagged manifest
+        leaves a tiny tombstone (``x<V>.json``: version + tag, no file
+        references), because tags are load-bearing state — the
+        replay-idempotence guard of tagged appends and the consumer
+        cursor of ``refresh_incremental``. Expiring a sink and then
+        dropping its tags would silently rewind the cursor and
+        double-apply every consumed batch on the next refresh.
         """
         versions = self.versions()
         if len(versions) <= keep_last:
@@ -880,7 +920,8 @@ class SnapshotTable:
         for v in versions:
             if v in keep:
                 continue
-            for f in self.snapshot(v)['files']:
+            manifest = self.snapshot(v)
+            for f in manifest['files']:
                 rel = f['path']
                 if rel in live:
                     continue
@@ -889,6 +930,11 @@ class SnapshotTable:
                     os.remove(full)
                 deleted.append(rel)
                 live.add(rel)  # only report/remove once
+            if manifest.get('tag'):
+                tomb = os.path.join(self.manifest_dir, f'x{v}.json')
+                with open(tomb, 'w', encoding='utf-8') as fh:
+                    json.dump({'version': v, 'tag': manifest['tag']},
+                              fh)
             os.remove(os.path.join(self.manifest_dir, f'v{v}.json'))
         return deleted
 
@@ -960,14 +1006,19 @@ class SnapshotTable:
         the base's additively (``_merge_schema``) instead of replacing
         it — the append path's schema-evolution contract, re-evaluated
         against the observed base on every rebase. ``validate`` is
-        re-checked on every attempt BEFORE the claim; a False result
-        reclaims the staged files and raises ``_CompactConflict`` for
-        the caller to re-derive its inputs. The version claim makes the
-        check atomic: if a competing commit lands between validation
-        and our claim, the claim fails and the next attempt
-        re-validates against the new state — a stale precondition can
-        never slip through."""
+        re-checked on every attempt; a False result reclaims the staged
+        files and raises ``_CompactConflict`` for the caller to
+        re-derive its inputs. ORDERING IS LOAD-BEARING: the base
+        version is read FIRST, then validate and the tag-idempotence
+        check run, then the claim targets base+1 — so any competing
+        commit that lands after our checks also bumps HEAD past our
+        observed base, our claim fails, and the next attempt re-checks
+        against the new state. Checking before the base read would
+        leave a window where a commit lands between check and read and
+        the stale precondition (or a duplicate tag) slips through."""
         for _attempt in range(self.max_commit_retries):
+            base_version = self.current_version()
+            base = self.snapshot(base_version)
             if validate is not None and not validate():
                 self._delete_entries(entries)
                 raise _CompactConflict
@@ -980,8 +1031,6 @@ class SnapshotTable:
                 if existing is not None:
                     self._delete_entries(entries)
                     return existing
-            base_version = self.current_version()
-            base = self.snapshot(base_version)
             if evolve and schema:
                 try:
                     committed_schema = _merge_schema(

@@ -966,3 +966,89 @@ def test_timestamp_stats_prune_time_windows(spark, tmp_path):
     # date probes use epoch-days and never cross-compare with micros
     assert file_may_match(
         files[0], [('ts', '>=', datetime.date(2024, 3, 1))])
+
+
+# -- review-pass regressions ------------------------------------------------
+
+
+def test_refresh_stale_validate_cannot_slip_through(spark, tmp_path):
+    # TOCTOU guard: the cursor check runs AFTER the base read, so a
+    # twin that commits between our (stale-passing) validate and our
+    # claim bumps HEAD past our base — the claim fails and the retry
+    # re-validates. A validate-before-base-read ordering would let the
+    # stale precondition through and double-apply the shared window.
+    from ocrodjvu_spark.plans.snapstore import refresh_incremental
+    src = SnapshotTable(str(tmp_path / 'src'))
+    mv = SnapshotTable(str(tmp_path / 'mv'))
+    src.append(_docs(spark, 'a', n=3))           # v1
+    src.append(_docs(spark, 'b', n=2))           # v2
+    orig_last = mv.last_consumed
+    raced = {'done': False}
+
+    def stale_last_consumed(name):
+        val = orig_last(name)
+        if not raced['done']:
+            raced['done'] = True
+            # twin commits window (0, v1] AFTER we observed cursor 0
+            twin = SnapshotTable(mv.root)
+            twin.append(SnapshotTable(src.root)
+                        .read_changes(spark, 0, 1), tag='mv@1')
+            return val  # stale answer: cursor still looked like 0
+        return orig_last(name)
+
+    mv.last_consumed = stale_last_consumed
+    refresh_incremental(spark, src, mv, lambda df: df)
+    got = mv.read(spark)
+    assert got.count() == 5  # 3 + 2, window prefix not double-applied
+    by_ver = {r.ver: r.n for r in
+              got.groupBy('ver').agg(F.count('*').alias('n')).collect()}
+    assert by_ver == {'a': 3, 'b': 2}
+
+
+def test_delete_where_null_condition_keeps_rows(spark, tmp_path):
+    # SQL DELETE semantics: a NULL condition keeps the row. Rows from
+    # pre-evolution files read the new column as NULL — deleting on
+    # that column must not wipe the old corpus.
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=6))  # no 'lang' column yet
+    t.append(spark.createDataFrame(
+        [Row(doc_id=i, bucket=i % 4, ver='b', lang=('xx' if i == 7
+                                                    else 'en'))
+         for i in range(6, 10)]))
+    t.delete_where(spark, F.col('lang') == 'xx')
+    got = t.read(spark)
+    assert sorted(r.doc_id for r in got.collect()) == \
+        [0, 1, 2, 3, 4, 5, 6, 8, 9]  # only doc 7 deleted
+
+
+def test_expire_preserves_tags_as_tombstones(spark, tmp_path):
+    from ocrodjvu_spark.plans.snapstore import refresh_incremental
+    src = SnapshotTable(str(tmp_path / 'src'))
+    mv = SnapshotTable(str(tmp_path / 'mv'))
+    src.append(_docs(spark, 'a', n=4))
+    refresh_incremental(spark, src, mv, lambda df: df)
+    mv.compact(spark)  # untagged commit on top of the tagged one
+    mv.expire_snapshots(keep_last=1)
+    # cursor survives expiry via the tombstone...
+    fresh = SnapshotTable(mv.root)  # no warm cache
+    assert fresh.last_consumed('mv') == 1
+    assert fresh.find_tag('mv@1') == 1
+    # ...so a refresh with no new source data stays a no-op
+    assert refresh_incremental(spark, src, fresh, lambda df: df) is None
+    assert fresh.read(spark).count() == 4
+    # and a tagged APPEND replay after expiry is still idempotent
+    v = fresh.current_version()
+    fresh.append(_docs(spark, 'dup', n=2), tag='mv@1')
+    assert fresh.current_version() == v
+
+
+def test_compact_zorder_all_null_column(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=8))
+    t.append(spark.createDataFrame(  # adds an (almost) all-NULL column
+        [Row(doc_id=99, bucket=0, ver='b', extra=None)],
+        'doc_id long, bucket long, ver string, extra long'))
+    # all-NULL dimension: constant bucket, no crash, rows preserved
+    t.compact(spark, zorder_by=['doc_id', 'extra'],
+              target_partitions=2)
+    assert t.read(spark).count() == 9
