@@ -44,3 +44,31 @@ def test_check_correctness_helpers():
     assert cc.normalize_cell(float('nan')) == 'nan'
     assert cc.normalize_cell(0.1234567891) == '0.123456789'
     assert cc.normalize_cell('x') == 'x'
+
+
+def test_run_pipeline_jsonl_input_end_to_end(spark, tmp_path):
+    # JSONL ingestion through the production path: corrupt lines are
+    # counted and dropped, clean rows extract identically to parquet
+    import json as _json
+    import subprocess
+    from ocrodjvu_spark.sources import transcripts as T, jsonl as J
+    inp = str(tmp_path / 'in')
+    tr = T.synthesize_transcripts(spark, '/root/testdata/sf0.001')
+    n = tr.count()
+    J.write_jsonl(tr, inp, shards=2)
+    with open(os.path.join(inp, 'zz-corrupt.json'), 'w') as fh:
+        fh.write('{"conv_id": broken\n')
+    env = dict(os.environ, PYTHONPATH=REPO_ROOT)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, 'tools',
+                                      'run_pipeline.py'),
+         '--input', inp, '--input-format', 'jsonl',
+         '--output', str(tmp_path / 'out'),
+         '--sidecar', str(tmp_path / 'side'),
+         '--buckets', '4', '--table-format', 'snapshot'],
+        capture_output=True, text=True, env=env, cwd=REPO_ROOT)
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = _json.loads(
+        [ln for ln in r.stdout.splitlines() if ln.startswith('{')][-1])
+    assert summary['corrupt_input_lines'] == 1
+    assert summary['total_turns'] == n

@@ -47,6 +47,13 @@ def main(argv=None):
                              "'{id}/p{page+1}'")
     parser.add_argument('--pages', default=None,
                         help="turn ranges, e.g. '17,37-42'")
+    parser.add_argument('--input-format', default='parquet',
+                        choices=('parquet', 'jsonl'),
+                        dest='input_format',
+                        help='transcripts input encoding; jsonl reads '
+                             'line-JSON with the transcript schema and '
+                             'drops corrupt lines (counted in the '
+                             'summary)')
     parser.add_argument('--table-format', default='parquet',
                         choices=('parquet', 'snapshot'),
                         dest='table_format',
@@ -67,7 +74,19 @@ def main(argv=None):
 
     spark = SparkSession.builder.appName('ocrodjvu-spark-extract') \
         .getOrCreate()
-    transcripts = spark.read.parquet(args.input)
+    n_corrupt = 0
+    if args.input_format == 'jsonl':
+        from ocrodjvu_spark.sources import jsonl as J
+        raw = J.read_jsonl(
+            spark, args.input,
+            'conv_id string, turn_idx int, role string, tool string, '
+            'ts timestamp, text string').cache()
+        n_corrupt = raw.where(
+            F.col('_corrupt_record').isNotNull()).count()
+        transcripts = raw.where(F.col('_corrupt_record').isNull()) \
+            .drop('_corrupt_record')
+    else:
+        transcripts = spark.read.parquet(args.input)
     pages = parse_page_numbers(args.pages)
     if pages is not None:
         transcripts = transcripts.where(F.col('turn_idx').isin(pages))
@@ -95,6 +114,8 @@ def main(argv=None):
         'buckets_processed': len(processed),
         'elapsed_sec': round(elapsed, 2),
     }
+    if args.input_format == 'jsonl':
+        summary['corrupt_input_lines'] = n_corrupt
     if metrics is not None:
         # only this run's buckets — the sidecar accumulates rows from
         # every previous (possibly partial) run
