@@ -1194,6 +1194,34 @@ def _q_snapshot_skipping_time(spark, sf_dir):
                    & (F.col('ts') < F.lit('2024-01-25'))))
 
 
+def _q_snapshot_hidden_partitioning(spark, sf_dir):
+    # Hidden partitioning (Iceberg partition transforms): the events
+    # table partitions by day(ts) — a value DERIVED at stage time, no
+    # materialized partition column — and one day's partition is then
+    # swapped for a corrected re-ingest (value + 100) at TRANSFORMED
+    # granularity via replace_partitions, the daily-recrawl flow. The
+    # manifest records the spec; later writes inherit it and a
+    # different spec raises (partition evolution out of scope,
+    # unit-tested). Day-level manifest pruning asserted in-gate.
+    import os
+    from ocrodjvu_spark.plans.snapstore import SnapshotTable
+    base = _gate_tempdir('ocrodjvu-spark-hidpart-')
+    t = SnapshotTable(os.path.join(base, 'events'))
+    ev = T.load_table(spark, sf_dir, 'events') \
+        .select('event_id', 'ts', 'user_id', 'value')
+    t.append(ev, partition_col='ts', partition_transform='day')
+    day = '2024-01-15'
+    n_day = t.read(spark, partition_values=[day]).count()
+    if not 0 < n_day < ev.count():
+        raise AssertionError(f'day partition pruning broken: {n_day}')
+    corrected = ev.where(F.to_date('ts') == F.lit(day)) \
+        .withColumn('value', F.col('value') + F.lit(100.0))
+    t.replace_partitions(corrected, 'ts')  # spec inherited from HEAD
+    return (t.read(spark)
+            .select('event_id', 'ts', 'user_id',
+                    F.round('value', 6).alias('value')))
+
+
 def _q_jsonl_roundtrip(spark, sf_dir):
     # JSONL source/sink (sources/jsonl.py): the corpus exchange
     # format. Export is JVM-side sharded line-JSON with schema-ordered
@@ -2212,6 +2240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'sampled_quantiles': _q_sampled_quantiles,       # new r5 (late)
         'jsonl_roundtrip': _q_jsonl_roundtrip,           # new r5 (late)
         'snapshot_skipping_time': _q_snapshot_skipping_time,  # r5 late
+        'snapshot_hidden_partitioning':
+            _q_snapshot_hidden_partitioning,             # new r5 (late)
     }
 
 
@@ -3998,6 +4028,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, ts, user_id, event_type FROM events
             WHERE ts >= TIMESTAMP '2024-01-20'
               AND ts < TIMESTAMP '2024-01-25'
+        ''',
+        'snapshot_hidden_partitioning': '''
+            SELECT event_id, ts, user_id,
+                   round(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-15'
+                              THEN value + 100.0 ELSE value END,
+                         6) AS value
+            FROM events
         ''',
         'sampled_quantiles': f'''
             WITH sample AS (

@@ -200,6 +200,35 @@ def zorder_expr(df: DataFrame, cols: Sequence[str], bits: int = 4):
     return z
 
 
+def _transform_expr(df: DataFrame, spec: Optional[str], col: str):
+    """The staging expression for a partition transform — Iceberg's
+    HIDDEN PARTITIONING: the table partitions on a value DERIVED from
+    a data column (``day(ts)``, ``bucket(n, id)``), so writers never
+    materialize a partition column and queries on the source column
+    still prune. Supported specs: ``None``/'identity', 'day', 'month',
+    'bucket[N]' (portable rolling hash mod N — same hash family as the
+    sketch oracles), 'truncate[N]' (string prefix / integer floor,
+    picked by column type)."""
+    if spec in (None, 'identity'):
+        return F.col(col)
+    if spec == 'day':
+        return F.date_format(col, 'yyyy-MM-dd')
+    if spec == 'month':
+        return F.date_format(col, 'yyyy-MM')
+    if spec.startswith('bucket[') and spec.endswith(']'):
+        n = int(spec[len('bucket['):-1])
+        from ..functions.textops import rolling_hash
+        return F.pmod(rolling_hash(F.col(col).cast('string')),
+                      F.lit(n))
+    if spec.startswith('truncate[') and spec.endswith(']'):
+        n = int(spec[len('truncate['):-1])
+        from pyspark.sql.types import StringType
+        if isinstance(df.schema[col].dataType, StringType):
+            return F.substring(F.col(col), 1, n)
+        return (F.floor(F.col(col) / n) * n).cast('long')
+    raise ValueError(f'unknown partition transform: {spec!r}')
+
+
 def _merge_schema(base_json: Optional[str], new_json: str) -> str:
     """Additive schema evolution: the union of the table's schema and an
     appended batch's schema.
@@ -484,6 +513,26 @@ class SnapshotTable:
         return self._read_entries(
             spark, added, self.snapshot(to_version).get('schema'))
 
+    def _resolve_transform(self, partition_col,
+                           spec: Optional[str]) -> Optional[str]:
+        """The partition transform a write must use: the caller's spec
+        or, by default, the one recorded at HEAD. A non-empty table
+        rejects a DIFFERENT spec — partition evolution needs Iceberg's
+        per-file spec ids and is out of scope (same boundary as schema
+        renames). ``overwrite`` is exempt: it replaces everything."""
+        if partition_col is None:
+            return None
+        head = self.snapshot()
+        base_spec = head.get('partition_transform')
+        if spec is None:
+            return base_spec
+        if head['files'] and base_spec != spec:
+            raise ValueError(
+                f'partition transform {spec!r} != table\'s '
+                f'{base_spec!r} — partition evolution is out of scope '
+                '(overwrite() may change it)')
+        return spec
+
     def partitions(self, version: Optional[int] = None) -> List:
         seen = {}
         for f in self.snapshot(version)['files']:
@@ -494,7 +543,8 @@ class SnapshotTable:
 
     def append(self, df: DataFrame,
                partition_col: Optional[str] = None,
-               tag: Optional[str] = None) -> int:
+               tag: Optional[str] = None,
+               partition_transform: Optional[str] = None) -> int:
         """Commit ``df`` as new files appended to HEAD; returns the version.
 
         ``tag`` makes the append IDEMPOTENT: if any committed snapshot
@@ -503,15 +553,25 @@ class SnapshotTable:
         ``foreachBatch`` writer achieves exactly-once appends — tag with
         the batch id, and a replayed batch after a crash commits
         nothing twice.
+
+        ``partition_transform`` enables HIDDEN PARTITIONING (see
+        ``_transform_expr``): partition values derive from
+        ``partition_col`` (e.g. 'day' over a timestamp), the manifest
+        records the spec, and later writes default to it — appending
+        with a DIFFERENT spec raises (partition evolution is out of
+        scope, like schema renames).
         """
         if tag is not None:
             existing = self.find_tag(tag)
             if existing is not None:
                 return existing
-        entries, schema = self._stage(df, partition_col)
+        transform = self._resolve_transform(partition_col,
+                                            partition_transform)
+        entries, schema = self._stage(df, partition_col,
+                                      partition_transform=transform)
         return self._commit('append', entries, schema,
                             apply=lambda base: base + entries, tag=tag,
-                            evolve=True)
+                            evolve=True, transform=transform)
 
     def find_tag(self, tag: str) -> Optional[int]:
         """The version committed under ``tag``, or None. Sees expiry
@@ -546,19 +606,31 @@ class SnapshotTable:
         return cache
 
     def overwrite(self, df: DataFrame,
-                  partition_col: Optional[str] = None) -> int:
-        """Commit ``df`` as the table's full new contents."""
-        entries, schema = self._stage(df, partition_col)
+                  partition_col: Optional[str] = None,
+                  partition_transform: Optional[str] = None) -> int:
+        """Commit ``df`` as the table's full new contents. As a full
+        replacement it MAY change the partition transform (the one
+        sanctioned "partition evolution": nothing old is carried)."""
+        entries, schema = self._stage(df, partition_col,
+                                      partition_transform=partition_transform)
         return self._commit('overwrite', entries, schema,
-                            apply=lambda base: list(entries))
+                            apply=lambda base: list(entries),
+                            transform=partition_transform)
 
-    def replace_partitions(self, df: DataFrame, partition_col: str) -> int:
+    def replace_partitions(self, df: DataFrame, partition_col: str,
+                           partition_transform: Optional[str] = None
+                           ) -> int:
         """Dynamic-overwrite at snapshot granularity: the partitions
         present in ``df`` are swapped for its files; all other partitions
         are carried forward untouched. Concurrent swaps of disjoint
         partitions both land (rebase); same-partition swaps resolve
-        last-writer-wins."""
-        entries, schema = self._stage(df, partition_col)
+        last-writer-wins. With a hidden-partitioned table the swap is
+        at TRANSFORMED granularity — e.g. replacing one day(ts)
+        partition with a re-crawl of that day."""
+        transform = self._resolve_transform(partition_col,
+                                            partition_transform)
+        entries, schema = self._stage(df, partition_col,
+                                      partition_transform=transform)
         replaced = {e['partition'] for e in entries}
 
         def apply(base):
@@ -566,7 +638,7 @@ class SnapshotTable:
             return kept + entries
 
         return self._commit('replace_partitions', entries, schema,
-                            apply=apply)
+                            apply=apply, transform=transform)
 
     def delete_where(self, spark: SparkSession, condition,
                      partition_col: Optional[str] = None,
@@ -623,7 +695,10 @@ class SnapshotTable:
             df = self._read_entries(
                 spark, touched, base_manifest.get('schema')) \
                 .where(~F.coalesce(condition, F.lit(False)))
-            entries, schema = self._stage(df, partition_col)
+            entries, schema = self._stage(
+                df, partition_col,
+                partition_transform=base_manifest.get(
+                    'partition_transform'))
             expected = sorted(f['path'] for f in files0)
 
             def apply(base):
@@ -743,7 +818,9 @@ class SnapshotTable:
                 if not insert_not_matched:
                     return base_version
                 entries, schema = self._stage(
-                    source.select(*target_cols), partition_col)
+                    source.select(*target_cols), partition_col,
+                    partition_transform=base_manifest.get(
+                        'partition_transform'))
             else:
                 target = self._read_entries(spark, touched, schema_json)
                 kept = target.join(source.select(*key_cols), key_cols,
@@ -759,7 +836,10 @@ class SnapshotTable:
                                 if insert_not_matched
                                 else source.limit(0))
                 merged = kept.unionByName(incoming.select(*target_cols))
-                entries, schema = self._stage(merged, partition_col)
+                entries, schema = self._stage(
+                    merged, partition_col,
+                    partition_transform=base_manifest.get(
+                        'partition_transform'))
             expected = sorted(f['path'] for f in files0)
 
             def apply(base):
@@ -831,7 +911,8 @@ class SnapshotTable:
         stored."""
         for _attempt in range(max_retries):
             base_version = self.current_version()
-            files0 = self.snapshot(base_version)['files']
+            base_manifest = self.snapshot(base_version)
+            files0 = base_manifest['files']
             if not files0:
                 return base_version
             part_values = {f.get('partition') for f in files0}
@@ -876,7 +957,10 @@ class SnapshotTable:
                 df = df.repartition(target_partitions)
             if drop_z:
                 df = df.drop('__zv')  # transient sort key, never stored
-            entries, schema = self._stage(df, partition_col)
+            entries, schema = self._stage(
+                df, partition_col,
+                partition_transform=base_manifest.get(
+                    'partition_transform'))
             expected = sorted(f['path'] for f in files0)
 
             def apply(base):
@@ -940,19 +1024,24 @@ class SnapshotTable:
 
     # -- internals ----------------------------------------------------------
 
-    def _stage(self, df: DataFrame, partition_col: Optional[str]):
+    def _stage(self, df: DataFrame, partition_col: Optional[str],
+               partition_transform: Optional[str] = None):
         """Write ``df`` to uniquely-named immutable files under data/.
 
         With ``partition_col`` the staged write splits files per
         partition value via a DUPLICATE column (``__pv``), so the real
         column stays inside the data files and reads need no directory
         reconstruction; the duplicate only shapes the staging layout.
+        ``partition_transform`` derives the value instead of copying
+        the column (hidden partitioning — ``_transform_expr``).
         """
         stage_id = uuid.uuid4().hex
         stage_dir = os.path.join(self.data_dir, f'.stage-{stage_id}')
         writer = df
         if partition_col is not None:
-            writer = writer.withColumn('__pv', F.col(partition_col))
+            writer = writer.withColumn(
+                '__pv', _transform_expr(df, partition_transform,
+                                        partition_col))
             writer.write.partitionBy('__pv').parquet(stage_dir)
         else:
             writer.write.parquet(stage_dir)
@@ -999,7 +1088,8 @@ class SnapshotTable:
                 apply: Callable[[List[dict]], List[dict]],
                 tag: Optional[str] = None,
                 evolve: bool = False,
-                validate: Optional[Callable[[], bool]] = None) -> int:
+                validate: Optional[Callable[[], bool]] = None,
+                transform: Optional[str] = '__inherit__') -> int:
         """Optimistic-concurrency commit loop: build the child manifest on
         the observed HEAD, claim version HEAD+1 by atomic rename, rebase
         and retry on collision. ``evolve`` merges the staged schema into
@@ -1047,6 +1137,11 @@ class SnapshotTable:
                 'schema': committed_schema,
                 'files': apply(list(base['files'])),
             }
+            committed_transform = (base.get('partition_transform')
+                                   if transform == '__inherit__'
+                                   else transform)
+            if committed_transform is not None:
+                manifest['partition_transform'] = committed_transform
             if tag is not None:
                 manifest['tag'] = tag
             if self._claim_version(base_version + 1, manifest):
@@ -1131,7 +1226,10 @@ def refresh_incremental(spark: SparkSession, source: SnapshotTable,
         batch = source.read_changes(spark, lo, hi)
         if batch is None:
             return None  # empty window: nothing staged, cursor re-derives
-        entries, schema = sink._stage(transform(batch), partition_col)
+        entries, schema = sink._stage(
+            transform(batch), partition_col,
+            partition_transform=sink.snapshot().get(
+                'partition_transform'))
         try:
             return sink._commit(
                 'append', entries, schema,

@@ -1052,3 +1052,72 @@ def test_compact_zorder_all_null_column(spark, tmp_path):
     t.compact(spark, zorder_by=['doc_id', 'extra'],
               target_partitions=2)
     assert t.read(spark).count() == 9
+
+
+# -- hidden partitioning (partition transforms) -----------------------------
+
+
+def _ts_rows(spark, n=12, tag='a'):
+    import datetime
+    base = datetime.datetime(2024, 5, 1)
+    return spark.createDataFrame(
+        [Row(eid=i, ts=base + datetime.timedelta(hours=6 * i), ver=tag)
+         for i in range(n)])  # 12 rows spanning 3 days, 4 rows/day
+
+
+def test_hidden_partitioning_day_transform(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_ts_rows(spark), partition_col='ts',
+             partition_transform='day')
+    assert sorted(t.partitions()) == \
+        ['2024-05-01', '2024-05-02', '2024-05-03']
+    assert t.snapshot()['partition_transform'] == 'day'
+    # manifest pruning at day granularity
+    one_day = t.read(spark, partition_values=['2024-05-02'])
+    assert one_day.count() == 4
+    # replace ONE day with a re-crawl (transform inherited from HEAD)
+    recrawl = _ts_rows(spark, tag='b').where(
+        F.col('eid').between(4, 7))
+    t.replace_partitions(recrawl, 'ts')
+    got = {r.ver: r.n for r in t.read(spark).groupBy('ver')
+           .agg(F.count('*').alias('n')).collect()}
+    assert got == {'a': 8, 'b': 4}
+    # a later append with a DIFFERENT spec is partition evolution: no
+    with pytest.raises(ValueError, match='evolution'):
+        t.append(_ts_rows(spark), partition_col='ts',
+                 partition_transform='month')
+    # ...but appends naming the same spec (or none) are fine
+    t.append(_ts_rows(spark, n=2, tag='c'), partition_col='ts')
+    assert t.snapshot()['partition_transform'] == 'day'
+
+
+def test_hidden_partitioning_survives_rewrites(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_ts_rows(spark), partition_col='ts',
+             partition_transform='day')
+    t.compact(spark, partition_col='ts')
+    assert t.snapshot()['partition_transform'] == 'day'
+    assert sorted(t.partitions()) == \
+        ['2024-05-01', '2024-05-02', '2024-05-03']
+    t.delete_where(spark, F.col('eid') == 0, partition_col='ts')
+    assert t.snapshot()['partition_transform'] == 'day'
+    assert t.read(spark, partition_values=['2024-05-01']).count() == 3
+
+
+def test_bucket_and_truncate_transforms(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 'b'))
+    t.append(spark.createDataFrame(
+        [Row(k=f'key{i}', v=i) for i in range(40)]),
+        partition_col='k', partition_transform='bucket[4]')
+    parts = t.partitions()
+    assert set(parts) <= {'0', '1', '2', '3'} and len(parts) > 1
+    t2 = SnapshotTable(str(tmp_path / 'tr'))
+    t2.append(spark.createDataFrame(
+        [Row(k=f'ab{i}', v=i) for i in range(6)]),
+        partition_col='k', partition_transform='truncate[2]')
+    assert t2.partitions() == ['ab']
+    t3 = SnapshotTable(str(tmp_path / 'tri'))
+    t3.append(spark.createDataFrame(
+        [Row(k=i, v=i) for i in range(25)]),
+        partition_col='k', partition_transform='truncate[10]')
+    assert sorted(t3.partitions()) == ['0', '10', '20']
