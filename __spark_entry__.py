@@ -1222,6 +1222,44 @@ def _q_snapshot_hidden_partitioning(spark, sf_dir):
                     F.round('value', 6).alias('value')))
 
 
+def _q_snapshot_skipping_bloom(spark, sf_dir):
+    # Per-file bloom skipping: point lookups on a HASH-LIKE column
+    # (content_hash — uniformly random, so every file's min/max spans
+    # the whole domain and stats prune NOTHING, asserted in-gate) are
+    # pruned by per-file bloom bitmaps instead (parquet column bloom
+    # filters, same portable double-hash family as functions/bloom).
+    # Probes are two real hashes (doc_id 3 and 7); no-false-negative
+    # is structural, the pruning assertion shows the bitmaps bite.
+    import os
+    from ocrodjvu_spark.plans.snapstore import (SnapshotTable,
+                                                file_may_match)
+    base = _gate_tempdir('ocrodjvu-spark-bloomskip-')
+    t = SnapshotTable(os.path.join(base, 'corpus'),
+                      bloom_cols=['content_hash'])
+    docs = T.load_table(spark, sf_dir, 'documents').select(
+        'doc_id', 'lang',
+        F.md5(textops.norm_text('text')).alias('content_hash'))
+    t.append(docs.repartitionByRange(8, 'doc_id'))
+    probes = [r.content_hash for r in
+              docs.where(F.col('doc_id').isin([3, 7])).collect()]
+    files = t.snapshot()['files']
+    stats_only = sum(
+        file_may_match({'stats': f['stats']},
+                       [('content_hash', 'in', probes)])
+        for f in files)
+    if stats_only != len(files):
+        raise AssertionError(
+            'premise broken: min/max stats pruned a hash probe')
+    kept = sum(file_may_match(f, [('content_hash', 'in', probes)])
+               for f in files)
+    if not 0 < kept < len(files):
+        raise AssertionError(
+            f'bloom skipping pruned nothing: {kept}/{len(files)}')
+    return (t.read(spark,
+                   stats_filters=[('content_hash', 'in', probes)])
+            .where(F.col('content_hash').isin(probes)))
+
+
 def _q_jsonl_roundtrip(spark, sf_dir):
     # JSONL source/sink (sources/jsonl.py): the corpus exchange
     # format. Export is JVM-side sharded line-JSON with schema-ordered
@@ -2242,6 +2280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'snapshot_skipping_time': _q_snapshot_skipping_time,  # r5 late
         'snapshot_hidden_partitioning':
             _q_snapshot_hidden_partitioning,             # new r5 (late)
+        'snapshot_skipping_bloom':
+            _q_snapshot_skipping_bloom,                  # new r5 (late)
     }
 
 
@@ -4028,6 +4068,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, ts, user_id, event_type FROM events
             WHERE ts >= TIMESTAMP '2024-01-20'
               AND ts < TIMESTAMP '2024-01-25'
+        ''',
+        'snapshot_skipping_bloom': f'''
+            WITH d AS (
+                SELECT doc_id, lang, md5({_NORM}) AS content_hash
+                FROM documents
+            )
+            SELECT doc_id, lang, content_hash FROM d
+            WHERE content_hash IN (
+                SELECT content_hash FROM d WHERE doc_id IN (3, 7))
         ''',
         'snapshot_hidden_partitioning': '''
             SELECT event_id, ts, user_id,

@@ -132,6 +132,45 @@ def _column_stats(meta):
     return stats
 
 
+_BLOOM_K = 4  # probe positions per key (double hashing)
+
+
+def _bloom_key(v) -> Optional[str]:
+    """The canonical string a value hashes as in a per-file bloom —
+    str and int columns only (floats/temporals have no stable text
+    form worth the bits; equality probes on them use min/max stats)."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, str):
+        return v
+    if isinstance(v, int):
+        return str(v)
+    return None
+
+
+def _bloom_positions(key: str, k: int, m_bits: int) -> List[int]:
+    """Python twin of ``functions.bloom.positions_col`` — SAME hash
+    family (portable fold hash + derived second hash, double hashing),
+    so the manifest blooms stay oracle-checkable and engine-portable."""
+    from ..functions.bloom import H2_ADD, H2_MUL
+    from ..functions.textops import HASH_MOD
+    h1 = 0
+    for ch in key:
+        h1 = (h1 * 31 + ord(ch)) % HASH_MOD
+    h2 = (h1 * H2_MUL + H2_ADD) % HASH_MOD
+    return [(h1 + i * h2 + i * i) % m_bits for i in range(k)]
+
+
+def _bloom_maybe(spec: dict, key: str) -> bool:
+    """False only when the filter PROVES the key absent from the file."""
+    import base64
+    bits = base64.b64decode(spec['b64'])
+    for pos in _bloom_positions(key, spec['k'], spec['m']):
+        if not (bits[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
+
 def _probe_value(v):
     """A filter probe value in the stats encoding (temporal -> epoch
     ints, matching ``_normalize_stat``); None if un-encodable."""
@@ -287,7 +326,15 @@ def file_may_match(entry: dict, filters) -> bool:
     recorded bounds, keep the file.
     """
     stats = entry.get('stats') or {}
+    blooms = entry.get('bloom') or {}
     for col, op, value in filters:
+        if op in ('=', 'in') and col in blooms:
+            probes = list(value) if op == 'in' else [value]
+            keys = [_bloom_key(v) for v in probes]
+            if keys and all(k is not None for k in keys) \
+                    and not any(_bloom_maybe(blooms[col], k)
+                                for k in keys):
+                return False  # definitely absent from this file
         if col not in stats:
             continue
         lo, hi = stats[col]
@@ -355,11 +402,25 @@ class SnapshotTable:
     movement is Spark-side and distributed.
     """
 
-    def __init__(self, root: str, max_commit_retries: int = 20):
+    def __init__(self, root: str, max_commit_retries: int = 20,
+                 bloom_cols: Optional[Sequence[str]] = None,
+                 bloom_bits: int = 1 << 13):
+        """``bloom_cols`` opts staged writes into PER-FILE BLOOM
+        FILTERS on the named str/int columns (parquet's column bloom
+        filters, kept in the manifest like Iceberg could): equality
+        and IN probes on hash-like columns — content_hash, doc ids —
+        prune files where min/max stats are useless (uniformly random
+        values span the whole domain in every file). Size
+        ``bloom_bits`` to expected rows/file (~10 bits/key for ~1% FP;
+        the default 8192 bits = 1 KiB packed suits small files — at
+        100 MB files use 2^20). Write-side opt-in per handle, like
+        Iceberg table write properties; readers need nothing."""
         self.root = root
         self.data_dir = os.path.join(root, 'data')
         self.manifest_dir = os.path.join(root, 'manifests')
         self.max_commit_retries = max_commit_retries
+        self.bloom_cols = list(bloom_cols or [])
+        self.bloom_bits = bloom_bits
         self._tag_cache: Dict[int, Optional[str]] = {}
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.manifest_dir, exist_ok=True)
@@ -1060,20 +1121,61 @@ class SnapshotTable:
                     rel = f'data/{stage_id}-{i}.parquet'
                     os.rename(os.path.join(dirpath, name),
                               os.path.join(self.root, rel))
-                    rows, stats = self._file_meta(
-                        os.path.join(self.root, rel))
-                    entries.append({
+                    full = os.path.join(self.root, rel)
+                    rows, stats = self._file_meta(full)
+                    entry = {
                         'path': rel,
                         'partition': part_val,
                         'rows': rows,
                         'stats': stats,
-                    })
+                    }
+                    blooms = self._file_blooms(full)
+                    if blooms:
+                        entry['bloom'] = blooms
+                    entries.append(entry)
                     i += 1
         finally:
             shutil.rmtree(stage_dir, ignore_errors=True)
         # the staged schema (post-partitionBy) drops __pv; record the
         # ORIGINAL DataFrame schema, which matches the file contents
         return entries, schema
+
+    def _file_blooms(self, path: str) -> dict:
+        """Per-file bloom bitmaps for ``self.bloom_cols`` — one column
+        read of a file this writer just staged (the write-side cost of
+        equality skipping; a production writer folds this into the
+        write task itself). NULLs are skipped (they never match an
+        equality probe); a column whose values are not str/int is
+        silently left bloom-less (conservative: never skipped)."""
+        if not self.bloom_cols:
+            return {}
+        import base64
+        import pyarrow.parquet as pq
+        pf = pq.ParquetFile(path)
+        present = [c for c in self.bloom_cols
+                   if c in pf.schema_arrow.names]
+        if not present:
+            return {}
+        table = pf.read(columns=present)
+        out = {}
+        m = self.bloom_bits
+        for col in present:
+            bits = bytearray(m >> 3)
+            ok = True
+            for v in table.column(col).to_pylist():
+                if v is None:
+                    continue
+                key = _bloom_key(v)
+                if key is None:
+                    ok = False
+                    break
+                for pos in _bloom_positions(key, _BLOOM_K, m):
+                    bits[pos >> 3] |= 1 << (pos & 7)
+            if ok:
+                out[col] = {'m': m, 'k': _BLOOM_K,
+                            'b64': base64.b64encode(bytes(bits))
+                            .decode('ascii')}
+        return out
 
     @staticmethod
     def _file_meta(path: str):

