@@ -23,6 +23,9 @@ SUBSET = (
     'extract_text', 'extract_word_spans', 'extract_sexpr',
     'conversation_reassembly', 'dedup_exact', 'dedup_minhash_lsh',
     'simhash', 'language_id', 'ann_cosine_topk',
+    # sf-agnostic late-r5 gates (most snapshot gates carry sf0.01-tuned
+    # in-gate pruning assertions and run only in the full sweep)
+    'sampled_quantiles', 'jsonl_roundtrip',
 )
 
 
