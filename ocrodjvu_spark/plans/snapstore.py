@@ -162,11 +162,12 @@ def _bloom_positions(key: str, k: int, m_bits: int) -> List[int]:
 
 
 def _bloom_maybe(spec: dict, key: str) -> bool:
-    """False only when the filter PROVES the key absent from the file."""
-    import base64
-    bits = base64.b64decode(spec['b64'])
+    """False only when the filter PROVES the key absent from the file.
+    ``spec['words']`` is the sparse (word_idx, bits) int64 layout of
+    ``functions.bloom.bloom_build`` (63 bits/word, sign bit clear)."""
+    lookup = dict(spec['words'])
     for pos in _bloom_positions(key, spec['k'], spec['m']):
-        if not (bits[pos >> 3] >> (pos & 7)) & 1:
+        if not (lookup.get(pos // 63, 0) >> (pos % 63)) & 1:
             return False
     return True
 
@@ -580,12 +581,28 @@ class SnapshotTable:
         or, by default, the one recorded at HEAD. A non-empty table
         rejects a DIFFERENT spec — partition evolution needs Iceberg's
         per-file spec ids and is out of scope (same boundary as schema
-        renames). ``overwrite`` is exempt: it replaces everything."""
-        if partition_col is None:
-            return None
+        renames). ``overwrite`` is exempt: it replaces everything.
+        'identity' and an absent spec are the same transform
+        (``_transform_expr``) and compare equal here. An UNPARTITIONED
+        write to a hidden-partitioned table raises: its files would
+        carry no partition value, so transformed-granularity swaps
+        would silently miss them forever.
+
+        This is a pre-staging read of HEAD; ``_transform_validate``
+        re-checks the same precondition inside the commit loop,
+        atomically with the version claim."""
         head = self.snapshot()
         base_spec = head.get('partition_transform')
-        if spec is None:
+        if partition_col is None:
+            if base_spec is not None and head['files']:
+                raise ValueError(
+                    f'table is hidden-partitioned ({base_spec!r}) — '
+                    'pass partition_col so files keep partition values')
+            return None
+        explicit = spec is not None
+        if spec == 'identity':
+            spec = None
+        if not explicit:
             return base_spec
         if head['files'] and base_spec != spec:
             raise ValueError(
@@ -593,6 +610,18 @@ class SnapshotTable:
                 f'{base_spec!r} — partition evolution is out of scope '
                 '(overwrite() may change it)')
         return spec
+
+    def _transform_validate(self, transform: Optional[str]):
+        """A ``_commit`` validate hook: the table's recorded spec must
+        still match what this write staged — a concurrent first-commit
+        with a different spec (or a concurrent overwrite changing it)
+        loses the race and surfaces as a conflict instead of mixing
+        partition granularities in one manifest."""
+        def check():
+            head = self.snapshot()
+            return (not head['files']
+                    or head.get('partition_transform') == transform)
+        return check
 
     def partitions(self, version: Optional[int] = None) -> List:
         seen = {}
@@ -630,9 +659,15 @@ class SnapshotTable:
                                             partition_transform)
         entries, schema = self._stage(df, partition_col,
                                       partition_transform=transform)
+        if partition_col is None:
+            # an unpartitioned append must not ERASE a recorded spec
+            return self._commit('append', entries, schema,
+                                apply=lambda base: base + entries,
+                                tag=tag, evolve=True)
         return self._commit('append', entries, schema,
                             apply=lambda base: base + entries, tag=tag,
-                            evolve=True, transform=transform)
+                            evolve=True, transform=transform,
+                            validate=self._transform_validate(transform))
 
     def find_tag(self, tag: str) -> Optional[int]:
         """The version committed under ``tag``, or None. Sees expiry
@@ -699,7 +734,8 @@ class SnapshotTable:
             return kept + entries
 
         return self._commit('replace_partitions', entries, schema,
-                            apply=apply, transform=transform)
+                            apply=apply, transform=transform,
+                            validate=self._transform_validate(transform))
 
     def delete_where(self, spark: SparkSession, condition,
                      partition_col: Optional[str] = None,
@@ -1129,7 +1165,7 @@ class SnapshotTable:
                         'rows': rows,
                         'stats': stats,
                     }
-                    blooms = self._file_blooms(full)
+                    blooms = self._file_blooms(df.sparkSession, full)
                     if blooms:
                         entry['bloom'] = blooms
                     entries.append(entry)
@@ -1140,41 +1176,39 @@ class SnapshotTable:
         # ORIGINAL DataFrame schema, which matches the file contents
         return entries, schema
 
-    def _file_blooms(self, path: str) -> dict:
-        """Per-file bloom bitmaps for ``self.bloom_cols`` — one column
-        read of a file this writer just staged (the write-side cost of
-        equality skipping; a production writer folds this into the
-        write task itself). NULLs are skipped (they never match an
-        equality probe); a column whose values are not str/int is
-        silently left bloom-less (conservative: never skipped)."""
+    def _file_blooms(self, spark: SparkSession, path: str) -> dict:
+        """Per-file bloom bitmaps for ``self.bloom_cols`` — built
+        JVM-SIDE by the very module the gates verify
+        (``functions.bloom.bloom_build``: explode positions + partial
+        bit_or, no per-row Python anywhere), one tiny job per staged
+        file whose driver-collected result is <= m/63 int64 words.
+        NULLs are skipped (they never match an equality probe);
+        columns that are not string/integral are silently left
+        bloom-less (conservative: never skipped)."""
         if not self.bloom_cols:
             return {}
-        import base64
-        import pyarrow.parquet as pq
-        pf = pq.ParquetFile(path)
-        present = [c for c in self.bloom_cols
-                   if c in pf.schema_arrow.names]
-        if not present:
-            return {}
-        table = pf.read(columns=present)
+        from pyspark.sql.types import IntegralType, StringType
+        from ..functions.bloom import bloom_build
+        reader = spark.read.parquet(path)
         out = {}
-        m = self.bloom_bits
-        for col in present:
-            bits = bytearray(m >> 3)
-            ok = True
-            for v in table.column(col).to_pylist():
-                if v is None:
-                    continue
-                key = _bloom_key(v)
-                if key is None:
-                    ok = False
-                    break
-                for pos in _bloom_positions(key, _BLOOM_K, m):
-                    bits[pos >> 3] |= 1 << (pos & 7)
-            if ok:
-                out[col] = {'m': m, 'k': _BLOOM_K,
-                            'b64': base64.b64encode(bytes(bits))
-                            .decode('ascii')}
+        for col in self.bloom_cols:
+            if col not in reader.columns:
+                continue
+            dtype = reader.schema[col].dataType
+            if not isinstance(dtype, (StringType, IntegralType)):
+                continue
+            # integral cast('string') == str(v), matching _bloom_key
+            keys = (reader.select(F.col(col).cast('string')
+                                  .alias('key'))
+                    .where(F.col('key').isNotNull()))
+            bf = bloom_build(keys, 'key', m_bits=self.bloom_bits,
+                             k=_BLOOM_K)
+            out[col] = {
+                'm': self.bloom_bits, 'k': _BLOOM_K,
+                'words': sorted(
+                    [int(r.word_idx), int(r.bits)]
+                    for r in bf.bitmap.collect()),
+            }
         return out
 
     @staticmethod
@@ -1328,16 +1362,19 @@ def refresh_incremental(spark: SparkSession, source: SnapshotTable,
         batch = source.read_changes(spark, lo, hi)
         if batch is None:
             return None  # empty window: nothing staged, cursor re-derives
+        sink_tf = sink.snapshot().get('partition_transform')
         entries, schema = sink._stage(
             transform(batch), partition_col,
-            partition_transform=sink.snapshot().get(
-                'partition_transform'))
+            partition_transform=sink_tf)
         try:
             return sink._commit(
                 'append', entries, schema,
                 apply=lambda base: base + entries,
                 tag=f'{name}@{hi}', evolve=True,
-                validate=lambda: sink.last_consumed(name) == lo)
+                validate=lambda: (
+                    sink.last_consumed(name) == lo
+                    and sink.snapshot().get('partition_transform')
+                    == sink_tf))
         except _CompactConflict:
             continue  # cursor moved under us: recompute the window
     raise CommitConflict(

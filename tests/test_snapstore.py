@@ -1129,22 +1129,25 @@ def test_bucket_and_truncate_transforms(spark, tmp_path):
 def test_bloom_skipping_on_hash_column(spark, tmp_path):
     from ocrodjvu_spark.plans.snapstore import file_may_match
     t = SnapshotTable(str(tmp_path / 't'), bloom_cols=['h'])
+    values = {i: f'hash-{i * 7919 % 997:03d}' for i in range(60)}
     df = spark.createDataFrame(
-        [Row(doc_id=i, h=f'hash-{i * 7919 % 997:03d}')
-         for i in range(60)])
+        [Row(doc_id=i, h=values[i]) for i in range(60)])
     t.append(df.repartitionByRange(4, 'doc_id'))
     files = t.snapshot()['files']
     assert all('h' in (f.get('bloom') or {}) for f in files)
-    present = 'hash-' + format(7 * 7919 % 997, '03d')  # doc 7's value
-    absent = 'hash-xyz'
-    # min/max stats CANNOT prune a point probe on hash-like values
-    # spanning every file, but the bloom proves absence
+    present = values[7]
+    # an IN-RANGE absent value: inside every file's [min, max] (the
+    # values span 'hash-0xx'..'hash-9xx' in each range file), so the
+    # stats path alone provably CANNOT prune it — only the bloom can
+    taken = set(values.values())
+    absent = next(f'hash-{n:03d}' for n in range(100, 997)
+                  if f'hash-{n:03d}' not in taken)
     stats_only = [{'stats': f['stats']} for f in files]
     assert all(file_may_match(e, [('h', '=', absent)])
-               for e in stats_only if 'h' in e['stats']) or True
+               for e in stats_only)
     kept_absent = [f for f in files
                    if file_may_match(f, [('h', '=', absent)])]
-    assert len(kept_absent) == 0  # definitely nowhere
+    assert len(kept_absent) == 0  # definitely nowhere (bloom, not stats)
     kept_present = [f for f in files
                     if file_may_match(f, [('h', '=', present)])]
     assert kept_present  # never prunes a real value (no false negatives)
@@ -1152,9 +1155,11 @@ def test_bloom_skipping_on_hash_column(spark, tmp_path):
         .where(F.col('h') == present)
     assert got.count() >= 1
     # IN probes prune only when EVERY member is provably absent
-    assert not any(file_may_match(f, [('h', 'in', ['no1', 'no2'])])
+    absent2 = next(f'hash-{n:03d}' for n in range(996, 0, -1)
+                   if f'hash-{n:03d}' not in taken)
+    assert not any(file_may_match(f, [('h', 'in', [absent, absent2])])
                    for f in files)
-    assert any(file_may_match(f, [('h', 'in', ['no1', present])])
+    assert any(file_may_match(f, [('h', 'in', [absent, present])])
                for f in files)
 
 
@@ -1165,6 +1170,10 @@ def test_bloom_int_column_and_unsupported_types(spark, tmp_path):
         [Row(k=i * 1000, x=float(i)) for i in range(20)]))
     f = t.snapshot()['files'][0]
     assert 'k' in f['bloom']
-    assert 'x' not in f['bloom']  # float column: bloom-less, never skipped
-    assert not file_may_match(f, [('k', '=', 55555)])
-    assert file_may_match(f, [('k', '=', 3000)])
+    assert 'x' not in f.get('bloom', {})  # float: bloom-less, never skipped
+    # a value INSIDE the file's own [min, max] but off the 1000-grid:
+    # stats keep it, the bloom prunes it
+    mid = f['stats']['k'][0] + 500
+    assert not file_may_match(f, [('k', '=', mid)])
+    assert file_may_match({'stats': f['stats']}, [('k', '=', mid)])
+    assert file_may_match(f, [('k', '=', f['stats']['k'][0])])
