@@ -359,11 +359,18 @@ def file_may_match(entry: dict, filters) -> bool:
         elif op == '<=':
             if not (lo <= value):
                 return False
-        elif op == '>':
-            if not (hi > value):
+        elif op in ('>', '>='):
+            if isinstance(lo, float) or isinstance(hi, float):
+                # FLOAT upper bounds cannot disprove a greater-than
+                # probe: parquet writers omit NaN from float stats,
+                # and Spark orders NaN greater than every value — a
+                # hidden NaN row would match. (Found by the soundness
+                # property test; =, in, <, <= stay sound: a finite
+                # probe never equals NaN and NaN never sorts below.)
+                continue
+            if op == '>' and not (hi > value):
                 return False
-        elif op == '>=':
-            if not (hi >= value):
+            if op == '>=' and not (hi >= value):
                 return False
         else:
             raise ValueError(f'unknown stats-filter op: {op!r}')
