@@ -671,10 +671,16 @@ class SnapshotTable:
             return self._commit('append', entries, schema,
                                 apply=lambda base: base + entries,
                                 tag=tag, evolve=True)
-        return self._commit('append', entries, schema,
-                            apply=lambda base: base + entries, tag=tag,
-                            evolve=True, transform=transform,
-                            validate=self._transform_validate(transform))
+        try:
+            return self._commit(
+                'append', entries, schema,
+                apply=lambda base: base + entries, tag=tag,
+                evolve=True, transform=transform,
+                validate=self._transform_validate(transform))
+        except _CompactConflict:
+            raise CommitConflict(
+                'append: the table\'s partition transform changed '
+                'under this write — restage against the new spec')
 
     def find_tag(self, tag: str) -> Optional[int]:
         """The version committed under ``tag``, or None. Sees expiry
@@ -740,9 +746,16 @@ class SnapshotTable:
             kept = [f for f in base if f.get('partition') not in replaced]
             return kept + entries
 
-        return self._commit('replace_partitions', entries, schema,
-                            apply=apply, transform=transform,
-                            validate=self._transform_validate(transform))
+        try:
+            return self._commit(
+                'replace_partitions', entries, schema,
+                apply=apply, transform=transform,
+                validate=self._transform_validate(transform))
+        except _CompactConflict:
+            raise CommitConflict(
+                'replace_partitions: the table\'s partition transform '
+                'changed under this write — restage against the new '
+                'spec')
 
     def delete_where(self, spark: SparkSession, condition,
                      partition_col: Optional[str] = None,

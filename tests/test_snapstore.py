@@ -1177,3 +1177,31 @@ def test_bloom_int_column_and_unsupported_types(spark, tmp_path):
     assert not file_may_match(f, [('k', '=', mid)])
     assert file_may_match({'stats': f['stats']}, [('k', '=', mid)])
     assert file_may_match(f, [('k', '=', f['stats']['k'][0])])
+
+
+def test_racing_conflicting_specs_surface_as_commit_conflict(
+        spark, tmp_path):
+    # two first-writers race an empty table with DIFFERENT transforms:
+    # the loser must NOT commit a manifest whose spec contradicts the
+    # winner's files — it surfaces as CommitConflict instead
+    t = SnapshotTable(str(tmp_path / 't'))
+    orig_claim = t._claim_version
+    raced = {'done': False}
+
+    def racing_claim(version, manifest):
+        if not raced['done']:
+            raced['done'] = True
+            SnapshotTable(t.root).append(
+                _ts_rows(spark, tag='winner'), partition_col='ts',
+                partition_transform='month')
+        return orig_claim(version, manifest)
+
+    t._claim_version = racing_claim
+    with pytest.raises(CommitConflict, match='transform changed'):
+        t.append(_ts_rows(spark, tag='loser'), partition_col='ts',
+                 partition_transform='day')
+    # the winner's commit is intact and day files never mixed in
+    assert t.snapshot()['partition_transform'] == 'month'
+    assert t.read(spark).count() == 12
+    assert {r.ver for r in t.read(spark).select('ver')
+            .distinct().collect()} == {'winner'}
