@@ -1260,6 +1260,31 @@ def _q_snapshot_skipping_bloom(spark, sf_dir):
             .where(F.col('content_hash').isin(probes)))
 
 
+def _q_snapshot_ndv(spark, sf_dir):
+    # Manifest NDV: per-file HLL register tables recorded at stage
+    # time let ndv() answer approx-COUNT-DISTINCT with ZERO data I/O —
+    # the planning statistic ANALYZE TABLE would scan 100 TB for. The
+    # gate returns the DRIVER-merged registers (the sketch monoid:
+    # per-file sketches merge to exactly the whole-scan sketch) and
+    # the oracle recomputes the registers from scratch over the whole
+    # column in DuckDB — integer-exact, no float estimate in the hash
+    # compare (estimator tolerance is unit-asserted).
+    import os
+    from ocrodjvu_spark.plans.snapstore import SnapshotTable
+    base = _gate_tempdir('ocrodjvu-spark-ndv-')
+    t = SnapshotTable(os.path.join(base, 'corpus'),
+                      ndv_cols=['doc_id'], ndv_p=_HLL_P)
+    docs = T.load_table(spark, sf_dir, 'documents') \
+        .select('doc_id', 'lang', 'n_chars')
+    t.append(docs.repartitionByRange(8, 'doc_id'))
+    est = t.ndv('doc_id')
+    if not 0.7 < est / 500 < 1.3:  # zero-I/O estimate sanity
+        raise AssertionError(f'manifest NDV estimate off: {est}')
+    merged = t.ndv_registers('doc_id')
+    return spark.createDataFrame(
+        sorted(merged.items()), 'register int, max_rank int')
+
+
 def _q_jsonl_roundtrip(spark, sf_dir):
     # JSONL source/sink (sources/jsonl.py): the corpus exchange
     # format. Export is JVM-side sharded line-JSON with schema-ordered
@@ -2282,6 +2307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _q_snapshot_hidden_partitioning,             # new r5 (late)
         'snapshot_skipping_bloom':
             _q_snapshot_skipping_bloom,                  # new r5 (late)
+        'snapshot_ndv': _q_snapshot_ndv,                 # new r5 (late)
     }
 
 
@@ -4068,6 +4094,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, ts, user_id, event_type FROM events
             WHERE ts >= TIMESTAMP '2024-01-20'
               AND ts < TIMESTAMP '2024-01-25'
+        ''',
+        'snapshot_ndv': f'''
+            SELECT CAST(h % {1 << _HLL_P} AS INTEGER) AS register,
+                   CAST(max(CASE WHEN h // {1 << _HLL_P} = 0
+                                 THEN {31 - _HLL_P + 1}
+                                 ELSE {31 - _HLL_P + 1}
+                                      - length(bin(h // {1 << _HLL_P}))
+                            END) AS INTEGER) AS max_rank
+            FROM (
+                SELECT ((h0 * 48271 + 11) % 2147483647 * 69621 + 7)
+                           % 2147483647 AS h
+                FROM (
+                    SELECT {_SQL_HASH("CAST(doc_id AS VARCHAR)")} AS h0
+                    FROM documents
+                )
+            )
+            GROUP BY 1
         ''',
         'snapshot_skipping_bloom': f'''
             WITH d AS (

@@ -92,8 +92,15 @@ def hll_estimate(sketch: DataFrame, p: int = 6) -> float:
     Raw HLL estimate with the small-range (linear counting) correction;
     the sketch is at most m rows, so collecting it is O(m).
     """
-    m = 1 << p
     ranks = {r.register: r.max_rank for r in sketch.collect()}
+    return estimate_from_ranks(ranks, p)
+
+
+def estimate_from_ranks(ranks: dict, p: int) -> float:
+    """The HLL estimator over a plain {register: max_rank} dict — the
+    driver-side face shared with metadata consumers (the snapshot
+    store's manifest NDV) that already hold the registers in hand."""
+    m = 1 << p
     total = sum(2.0 ** -ranks.get(j, 0) for j in range(m))
     est = _alpha(m) * m * m / total
     zeros = sum(1 for j in range(m) if ranks.get(j, 0) == 0)

@@ -412,7 +412,9 @@ class SnapshotTable:
 
     def __init__(self, root: str, max_commit_retries: int = 20,
                  bloom_cols: Optional[Sequence[str]] = None,
-                 bloom_bits: int = 1 << 13):
+                 bloom_bits: int = 1 << 13,
+                 ndv_cols: Optional[Sequence[str]] = None,
+                 ndv_p: int = 12):
         """``bloom_cols`` opts staged writes into PER-FILE BLOOM
         FILTERS on the named str/int columns (parquet's column bloom
         filters, kept in the manifest like Iceberg could): equality
@@ -422,13 +424,24 @@ class SnapshotTable:
         ``bloom_bits`` to expected rows/file (~10 bits/key for ~1% FP;
         the default 8192 bits = 1 KiB packed suits small files — at
         100 MB files use 2^20). Write-side opt-in per handle, like
-        Iceberg table write properties; readers need nothing."""
+        Iceberg table write properties; readers need nothing.
+
+        ``ndv_cols`` likewise records a PER-FILE HyperLogLog register
+        table (``functions.hll``, JVM-built) in each manifest entry:
+        ``ndv(col)`` then answers approx-COUNT-DISTINCT for any
+        snapshot/partition subset by merging registers DRIVER-side —
+        the sketch monoid means per-file sketches merge to exactly the
+        whole-scan sketch, so table NDV costs zero data I/O (the
+        planning statistic ANALYZE TABLE would scan for). ``ndv_p``:
+        2^p registers per file (~2^p ints of manifest weight)."""
         self.root = root
         self.data_dir = os.path.join(root, 'data')
         self.manifest_dir = os.path.join(root, 'manifests')
         self.max_commit_retries = max_commit_retries
         self.bloom_cols = list(bloom_cols or [])
         self.bloom_bits = bloom_bits
+        self.ndv_cols = list(ndv_cols or [])
+        self.ndv_p = ndv_p
         self._tag_cache: Dict[int, Optional[str]] = {}
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.manifest_dir, exist_ok=True)
@@ -1188,6 +1201,9 @@ class SnapshotTable:
                     blooms = self._file_blooms(df.sparkSession, full)
                     if blooms:
                         entry['bloom'] = blooms
+                    ndv = self._file_ndv(df.sparkSession, full)
+                    if ndv:
+                        entry['ndv'] = ndv
                     entries.append(entry)
                     i += 1
         finally:
@@ -1230,6 +1246,66 @@ class SnapshotTable:
                     for r in bf.bitmap.collect()),
             }
         return out
+
+    def _file_ndv(self, spark: SparkSession, path: str) -> dict:
+        """Per-file HLL register tables for ``self.ndv_cols`` — one
+        tiny JVM job per staged file (explode-free: register+rank
+        projection + groupBy-max bounded at 2^p rows), collected
+        sparse. NULLs are skipped; non-string columns hash their
+        cast-to-string form, matching the SQL-oracle convention."""
+        if not self.ndv_cols:
+            return {}
+        from ..functions.hll import hll_sketch
+        reader = spark.read.parquet(path)
+        out = {}
+        for col in self.ndv_cols:
+            if col not in reader.columns:
+                continue
+            keys = (reader.select(F.col(col).cast('string')
+                                  .alias('key'))
+                    .where(F.col('key').isNotNull()))
+            sketch = hll_sketch(keys, 'key', p=self.ndv_p)
+            out[col] = {
+                'p': self.ndv_p,
+                'regs': sorted([int(r.register), int(r.max_rank)]
+                               for r in sketch.collect()),
+            }
+        return out
+
+    def ndv_registers(self, col: str,
+                      version: Optional[int] = None,
+                      partition_values: Optional[Sequence] = None
+                      ) -> Optional[dict]:
+        """The merged {register: max_rank} table of ``col`` over a
+        snapshot (optionally one partition subset) — pure driver-side
+        metadata (the HLL monoid: max per register across files).
+        None if any selected file lacks the sketch."""
+        files = self.snapshot(version)['files']
+        if partition_values is not None:
+            wanted = {str(v) for v in partition_values}
+            files = [f for f in files
+                     if str(f.get('partition')) in wanted]
+        merged: Dict[int, int] = {}
+        for f in files:
+            spec = (f.get('ndv') or {}).get(col)
+            if spec is None or spec['p'] != self.ndv_p:
+                return None  # unsketched file: estimate would lie
+            for reg, rank in spec['regs']:
+                if merged.get(reg, 0) < rank:
+                    merged[reg] = rank
+        return merged
+
+    def ndv(self, col: str, version: Optional[int] = None,
+            partition_values: Optional[Sequence] = None
+            ) -> Optional[float]:
+        """Approx COUNT(DISTINCT col) with ZERO data I/O, from the
+        manifest's per-file HLL registers. None when a selected file
+        carries no sketch (never a silent wrong answer)."""
+        merged = self.ndv_registers(col, version, partition_values)
+        if merged is None:
+            return None
+        from ..functions.hll import estimate_from_ranks
+        return estimate_from_ranks(merged, self.ndv_p)
 
     @staticmethod
     def _file_meta(path: str):

@@ -1205,3 +1205,37 @@ def test_racing_conflicting_specs_surface_as_commit_conflict(
     assert t.read(spark).count() == 12
     assert {r.ver for r in t.read(spark).select('ver')
             .distinct().collect()} == {'winner'}
+
+
+# -- manifest NDV (per-file HLL registers) ----------------------------------
+
+
+def test_manifest_ndv_merges_to_whole_scan_sketch(spark, tmp_path):
+    from ocrodjvu_spark.functions import hll
+    t = SnapshotTable(str(tmp_path / 't'), ndv_cols=['doc_id'],
+                      ndv_p=8)
+    df = spark.createDataFrame(
+        [Row(doc_id=i % 130, v=i) for i in range(300)])  # 130 distinct
+    t.append(df.repartitionByRange(4, 'doc_id'))
+    t.append(spark.createDataFrame(
+        [Row(doc_id=i, v=i) for i in range(130, 180)]))  # +50 distinct
+    # the monoid property: per-file registers merged driver-side ==
+    # the whole-scan sketch, register for register
+    merged = t.ndv_registers('doc_id')
+    whole = {r.register: r.max_rank for r in hll.hll_sketch(
+        t.read(spark).select(F.col('doc_id').cast('string')
+                             .alias('key')), p=8).collect()}
+    assert merged == whole
+    est = t.ndv('doc_id')
+    assert abs(est - 180) / 180 < 0.2  # ~1.04/sqrt(256) expected error
+    # partition-subset NDV works off the same metadata
+    assert t.ndv('doc_id', partition_values=[None]) == est
+
+
+def test_manifest_ndv_missing_sketch_returns_none(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))  # no ndv_cols on this handle
+    t.append(_docs(spark, 'a', n=10))
+    t2 = SnapshotTable(t.root, ndv_cols=['doc_id'], ndv_p=8)
+    assert t2.ndv('doc_id') is None  # unsketched files: no silent lie
+    t2.append(_docs(spark, 'b', n=5))
+    assert t2.ndv('doc_id') is None  # still one unsketched file
