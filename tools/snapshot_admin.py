@@ -8,6 +8,7 @@ Usage:
         [--cluster-by A,B | --zorder-by A,B] [--target-partitions N]
     python tools/snapshot_admin.py <table_root> changes --from N [--to M]
     python tools/snapshot_admin.py <table_root> diff --from N [--to M]
+    python tools/snapshot_admin.py <table_root> ndv <column> [--ndv-p P]
     python tools/snapshot_admin.py <table_root> expire [--keep-last N]
 
 `log` / `describe` are metadata-only (no Spark); `show` / `compact`
@@ -51,6 +52,9 @@ def main(argv=None):
     p = sub.add_parser('diff')
     p.add_argument('--from', dest='from_version', type=int, required=True)
     p.add_argument('--to', dest='to_version', type=int, default=None)
+    p = sub.add_parser('ndv')
+    p.add_argument('column')
+    p.add_argument('--ndv-p', type=int, default=12)
     p = sub.add_parser('expire')
     p.add_argument('--keep-last', type=int, default=1)
     args = parser.parse_args(argv)
@@ -74,6 +78,19 @@ def main(argv=None):
 
     if args.cmd == 'describe':
         print(json.dumps(t.snapshot(args.version), indent=2))
+        return 0
+
+    if args.cmd == 'ndv':
+        # metadata-only: approx COUNT(DISTINCT) from manifest sketches
+        from ocrodjvu_spark.plans.snapstore import SnapshotTable as _ST
+        tn = _ST(args.root, ndv_p=args.ndv_p)
+        est = tn.ndv(args.column)
+        if est is None:
+            print(f'no complete ndv sketch for {args.column!r} at '
+                  f'p={args.ndv_p} (write with ndv_cols to record one)')
+            return 1
+        print(f'{args.column}: ~{est:.0f} distinct '
+              f'(zero data I/O, p={args.ndv_p})')
         return 0
 
     if args.cmd == 'diff':
