@@ -1278,7 +1278,8 @@ def _q_snapshot_ndv(spark, sf_dir):
         .select('doc_id', 'lang', 'n_chars')
     t.append(docs.repartitionByRange(8, 'doc_id'))
     est = t.ndv('doc_id')
-    if not 0.7 < est / 500 < 1.3:  # zero-I/O estimate sanity
+    n_docs = docs.count()
+    if not 0.7 < est / n_docs < 1.3:  # zero-I/O estimate sanity
         raise AssertionError(f'manifest NDV estimate off: {est}')
     merged = t.ndv_registers('doc_id')
     return spark.createDataFrame(

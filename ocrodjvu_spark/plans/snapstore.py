@@ -414,7 +414,7 @@ class SnapshotTable:
                  bloom_cols: Optional[Sequence[str]] = None,
                  bloom_bits: int = 1 << 13,
                  ndv_cols: Optional[Sequence[str]] = None,
-                 ndv_p: int = 12):
+                 ndv_p: Optional[int] = None):
         """``bloom_cols`` opts staged writes into PER-FILE BLOOM
         FILTERS on the named str/int columns (parquet's column bloom
         filters, kept in the manifest like Iceberg could): equality
@@ -433,18 +433,47 @@ class SnapshotTable:
         the sketch monoid means per-file sketches merge to exactly the
         whole-scan sketch, so table NDV costs zero data I/O (the
         planning statistic ANALYZE TABLE would scan for). ``ndv_p``:
-        2^p registers per file (~2^p ints of manifest weight)."""
+        2^p registers per file (~2^p ints of manifest weight).
+
+        Both are TABLE PROPERTIES, not handle quirks: the values a
+        writer sets are recorded in every manifest it commits
+        (``write_props``), and a handle constructed WITHOUT them —
+        an admin CLI running ``compact``, a maintenance cron — adopts
+        the recorded ones, so rewrites preserve the sketches instead
+        of silently stripping them. Passing an explicit value (even
+        ``[]``) overrides and re-records."""
         self.root = root
         self.data_dir = os.path.join(root, 'data')
         self.manifest_dir = os.path.join(root, 'manifests')
         self.max_commit_retries = max_commit_retries
-        self.bloom_cols = list(bloom_cols or [])
-        self.bloom_bits = bloom_bits
-        self.ndv_cols = list(ndv_cols or [])
-        self.ndv_p = ndv_p
+        self._bloom_cols = (None if bloom_cols is None
+                            else list(bloom_cols))
+        self._bloom_bits = bloom_bits
+        self._ndv_cols = None if ndv_cols is None else list(ndv_cols)
+        self._ndv_p = ndv_p
         self._tag_cache: Dict[int, Optional[str]] = {}
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.manifest_dir, exist_ok=True)
+
+    def write_props(self) -> dict:
+        """The effective sketch/table write properties: this handle's
+        explicit settings, falling back to the ones recorded at HEAD
+        (absent both -> defaults: no blooms, no ndv, bloom_bits 8192,
+        ndv_p 12)."""
+        base = self.snapshot().get('write_props') or {}
+        return {
+            'bloom_cols': (self._bloom_cols
+                           if self._bloom_cols is not None
+                           else base.get('bloom_cols', [])),
+            'bloom_bits': (self._bloom_bits
+                           if self._bloom_bits != 1 << 13
+                           else base.get('bloom_bits', 1 << 13)),
+            'ndv_cols': (self._ndv_cols
+                         if self._ndv_cols is not None
+                         else base.get('ndv_cols', [])),
+            'ndv_p': (self._ndv_p if self._ndv_p is not None
+                      else base.get('ndv_p', 12)),
+        }
 
     # -- snapshot resolution ------------------------------------------------
 
@@ -693,7 +722,8 @@ class SnapshotTable:
         except _CompactConflict:
             raise CommitConflict(
                 'append: the table\'s partition transform changed '
-                'under this write — restage against the new spec')
+                'under this write — restage against the new '
+                'spec') from None
 
     def find_tag(self, tag: str) -> Optional[int]:
         """The version committed under ``tag``, or None. Sees expiry
@@ -768,7 +798,7 @@ class SnapshotTable:
             raise CommitConflict(
                 'replace_partitions: the table\'s partition transform '
                 'changed under this write — restage against the new '
-                'spec')
+                'spec') from None
 
     def delete_where(self, spark: SparkSession, condition,
                      partition_col: Optional[str] = None,
@@ -1165,6 +1195,7 @@ class SnapshotTable:
         ``partition_transform`` derives the value instead of copying
         the column (hidden partitioning — ``_transform_expr``).
         """
+        props = self.write_props()
         stage_id = uuid.uuid4().hex
         stage_dir = os.path.join(self.data_dir, f'.stage-{stage_id}')
         writer = df
@@ -1198,10 +1229,10 @@ class SnapshotTable:
                         'rows': rows,
                         'stats': stats,
                     }
-                    blooms = self._file_blooms(df.sparkSession, full)
+                    blooms, ndv = self._file_structures(
+                        df.sparkSession, full, props)
                     if blooms:
                         entry['bloom'] = blooms
-                    ndv = self._file_ndv(df.sparkSession, full)
                     if ndv:
                         entry['ndv'] = ndv
                     entries.append(entry)
@@ -1212,65 +1243,62 @@ class SnapshotTable:
         # ORIGINAL DataFrame schema, which matches the file contents
         return entries, schema
 
-    def _file_blooms(self, spark: SparkSession, path: str) -> dict:
-        """Per-file bloom bitmaps for ``self.bloom_cols`` — built
-        JVM-SIDE by the very module the gates verify
-        (``functions.bloom.bloom_build``: explode positions + partial
-        bit_or, no per-row Python anywhere), one tiny job per staged
-        file whose driver-collected result is <= m/63 int64 words.
-        NULLs are skipped (they never match an equality probe);
-        columns that are not string/integral are silently left
-        bloom-less (conservative: never skipped)."""
-        if not self.bloom_cols:
-            return {}
+    def _file_structures(self, spark: SparkSession, path: str,
+                         props: dict):
+        """Per-file bloom bitmaps and HLL register tables for the
+        table's write properties — built JVM-SIDE by the very modules
+        the gates verify (``functions.bloom.bloom_build``: explode
+        positions + partial bit_or; ``functions.hll.hll_sketch``:
+        register projection + groupBy-max bounded at 2^p rows), over
+        ONE shared reader of the file this writer just staged; each
+        driver-collected result is tiny (<= m/63 words, <= 2^p
+        registers). NULLs are skipped; columns that are not
+        string/integral are silently left unsketched (blooms would be
+        encoding-dependent and NDV would count cast artifacts like
+        '0.0' vs '-0.0' as distinct — conservative: blooms never skip,
+        ndv() returns None)."""
+        bloom_cols = props['bloom_cols']
+        ndv_cols = props['ndv_cols']
+        if not bloom_cols and not ndv_cols:
+            return {}, {}
         from pyspark.sql.types import IntegralType, StringType
         from ..functions.bloom import bloom_build
+        from ..functions.hll import hll_sketch
         reader = spark.read.parquet(path)
-        out = {}
-        for col in self.bloom_cols:
-            if col not in reader.columns:
-                continue
-            dtype = reader.schema[col].dataType
-            if not isinstance(dtype, (StringType, IntegralType)):
-                continue
+
+        def sketchable(col):
+            return col in reader.columns and isinstance(
+                reader.schema[col].dataType, (StringType, IntegralType))
+
+        def keys_of(col):
             # integral cast('string') == str(v), matching _bloom_key
-            keys = (reader.select(F.col(col).cast('string')
+            return (reader.select(F.col(col).cast('string')
                                   .alias('key'))
                     .where(F.col('key').isNotNull()))
-            bf = bloom_build(keys, 'key', m_bits=self.bloom_bits,
-                             k=_BLOOM_K)
-            out[col] = {
-                'm': self.bloom_bits, 'k': _BLOOM_K,
+
+        blooms = {}
+        for col in bloom_cols:
+            if not sketchable(col):
+                continue
+            bf = bloom_build(keys_of(col), 'key',
+                             m_bits=props['bloom_bits'], k=_BLOOM_K)
+            blooms[col] = {
+                'm': props['bloom_bits'], 'k': _BLOOM_K,
                 'words': sorted(
                     [int(r.word_idx), int(r.bits)]
                     for r in bf.bitmap.collect()),
             }
-        return out
-
-    def _file_ndv(self, spark: SparkSession, path: str) -> dict:
-        """Per-file HLL register tables for ``self.ndv_cols`` — one
-        tiny JVM job per staged file (explode-free: register+rank
-        projection + groupBy-max bounded at 2^p rows), collected
-        sparse. NULLs are skipped; non-string columns hash their
-        cast-to-string form, matching the SQL-oracle convention."""
-        if not self.ndv_cols:
-            return {}
-        from ..functions.hll import hll_sketch
-        reader = spark.read.parquet(path)
-        out = {}
-        for col in self.ndv_cols:
-            if col not in reader.columns:
+        ndv = {}
+        for col in ndv_cols:
+            if not sketchable(col):
                 continue
-            keys = (reader.select(F.col(col).cast('string')
-                                  .alias('key'))
-                    .where(F.col('key').isNotNull()))
-            sketch = hll_sketch(keys, 'key', p=self.ndv_p)
-            out[col] = {
-                'p': self.ndv_p,
+            sketch = hll_sketch(keys_of(col), 'key', p=props['ndv_p'])
+            ndv[col] = {
+                'p': props['ndv_p'],
                 'regs': sorted([int(r.register), int(r.max_rank)]
                                for r in sketch.collect()),
             }
-        return out
+        return blooms, ndv
 
     def ndv_registers(self, col: str,
                       version: Optional[int] = None,
@@ -1285,10 +1313,11 @@ class SnapshotTable:
             wanted = {str(v) for v in partition_values}
             files = [f for f in files
                      if str(f.get('partition')) in wanted]
+        p = self.write_props()['ndv_p']
         merged: Dict[int, int] = {}
         for f in files:
             spec = (f.get('ndv') or {}).get(col)
-            if spec is None or spec['p'] != self.ndv_p:
+            if spec is None or spec['p'] != p:
                 return None  # unsketched file: estimate would lie
             for reg, rank in spec['regs']:
                 if merged.get(reg, 0) < rank:
@@ -1305,7 +1334,7 @@ class SnapshotTable:
         if merged is None:
             return None
         from ..functions.hll import estimate_from_ranks
-        return estimate_from_ranks(merged, self.ndv_p)
+        return estimate_from_ranks(merged, self.write_props()['ndv_p'])
 
     @staticmethod
     def _file_meta(path: str):
@@ -1374,6 +1403,7 @@ class SnapshotTable:
                                    else transform)
             if committed_transform is not None:
                 manifest['partition_transform'] = committed_transform
+            manifest['write_props'] = self.write_props()
             if tag is not None:
                 manifest['tag'] = tag
             if self._claim_version(base_version + 1, manifest):

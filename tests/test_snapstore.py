@@ -1239,3 +1239,34 @@ def test_manifest_ndv_missing_sketch_returns_none(spark, tmp_path):
     assert t2.ndv('doc_id') is None  # unsketched files: no silent lie
     t2.append(_docs(spark, 'b', n=5))
     assert t2.ndv('doc_id') is None  # still one unsketched file
+
+
+def test_write_props_are_table_properties(spark, tmp_path):
+    # sketch configs persist in the manifest: a maintenance handle
+    # constructed WITHOUT them (admin compact) adopts them, so
+    # rewrites preserve the per-file sketches instead of silently
+    # stripping them; ndv() works off the recorded p
+    t = SnapshotTable(str(tmp_path / 't'), bloom_cols=['h'],
+                      ndv_cols=['doc_id'], ndv_p=8)
+    t.append(spark.createDataFrame(
+        [Row(doc_id=i, h=f'k{i}') for i in range(40)]).repartition(4))
+    plain = SnapshotTable(t.root)  # no sketch config at all
+    assert plain.write_props()['ndv_cols'] == ['doc_id']
+    plain.compact(spark, target_partitions=1)
+    f = plain.snapshot()['files'][0]
+    assert 'h' in f['bloom'] and 'doc_id' in f['ndv']
+    assert plain.ndv('doc_id') is not None  # p adopted from manifest
+    # explicit [] overrides and re-records (stops sketching)
+    off = SnapshotTable(t.root, bloom_cols=[], ndv_cols=[])
+    off.append(spark.createDataFrame([Row(doc_id=99, h='x')]))
+    assert off.write_props()['ndv_cols'] == []
+
+
+def test_ndv_skips_unsketchable_float_column(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'), ndv_cols=['score'])
+    t.append(spark.createDataFrame(
+        [Row(doc_id=i, score=float(i)) for i in range(10)]))
+    # float NDV would count cast artifacts ('0.0' vs '-0.0'); the
+    # column stays unsketched and ndv() refuses rather than lies
+    assert 'score' not in (t.snapshot()['files'][0].get('ndv') or {})
+    assert t.ndv('score') is None

@@ -54,7 +54,8 @@ def main(argv=None):
     p.add_argument('--to', dest='to_version', type=int, default=None)
     p = sub.add_parser('ndv')
     p.add_argument('column')
-    p.add_argument('--ndv-p', type=int, default=12)
+    p.add_argument('--ndv-p', type=int, default=None,
+                   help='override the recorded register exponent')
     p = sub.add_parser('expire')
     p.add_argument('--keep-last', type=int, default=1)
     args = parser.parse_args(argv)
@@ -81,16 +82,19 @@ def main(argv=None):
         return 0
 
     if args.cmd == 'ndv':
-        # metadata-only: approx COUNT(DISTINCT) from manifest sketches
-        from ocrodjvu_spark.plans.snapstore import SnapshotTable as _ST
-        tn = _ST(args.root, ndv_p=args.ndv_p)
+        # metadata-only: approx COUNT(DISTINCT) from manifest
+        # sketches; p comes from the table's recorded write props
+        # unless overridden
+        tn = (SnapshotTable(args.root, ndv_p=args.ndv_p)
+              if args.ndv_p is not None else SnapshotTable(args.root))
         est = tn.ndv(args.column)
         if est is None:
-            print(f'no complete ndv sketch for {args.column!r} at '
-                  f'p={args.ndv_p} (write with ndv_cols to record one)')
+            print(f'no complete ndv sketch for {args.column!r} '
+                  '(write with ndv_cols to record one)',
+                  file=sys.stderr)
             return 1
         print(f'{args.column}: ~{est:.0f} distinct '
-              f'(zero data I/O, p={args.ndv_p})')
+              f"(zero data I/O, p={tn.write_props()['ndv_p']})")
         return 0
 
     if args.cmd == 'diff':
