@@ -75,9 +75,12 @@ _PART_DIR = '__pv='  # staged partition directory prefix
 
 # stats are recorded only for values that serialize losslessly to JSON
 # and compare with Python operators; temporal values are normalized to
-# epoch integers (micros for timestamps, days for dates) so time-range
-# scans — THE hot path on an event table — can skip files; anything
-# else (bytes, nested types) is left un-stated and never skipped
+# ONE axis — epoch micros for both timestamps and dates (a date is its
+# midnight-UTC instant, matching Spark's date->timestamp cast under the
+# pinned UTC session TZ) — so time-range scans, THE hot path on an
+# event table, can skip files and date probes on timestamp columns
+# (or vice versa) stay sound; anything else (bytes, nested types) is
+# left un-stated and never skipped
 _STATS_TYPES = (bool, int, float, str)
 
 
@@ -90,7 +93,14 @@ def _normalize_stat(v):
             v = v.replace(tzinfo=datetime.timezone.utc)
         return int(v.timestamp() * 1_000_000)
     if isinstance(v, datetime.date):
-        return v.toordinal()
+        # midnight-UTC epoch MICROS, the same scale as timestamps —
+        # Spark compares date-vs-timestamp by casting the date to a
+        # timestamp under the (pinned-UTC) session TZ, so a date probe
+        # against a timestamp column's stats (and vice versa) must land
+        # on one axis; day ordinals would silently cross-compare days
+        # against micros and unsoundly prune matching files
+        epoch = datetime.date(1970, 1, 1).toordinal()
+        return (v.toordinal() - epoch) * 86_400_000_000
     if isinstance(v, float) and v != v:
         # NaN poisons every comparison (all False), which would prune
         # files that DO contain matching rows — parquet writers' NaN
@@ -145,6 +155,42 @@ def _bloom_key(v) -> Optional[str]:
         return v
     if isinstance(v, int):
         return str(v)
+    return None
+
+
+def _bloom_probe_key(spec: dict, v) -> Optional[str]:
+    """The key a probe value hashes as against this file's bloom, or
+    None when the probe cannot soundly prune (keep the file). The
+    sketch records the COLUMN's type kind (``spec['type']``), and the
+    stored keys are the column's ``cast('string')`` form — a probe may
+    only consult the bloom when its canonical key provably equals that
+    form under Spark's cast-equality:
+
+    * int column: an int probe hashes as ``str(v)``; a string probe
+      only when it is already canonical (``str(int(v)) == v`` — a
+      non-canonical '05' cast-matches rows storing 5, whose key is
+      '5', so pruning on '05' would be unsound).
+    * str column: only a str probe — Spark compares ``str_col = 5`` by
+      casting the column, so a row storing '05' matches and its key
+      ('05') differs from ``str(5)``.
+
+    Legacy specs without a recorded type fall back to `_bloom_key`."""
+    if isinstance(v, bool):
+        return None
+    kind = spec.get('type')
+    if kind is None:
+        return _bloom_key(v)
+    if kind == 'str':
+        return v if isinstance(v, str) else None
+    if kind == 'int':
+        if isinstance(v, int):
+            return str(v)
+        if isinstance(v, str):
+            try:
+                return v if str(int(v)) == v else None
+            except ValueError:
+                return None
+        return None
     return None
 
 
@@ -329,9 +375,14 @@ def file_may_match(entry: dict, filters) -> bool:
     stats = entry.get('stats') or {}
     blooms = entry.get('bloom') or {}
     for col, op, value in filters:
+        if op == 'in':
+            # materialize ONCE: a one-shot iterable drained by the
+            # bloom branch would read as empty in the stats branch
+            # (any([]) is False) and unsoundly prune every file
+            value = list(value)
         if op in ('=', 'in') and col in blooms:
-            probes = list(value) if op == 'in' else [value]
-            keys = [_bloom_key(v) for v in probes]
+            probes = value if op == 'in' else [value]
+            keys = [_bloom_probe_key(blooms[col], v) for v in probes]
             if keys and all(k is not None for k in keys) \
                     and not any(_bloom_maybe(blooms[col], k)
                                 for k in keys):
@@ -342,7 +393,7 @@ def file_may_match(entry: dict, filters) -> bool:
         if op == 'in':
             vals = [pv for pv in map(_probe_value, value)
                     if pv is not None and _comparable(pv, lo, hi)]
-            if len(vals) != len(list(value)):
+            if len(vals) != len(value):
                 continue  # an un-orderable member might match
             if not any(lo <= v <= hi for v in vals):
                 return False
@@ -412,7 +463,7 @@ class SnapshotTable:
 
     def __init__(self, root: str, max_commit_retries: int = 20,
                  bloom_cols: Optional[Sequence[str]] = None,
-                 bloom_bits: int = 1 << 13,
+                 bloom_bits: Optional[int] = None,
                  ndv_cols: Optional[Sequence[str]] = None,
                  ndv_p: Optional[int] = None):
         """``bloom_cols`` opts staged writes into PER-FILE BLOOM
@@ -465,8 +516,11 @@ class SnapshotTable:
             'bloom_cols': (self._bloom_cols
                            if self._bloom_cols is not None
                            else base.get('bloom_cols', [])),
+            # None (not the default VALUE) is the inherit sentinel, so
+            # an explicit bloom_bits=8192 over a table that recorded a
+            # different size overrides it, as the docstring promises
             'bloom_bits': (self._bloom_bits
-                           if self._bloom_bits != 1 << 13
+                           if self._bloom_bits is not None
                            else base.get('bloom_bits', 1 << 13)),
             'ndv_cols': (self._ndv_cols
                          if self._ndv_cols is not None
@@ -755,6 +809,9 @@ class SnapshotTable:
                     cache[v] = json.load(fh).get('tag')
             except FileNotFoundError:
                 continue  # expired under us; tombstone visible next call
+            except json.JSONDecodeError:
+                continue  # truncated write (pre-fsync crash): skip,
+                # don't cache — a repaired file re-reads next call
         return cache
 
     def overwrite(self, df: DataFrame,
@@ -1175,10 +1232,23 @@ class SnapshotTable:
                 deleted.append(rel)
                 live.add(rel)  # only report/remove once
             if manifest.get('tag'):
+                # same tmp+fsync+link publish as _claim_version: a
+                # crash mid-write must never leave a truncated
+                # tombstone (tags are load-bearing cursor state)
                 tomb = os.path.join(self.manifest_dir, f'x{v}.json')
-                with open(tomb, 'w', encoding='utf-8') as fh:
+                tmp = os.path.join(self.manifest_dir,
+                                   f'.tmp-{uuid.uuid4().hex}.json')
+                with open(tmp, 'w', encoding='utf-8') as fh:
                     json.dump({'version': v, 'tag': manifest['tag']},
                               fh)
+                    fh.flush()
+                    os.fsync(fh.fileno())
+                try:
+                    os.link(tmp, tomb)
+                except FileExistsError:
+                    pass  # a concurrent expirer already published it
+                finally:
+                    os.remove(tmp)
             os.remove(os.path.join(self.manifest_dir, f'v{v}.json'))
         return deleted
 
@@ -1282,8 +1352,14 @@ class SnapshotTable:
                 continue
             bf = bloom_build(keys_of(col), 'key',
                              m_bits=props['bloom_bits'], k=_BLOOM_K)
+            is_str = isinstance(reader.schema[col].dataType, StringType)
             blooms[col] = {
                 'm': props['bloom_bits'], 'k': _BLOOM_K,
+                # the column's type kind, so probes whose canonical key
+                # could differ from the stored cast('string') form skip
+                # the bloom instead of unsoundly pruning (see
+                # _bloom_probe_key)
+                'type': 'str' if is_str else 'int',
                 'words': sorted(
                     [int(r.word_idx), int(r.bits)]
                     for r in bf.bitmap.collect()),

@@ -47,8 +47,16 @@ def _probe_for(col):
             'f': st.one_of(st.floats(-60, 60, allow_nan=False),
                            st.just(float('nan'))),
             's': st.text(alphabet='abcxyz', max_size=4),
-            't': st.integers(-60, 3700).map(
-                lambda s: _EPOCH + datetime.timedelta(minutes=s))}[col]
+            # timestamp columns get BOTH datetime probes and plain
+            # DATE probes (Spark casts date -> timestamp at midnight
+            # under the UTC session TZ) — the r5 encoding compared
+            # date ordinals against micros and unsoundly pruned
+            't': st.one_of(
+                st.integers(-60, 3700).map(
+                    lambda s: _EPOCH + datetime.timedelta(minutes=s)),
+                st.integers(-3, 5).map(
+                    lambda d: _EPOCH.date()
+                    + datetime.timedelta(days=d)))}[col]
     return base
 
 
@@ -67,13 +75,23 @@ _filters = st.lists(
 
 def _spark_cmp(a, b):
     """Spark ordering for predicate evaluation: NULL handled by the
-    caller; NaN is greater than every float and equal to itself."""
+    caller; NaN is greater than every float and equal to itself; a
+    date compared to a timestamp is cast to its midnight instant
+    (UTC session TZ), exactly Spark's date->timestamp coercion."""
     a_nan = isinstance(a, float) and math.isnan(a)
     b_nan = isinstance(b, float) and math.isnan(b)
     if a_nan or b_nan:
         if a_nan and b_nan:
             return 0
         return 1 if a_nan else -1
+
+    def promote(x, other):
+        if (isinstance(other, datetime.datetime)
+                and isinstance(x, datetime.date)
+                and not isinstance(x, datetime.datetime)):
+            return datetime.datetime(x.year, x.month, x.day)
+        return x
+    a, b = promote(a, b), promote(b, a)
     return (a > b) - (a < b)
 
 

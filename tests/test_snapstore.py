@@ -6,6 +6,7 @@ keep working across a concurrent overwrite (real-Iceberg behavior), and
 concurrent commits must rebase instead of clobbering each other.
 """
 
+import os
 import threading
 
 import pytest
@@ -963,9 +964,117 @@ def test_timestamp_stats_prune_time_windows(spark, tmp_path):
     got = t.read(spark, stats_filters=day2) \
         .where(F.col('ts') >= F.lit('2024-03-02')).count()
     assert got == 24
-    # date probes use epoch-days and never cross-compare with micros
+    # date probes normalize to midnight-UTC epoch micros — ONE axis
+    # with timestamp stats, matching Spark's date->timestamp cast
     assert file_may_match(
         files[0], [('ts', '>=', datetime.date(2024, 3, 1))])
+    # the directions the old epoch-days encoding got wrong: a date
+    # upper bound / equality against a timestamp column covering that
+    # date must KEEP the file (days vs micros cross-compare pruned it)
+    first = min(files, key=lambda f: f['stats']['ts'][0])
+    assert file_may_match(first, [('ts', '<', datetime.date(2024, 3, 2))])
+    assert file_may_match(first, [('ts', '=', datetime.date(2024, 3, 1))])
+    assert file_may_match(first, [('ts', 'in', [datetime.date(2024, 3, 1)])])
+    # ...and completeness survives: a date strictly before the data
+    # still prunes every file
+    assert not any(
+        file_may_match(f, [('ts', '<', datetime.date(2024, 3, 1))])
+        for f in files)
+    # the equivalent pruned read returns every matching row
+    got = t.read(spark, stats_filters=[
+        ('ts', '<', datetime.date(2024, 3, 2))]) \
+        .where(F.col('ts') < F.lit('2024-03-02')).count()
+    assert got == 24
+
+
+def test_date_column_stats_one_axis_with_datetime_probes(spark, tmp_path):
+    # the mirror direction: a DATE column probed with datetimes
+    import datetime
+    from ocrodjvu_spark.plans.snapstore import file_may_match
+    t = SnapshotTable(str(tmp_path / 't'))
+    rows = [Row(eid=i, d=datetime.date(2024, 3, 1)
+                + datetime.timedelta(days=i)) for i in range(8)]
+    t.append(spark.createDataFrame(rows).repartitionByRange(2, 'd'))
+    files = t.snapshot()['files']
+    first = min(files, key=lambda f: f['stats']['d'][0])
+    # a datetime inside day 1 must keep the file holding day 1
+    probe = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    assert file_may_match(first, [('d', '<=', probe)])
+    assert file_may_match(first, [('d', '>=',
+                                   datetime.datetime(2024, 3, 1))])
+    # a datetime before all data prunes everything
+    assert not any(
+        file_may_match(f, [('d', '<=',
+                            datetime.datetime(2024, 2, 28, 23))])
+        for f in files)
+
+
+def test_in_probe_one_shot_iterable_not_drained(spark, tmp_path):
+    # a generator probe value must not be drained by the bloom branch
+    # and read as empty by the stats branch (any([]) would unsoundly
+    # prune every file on a column that has BOTH bloom and stats)
+    from ocrodjvu_spark.plans.snapstore import file_may_match
+    t = SnapshotTable(str(tmp_path / 't'), bloom_cols=['h'])
+    t.append(spark.createDataFrame(
+        [Row(doc_id=i, h=f'k{i}') for i in range(10)]).coalesce(1))
+    f = t.snapshot()['files'][0]
+    assert 'h' in f['bloom'] and 'h' in f['stats']
+    assert file_may_match(f, [('h', 'in', (v for v in ['k3']))])
+    assert not file_may_match(f, [('h', 'in', (v for v in ['zz']))])
+
+
+def test_bloom_probe_type_cross_check(spark, tmp_path):
+    # probing an int column with a non-canonical string ('05'), or a
+    # str column with an int, must NOT consult the bloom: Spark's
+    # cast-equality row filter could still match ('05' casts to 5;
+    # '05' text equals int 5 after column cast), so pruning on the
+    # canonical-key miss would drop matching rows
+    from ocrodjvu_spark.plans.snapstore import file_may_match
+    t = SnapshotTable(str(tmp_path / 'ti'), bloom_cols=['k'])
+    t.append(spark.createDataFrame([Row(k=5), Row(k=7)]).coalesce(1))
+    f = t.snapshot()['files'][0]
+    assert f['bloom']['k']['type'] == 'int'
+    assert file_may_match(f, [('k', '=', '05')])   # non-canonical: keep
+    assert file_may_match(f, [('k', '=', '5')])    # canonical, present
+    assert not file_may_match(f, [('k', '=', '6')])  # canonical, absent
+    assert file_may_match(f, [('k', '=', 'zz')])   # uncastable: keep
+    assert not file_may_match(f, [('k', '=', 6)])
+    ts = SnapshotTable(str(tmp_path / 'ts'), bloom_cols=['s'])
+    ts.append(spark.createDataFrame([Row(s='05'), Row(s='7')]).coalesce(1))
+    fs = ts.snapshot()['files'][0]
+    assert fs['bloom']['s']['type'] == 'str'
+    # int probe on a str column: column-side cast makes '05' match 5,
+    # but the stored key is '05' != str(5) — bloom must not prune
+    assert file_may_match(fs, [('s', '=', 5)])
+    assert file_may_match(fs, [('s', '=', '05')])
+    assert not file_may_match(fs, [('s', '=', 'absent')])
+
+
+def test_explicit_default_bloom_bits_overrides_recorded(spark, tmp_path):
+    # None is the inherit sentinel — an EXPLICIT bloom_bits equal to
+    # the default (8192) must override a recorded non-default size
+    t = SnapshotTable(str(tmp_path / 't'), bloom_cols=['h'],
+                      bloom_bits=1 << 16)
+    t.append(spark.createDataFrame([Row(h='a')]))
+    assert SnapshotTable(t.root).write_props()['bloom_bits'] == 1 << 16
+    explicit = SnapshotTable(t.root, bloom_bits=1 << 13)
+    assert explicit.write_props()['bloom_bits'] == 1 << 13
+
+
+def test_expire_tombstone_truncated_file_does_not_brick_tags(
+        spark, tmp_path):
+    # a truncated tombstone (crash mid-write before the fsync+link fix,
+    # or disk corruption) must not break every tag lookup forever
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=3), tag='batch-1')       # v1
+    t.append(_docs(spark, 'b', n=2))                      # v2
+    bad = os.path.join(t.manifest_dir, 'x99.json')
+    with open(bad, 'w', encoding='utf-8') as fh:
+        fh.write('{"version": 99, "ta')  # truncated JSON
+    fresh = SnapshotTable(t.root)
+    assert fresh.find_tag('batch-1') == 1  # lookup still works
+    t.expire_snapshots(keep_last=1)
+    assert SnapshotTable(t.root).find_tag('batch-1') == 1  # tombstoned
 
 
 # -- review-pass regressions ------------------------------------------------
