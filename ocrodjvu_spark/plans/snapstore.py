@@ -40,6 +40,15 @@ re-implemented here, not copied):
   ``delete_where`` accepts a caller-supplied ``prune_filters`` hint
   with the same contract.
 
+* **Merge-on-read equality deletes.** ``delete_keys`` commits a small
+  parquet of key tuples instead of rewriting data files (Iceberg v2
+  equality delete files): readers anti-join each data file against the
+  delete files sequenced after it (data-sequence numbers, so rows
+  appended after a delete survive it), and ``compact`` materializes
+  pending deletes away. A 1-row takedown costs one tiny write, not a
+  whole-file rewrite; ``delete_where`` stays the read-optimized
+  copy-on-write path.
+
 Scale notes (100 TB): the manifest is O(n data files) driver-side JSON.
 At ~1 M files (100 TB / 100 MB) that is a ~100 MB manifest — workable but
 the known ceiling; real Iceberg splits manifests per partition subtree
@@ -590,7 +599,7 @@ class SnapshotTable:
             files = [f for f in files if file_may_match(f, stats_filters)]
         if not files:
             return None
-        return self._read_entries(spark, files, manifest.get('schema'))
+        return self._read_files_mor(spark, files, manifest)
 
     def count_rows(self, version: Optional[int] = None,
                    partition_values: Optional[Sequence] = None) -> int:
@@ -598,8 +607,15 @@ class SnapshotTable:
         file's row count, so a table/partition cardinality costs zero
         data I/O at any scale (Iceberg's metadata aggregate pushdown).
         No ``stats_filters`` variant: min/max bounds can prune files
-        but cannot count matching rows."""
-        files = self.snapshot(version)['files']
+        but cannot count matching rows. Undefined while merge-on-read
+        deletes are pending (file counts include deleted rows) —
+        raises; ``compact()`` materializes them and restores it."""
+        manifest = self.snapshot(version)
+        if manifest.get('deletes'):
+            raise ValueError(
+                'count_rows: pending merge-on-read deletes make '
+                'metadata counts overcount — compact() first')
+        files = manifest['files']
         if partition_values is not None:
             wanted = {str(v) for v in partition_values}
             files = [f for f in files
@@ -631,6 +647,43 @@ class SnapshotTable:
             reader = reader.schema(
                 StructType.fromJson(json.loads(schema_json)))
         return reader.parquet(*paths)
+
+    def _read_files_mor(self, spark: SparkSession, files, manifest):
+        """Read an explicit file list with the snapshot's pending
+        equality deletes APPLIED at scan time (merge-on-read): each
+        data file is anti-joined against exactly the delete files
+        sequenced after it (``d.seq > f.seq`` — rows appended after a
+        delete survive it). Files are grouped by their
+        applicable-delete subset, so the plan unions at most
+        n_pending_deletes + 1 branches and runs ONE broadcast
+        anti-join per distinct key-column set per branch — delete key
+        sets are small by design (opt-out lists); a delete too big to
+        broadcast is what copy-on-write ``delete_where`` (or a
+        ``compact``) is for."""
+        deletes = list(manifest.get('deletes') or [])
+        schema_json = manifest.get('schema')
+        if not deletes:
+            return self._read_entries(spark, files, schema_json)
+        groups: Dict[tuple, List[dict]] = {}
+        for f in files:
+            applicable = tuple(
+                i for i, d in enumerate(deletes)
+                if d['seq'] > f.get('seq', 0))
+            groups.setdefault(applicable, []).append(f)
+        out = None
+        for applicable, fs in sorted(groups.items()):
+            df = self._read_entries(spark, fs, schema_json)
+            by_cols: Dict[tuple, List[dict]] = {}
+            for i in applicable:
+                d = deletes[i]
+                by_cols.setdefault(tuple(d['key_cols']), []).append(d)
+            for cols, ds in sorted(by_cols.items()):
+                keys = spark.read.parquet(*[
+                    os.path.join(self.root, d['path']) for d in ds])
+                df = df.join(F.broadcast(keys.dropDuplicates()),
+                             on=list(cols), how='left_anti')
+            out = df if out is None else out.unionByName(df)
+        return out
 
     def read_changes(self, spark: SparkSession, from_version: int,
                      to_version: Optional[int] = None
@@ -824,7 +877,8 @@ class SnapshotTable:
                                       partition_transform=partition_transform)
         return self._commit('overwrite', entries, schema,
                             apply=lambda base: list(entries),
-                            transform=partition_transform)
+                            transform=partition_transform,
+                            apply_deletes=lambda base: [])
 
     def replace_partitions(self, df: DataFrame, partition_col: str,
                            partition_transform: Optional[str] = None
@@ -856,6 +910,63 @@ class SnapshotTable:
                 'replace_partitions: the table\'s partition transform '
                 'changed under this write — restage against the new '
                 'spec') from None
+
+    def delete_keys(self, spark: SparkSession, keys: DataFrame,
+                    key_cols: Sequence[str],
+                    tag: Optional[str] = None) -> int:
+        """MERGE-ON-READ equality delete (Iceberg v2 equality delete
+        files; spec: https://iceberg.apache.org/spec/#equality-delete-files,
+        re-implemented, not copied): commit the distinct key tuples of
+        ``keys`` as ONE small delete file — no data file is rewritten.
+        Readers anti-join every data file against the delete files
+        sequenced after it, so a 1-row takedown costs one tiny parquet
+        write instead of rewriting a whole 100-MB data file — the
+        write-amplification answer for takedown storms at 100 TB;
+        copy-on-write ``delete_where`` remains the read-optimized path
+        for broad predicate deletes.
+
+        Contract:
+        * **Sequencing**: rows appended AFTER this delete with the same
+          key survive it (data-sequence numbers, Iceberg v2).
+        * **NULL keys** can never be targeted (anti-join null
+          semantics — same as Iceberg equality deletes).
+        * ``compact()`` MATERIALIZES pending deletes: the rewrite
+          applies them and drops the delete entries from the manifest;
+          ``expire_snapshots`` then reclaims the delete parquet.
+        * Metadata-only ``count_rows`` is undefined while deletes are
+          pending (it raises) — compact to restore it.
+        * A pending delete in a ``read_changes`` window raises, like
+          every non-append commit.
+        """
+        key_cols = list(key_cols)
+        kdf = keys.select(*key_cols).dropDuplicates()
+        stage_id = uuid.uuid4().hex
+        stage_dir = os.path.join(self.data_dir, f'.stage-{stage_id}')
+        kdf.coalesce(1).write.parquet(stage_dir)
+        entry = None
+        try:
+            for name in sorted(os.listdir(stage_dir)):
+                if not name.endswith('.parquet'):
+                    continue
+                rel = f'data/{stage_id}-del.parquet'
+                os.rename(os.path.join(stage_dir, name),
+                          os.path.join(self.root, rel))
+                rows, _stats = self._file_meta(
+                    os.path.join(self.root, rel))
+                entry = {'path': rel, 'key_cols': key_cols,
+                         'rows': rows}
+                break
+        finally:
+            shutil.rmtree(stage_dir, ignore_errors=True)
+        if entry is None or entry['rows'] == 0:
+            if entry is not None:
+                self._delete_entries([entry])
+            return self.current_version()  # empty key set: no-op
+        return self._commit(
+            'delete-keys', [entry], None,
+            apply=lambda base: list(base),
+            tag=tag,
+            apply_deletes=lambda base: base + [entry])
 
     def delete_where(self, spark: SparkSession, condition,
                      partition_col: Optional[str] = None,
@@ -908,9 +1019,11 @@ class SnapshotTable:
             # SQL DELETE semantics: rows where the condition is NULL
             # are KEPT (bare ~condition would drop them — fatal when
             # the condition references a schema-evolution column that
-            # reads NULL from pre-evolution files)
-            df = self._read_entries(
-                spark, touched, base_manifest.get('schema')) \
+            # reads NULL from pre-evolution files). The rewrite reads
+            # MERGE-ON-READ (pending equality deletes applied), so a
+            # rewritten file — whose new seq exempts it from older
+            # deletes — can never resurrect key-deleted rows.
+            df = self._read_files_mor(spark, touched, base_manifest) \
                 .where(~F.coalesce(condition, F.lit(False)))
             entries, schema = self._stage(
                 df, partition_col,
@@ -1039,7 +1152,11 @@ class SnapshotTable:
                     partition_transform=base_manifest.get(
                         'partition_transform'))
             else:
-                target = self._read_entries(spark, touched, schema_json)
+                # merge-on-read: apply pending equality deletes before
+                # rewriting, so rewritten files (new seq, exempt from
+                # older deletes) cannot resurrect key-deleted rows
+                target = self._read_files_mor(spark, touched,
+                                              base_manifest)
                 kept = target.join(source.select(*key_cols), key_cols,
                                    'left_anti')
                 if when_matched == 'update':
@@ -1142,9 +1259,15 @@ class SnapshotTable:
             if cluster_by and zorder_by:
                 raise ValueError(
                     'cluster_by and zorder_by are mutually exclusive')
-            if len(files0) <= target_total and not (cluster_by
-                                                    or zorder_by):
+            pending_deletes = bool(base_manifest.get('deletes'))
+            if (len(files0) <= target_total and not (cluster_by
+                                                     or zorder_by)
+                    and not pending_deletes):
                 return base_version  # nothing to gain; do not copy data
+            # read() applies pending equality deletes (merge-on-read),
+            # so this rewrite MATERIALIZES them; the commit below
+            # drops the delete entries and expire_snapshots reclaims
+            # the delete parquet
             df = self.read(spark, base_version)  # pinned to files0
             cluster_cols = list(cluster_by) if cluster_by else None
             drop_z = False
@@ -1187,7 +1310,8 @@ class SnapshotTable:
 
             try:
                 return self._commit('compact', entries, schema,
-                                    apply=apply)
+                                    apply=apply,
+                                    apply_deletes=lambda base: [])
             except _CompactConflict:
                 self._delete_entries(entries)  # stale rewrite
                 continue
@@ -1215,14 +1339,18 @@ class SnapshotTable:
         keep = set(versions[-keep_last:])
         live = set()
         for v in keep:
-            for f in self.snapshot(v)['files']:
+            kept_manifest = self.snapshot(v)
+            for f in kept_manifest['files']:
                 live.add(f['path'])
+            for dl in (kept_manifest.get('deletes') or []):
+                live.add(dl['path'])  # pending delete files are live
         deleted = []
         for v in versions:
             if v in keep:
                 continue
             manifest = self.snapshot(v)
-            for f in manifest['files']:
+            for f in (manifest['files']
+                      + list(manifest.get('deletes') or [])):
                 rel = f['path']
                 if rel in live:
                     continue
@@ -1426,7 +1554,9 @@ class SnapshotTable:
                 tag: Optional[str] = None,
                 evolve: bool = False,
                 validate: Optional[Callable[[], bool]] = None,
-                transform: Optional[str] = '__inherit__') -> int:
+                transform: Optional[str] = '__inherit__',
+                apply_deletes: Optional[
+                    Callable[[List[dict]], List[dict]]] = None) -> int:
         """Optimistic-concurrency commit loop: build the child manifest on
         the observed HEAD, claim version HEAD+1 by atomic rename, rebase
         and retry on collision. ``evolve`` merges the staged schema into
@@ -1467,6 +1597,17 @@ class SnapshotTable:
                     raise
             else:
                 committed_schema = schema or base.get('schema')
+            # data-sequence numbers (Iceberg v2): every entry records
+            # the version that committed it, so equality-delete files
+            # apply only to data written BEFORE them. FRESH entries
+            # (this commit's stagings — data or delete files) are
+            # re-stamped on EVERY attempt: a rebase moves the claimed
+            # version, and a stale seq would let a delete that landed
+            # mid-race apply to rows committed after it. Carried
+            # entries keep their recorded seq; legacy entries missing
+            # one read as 0 (they predate every delete).
+            for f in entries:
+                f['seq'] = base_version + 1
             manifest = {
                 'version': base_version + 1,
                 'parent': base_version or None,
@@ -1474,6 +1615,11 @@ class SnapshotTable:
                 'schema': committed_schema,
                 'files': apply(list(base['files'])),
             }
+            base_deletes = list(base.get('deletes') or [])
+            dels = (apply_deletes(base_deletes)
+                    if apply_deletes is not None else base_deletes)
+            if dels:
+                manifest['deletes'] = dels
             committed_transform = (base.get('partition_transform')
                                    if transform == '__inherit__'
                                    else transform)

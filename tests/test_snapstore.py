@@ -1379,3 +1379,139 @@ def test_ndv_skips_unsketchable_float_column(spark, tmp_path):
     # column stays unsketched and ndv() refuses rather than lies
     assert 'score' not in (t.snapshot()['files'][0].get('ndv') or {})
     assert t.ndv('score') is None
+
+
+# -- merge-on-read equality deletes ------------------------------------------
+
+
+def test_delete_keys_merge_on_read_basic(spark, tmp_path):
+    # a key delete commits a tiny delete file; NO data file is
+    # rewritten, and reads anti-join it away
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=10))
+    data_paths = sorted(f['path'] for f in t.snapshot()['files'])
+    t.delete_keys(spark, spark.createDataFrame(
+        [Row(doc_id=3), Row(doc_id=7)]), ['doc_id'])
+    m = t.snapshot()
+    assert sorted(f['path'] for f in m['files']) == data_paths  # untouched
+    assert len(m['deletes']) == 1 and m['deletes'][0]['rows'] == 2
+    got = t.read(spark)
+    assert got.count() == 8
+    assert {r.doc_id for r in got.collect()} == set(range(10)) - {3, 7}
+    # time travel: the pre-delete snapshot still has every row
+    assert t.read(spark, version=1).count() == 10
+
+
+def test_delete_keys_sequencing_spares_later_appends(spark, tmp_path):
+    # Iceberg v2 data-sequence contract: a row appended AFTER the
+    # delete with the same key survives it
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=5))
+    t.delete_keys(spark, spark.createDataFrame([Row(doc_id=2)]),
+                  ['doc_id'])
+    t.append(spark.createDataFrame(
+        [Row(doc_id=2, bucket=99, ver='later')]))
+    got = t.read(spark).where(F.col('doc_id') == 2).collect()
+    assert len(got) == 1 and got[0].ver == 'later'
+
+
+def test_delete_keys_stack_and_compact_materializes(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=10))
+    t.delete_keys(spark, spark.createDataFrame([Row(doc_id=1)]),
+                  ['doc_id'])
+    t.append(_docs(spark, 'b', n=3))  # doc_id 0..2 again, post-delete
+    t.delete_keys(spark, spark.createDataFrame([Row(doc_id=2)]),
+                  ['doc_id'])
+    got = t.read(spark)
+    # delete#1 hits only batch a's 1; delete#2 hits BOTH batches' 2
+    rows = {(r.doc_id, r.ver) for r in got.collect()}
+    assert (1, 'a') not in rows and (2, 'a') not in rows
+    assert (2, 'b') not in rows and (1, 'b') in rows
+    n_before = got.count()
+    # metadata counts refuse while deletes are pending
+    with pytest.raises(ValueError, match='pending merge-on-read'):
+        t.count_rows()
+    # compact materializes: same rows, zero pending deletes, and the
+    # delete parquet is reclaimed by expiry
+    del_paths = [d['path'] for d in t.snapshot()['deletes']]
+    t.compact(spark, target_partitions=2)
+    m = t.snapshot()
+    assert not m.get('deletes')
+    assert t.read(spark).count() == n_before == t.count_rows()
+    assert {(r.doc_id, r.ver) for r in t.read(spark).collect()} == rows
+    t.expire_snapshots(keep_last=1)
+    for p in del_paths:
+        assert not os.path.exists(os.path.join(t.root, p))
+
+
+def test_delete_keys_expiry_keeps_live_delete_files(spark, tmp_path):
+    # a pending delete file referenced by HEAD must survive expiry
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=6))
+    t.append(_docs(spark, 'b', n=2))
+    t.delete_keys(spark, spark.createDataFrame([Row(doc_id=5)]),
+                  ['doc_id'])
+    del_path = t.snapshot()['deletes'][0]['path']
+    t.expire_snapshots(keep_last=1)
+    assert os.path.exists(os.path.join(t.root, del_path))
+    got = t.read(spark)
+    assert got.where(F.col('doc_id') == 5).count() == 0
+    assert got.count() == 7
+
+
+def test_delete_keys_null_keys_never_targeted(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(spark.createDataFrame(
+        [Row(doc_id=1, k='a'), Row(doc_id=2, k=None)]))
+    t.delete_keys(spark, spark.createDataFrame([Row(k='a')]), ['k'])
+    got = t.read(spark).collect()
+    assert len(got) == 1 and got[0].doc_id == 2  # NULL key row survives
+
+
+def test_delete_keys_empty_set_is_noop(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=3))
+    v = t.current_version()
+    docs = spark.createDataFrame([Row(doc_id=99)])
+    assert t.delete_keys(spark, docs.where(F.col('doc_id') < 0),
+                         ['doc_id']) == v
+    assert t.current_version() == v  # no empty-delete commit
+
+
+def test_delete_where_does_not_resurrect_key_deleted_rows(
+        spark, tmp_path):
+    # a copy-on-write rewrite re-stages files with a NEW seq (exempt
+    # from older deletes) — it must apply pending deletes first
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=10))
+    t.delete_keys(spark, spark.createDataFrame([Row(doc_id=4)]),
+                  ['doc_id'])
+    t.delete_where(spark, F.col('doc_id') >= 8)
+    got = {r.doc_id for r in t.read(spark).collect()}
+    assert got == set(range(8)) - {4}
+
+
+def test_merge_into_does_not_resurrect_key_deleted_rows(
+        spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=6))
+    t.delete_keys(spark, spark.createDataFrame([Row(doc_id=1)]),
+                  ['doc_id'])
+    src = spark.createDataFrame(
+        [Row(doc_id=0, bucket=42, ver='v2')])
+    t.merge_into(spark, src, ['doc_id'])
+    got = {(r.doc_id, r.ver) for r in t.read(spark).collect()}
+    assert (1, 'a') not in got and (0, 'v2') in got
+    assert len(got) == 5
+
+
+def test_read_changes_rejects_delete_keys_window(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=3))
+    v1 = t.current_version()
+    t.delete_keys(spark, spark.createDataFrame([Row(doc_id=0)]),
+                  ['doc_id'])
+    t.append(_docs(spark, 'b', n=2))
+    with pytest.raises(ValueError, match='delete-keys'):
+        t.read_changes(spark, v1)

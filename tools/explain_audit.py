@@ -72,7 +72,7 @@ def main():
 
     from ocrodjvu_spark.kernel.utils import parse_page_numbers
     audit(
-        'turn_filter_list (page-list grammar pushes as In)',
+        'turn_filter (page-list grammar pushes as In)',
         tr.where(F.col('turn_idx').isin(parse_page_numbers('17,37-42')))
           .select('conv_id', 'turn_idx'),
         [
