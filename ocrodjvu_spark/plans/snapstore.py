@@ -11,10 +11,15 @@ re-implemented here, not copied):
 * **Immutable data files.** Writers stage parquet files and *add* them to
   the table; no commit ever mutates or deletes a data file. Old snapshots
   stay readable until ``expire_snapshots`` garbage-collects them.
-* **Manifest per version.** ``manifests/v<N>.json`` lists every data file
-  in snapshot N with its partition value and row count. Readers resolve
-  HEAD once, then read a pinned, explicit file list — a concurrent commit
-  cannot change or break an in-flight read (snapshot isolation).
+* **Manifest list per version.** ``manifests/v<N>.json`` holds a
+  MANIFEST LIST (Iceberg spec, "Manifest lists"): references to
+  immutable per-partition manifest files (``manifests/m-<uuid>.json``,
+  each listing data files with partition value, row count, stats),
+  plus per-manifest aggregates (n_files, row sum, uniform partition
+  value). Readers resolve HEAD once, then read a pinned, explicit file
+  list — a concurrent commit cannot change or break an in-flight read
+  (snapshot isolation). Pre-manifest-list snapshots with an inline
+  ``files`` array remain readable.
 * **Atomic commit by rename.** A writer stages the manifest to a temp
   name and ``os.rename``\\ s it to ``v<N+1>.json``. POSIX rename is atomic
   on one filesystem; on an object store the same slot would be claimed
@@ -49,15 +54,21 @@ re-implemented here, not copied):
   whole-file rewrite; ``delete_where`` stays the read-optimized
   copy-on-write path.
 
-Scale notes (100 TB): the manifest is O(n data files) driver-side JSON.
-At ~1 M files (100 TB / 100 MB) that is a ~100 MB manifest — workable but
-the known ceiling; real Iceberg splits manifests per partition subtree
-and adds a manifest list. The protocol here is deliberately the minimal
-correct core: immutability + atomic version swap + pinned reads are what
-the correctness tests exercise, and the commit path is O(files touched)
-except for rewriting the file list. Partition values are kept *in* the
-data files (the staged ``partitionBy`` column is a duplicate), so reads
-are plain ``spark.read.parquet(*files)`` with no basePath reconstruction.
+Scale notes (100 TB): commits are O(entries they touch), not O(table
+files). A commit carries every unchanged manifest forward BY REFERENCE
+(zero I/O — ``_pack_manifests`` proves set-equality from the base
+list's recorded n_files) and rewrites only partially-retained
+manifests plus its fresh stagings, grouped by partition; append and
+delete-keys commits skip base materialization entirely
+(``_commit(list_op=...)``). Measured (``tools/bench_manifest.py``): at
+1 M files / 256 partitions a +10-file append commits in ~7 ms and
+``count_rows`` answers from list aggregates in ~1 ms; only rewrite
+ops (compact, merge, delete_where) materialize the full list (~8 s).
+Partition-filtered reads skip whole manifests from the list's uniform
+partition values before loading them. Partition values are kept *in*
+the data files (the staged ``partitionBy`` column is a duplicate), so
+reads are plain ``spark.read.parquet(*files)`` with no basePath
+reconstruction.
 """
 
 from __future__ import annotations
@@ -512,6 +523,7 @@ class SnapshotTable:
         self._ndv_cols = None if ndv_cols is None else list(ndv_cols)
         self._ndv_p = ndv_p
         self._tag_cache: Dict[int, Optional[str]] = {}
+        self._mf_cache: Dict[str, List[dict]] = {}
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.manifest_dir, exist_ok=True)
 
@@ -520,7 +532,7 @@ class SnapshotTable:
         explicit settings, falling back to the ones recorded at HEAD
         (absent both -> defaults: no blooms, no ndv, bloom_bits 8192,
         ndv_p 12)."""
-        base = self.snapshot().get('write_props') or {}
+        base = self._snapshot_doc().get('write_props') or {}
         return {
             'bloom_cols': (self._bloom_cols
                            if self._bloom_cols is not None
@@ -555,8 +567,10 @@ class SnapshotTable:
         versions = self.versions()
         return versions[-1] if versions else 0
 
-    def snapshot(self, version: Optional[int] = None) -> dict:
-        """The manifest dict of ``version`` (default HEAD)."""
+    def _snapshot_doc(self, version: Optional[int] = None) -> dict:
+        """The RAW persisted snapshot document (no manifest-file
+        resolution): either legacy inline ``files`` or a
+        ``manifest_list`` of immutable manifest-file references."""
         if version is None:
             version = self.current_version()
         if version == 0:
@@ -565,6 +579,35 @@ class SnapshotTable:
         path = os.path.join(self.manifest_dir, f'v{version}.json')
         with open(path, 'r', encoding='utf-8') as fh:
             return json.load(fh)
+
+    def _load_manifest_file(self, rel: str) -> List[dict]:
+        """Entries of one immutable manifest file, memoized per handle
+        (the file never changes once written, so a name is a cache
+        key forever — only unseen manifests cost a read)."""
+        cached = self._mf_cache.get(rel)
+        if cached is None:
+            with open(os.path.join(self.root, rel),
+                      encoding='utf-8') as fh:
+                cached = json.load(fh)['entries']
+            self._mf_cache[rel] = cached
+        return cached
+
+    def snapshot(self, version: Optional[int] = None) -> dict:
+        """The manifest dict of ``version`` (default HEAD), with the
+        file list MATERIALIZED: manifest-list snapshots resolve their
+        manifest files (memoized), each entry tagged with its source
+        manifest (``__mf``) so commits can carry unchanged manifests
+        forward by reference instead of rewriting O(all files)."""
+        doc = self._snapshot_doc(version)
+        if 'manifest_list' in doc:
+            files: List[dict] = []
+            for m in doc['manifest_list']:
+                for e in self._load_manifest_file(m['path']):
+                    e = dict(e)
+                    e['__mf'] = m['path']
+                    files.append(e)
+            doc['files'] = files
+        return doc
 
     # -- reads --------------------------------------------------------------
 
@@ -589,8 +632,24 @@ class SnapshotTable:
         decide their own empty-schema story, same convention as
         ``checkpoint._read_sidecar``.
         """
-        manifest = self.snapshot(version)
-        files = manifest['files']
+        doc = self._snapshot_doc(version)
+        if 'manifest_list' in doc and partition_values is not None:
+            # MANIFEST-LIST pruning: a uniform-partition manifest
+            # whose value is not wanted is skipped without even
+            # loading it — O(partitions) planning instead of O(files)
+            wanted = {str(v) for v in partition_values}
+            files = []
+            for m in doc['manifest_list']:
+                if m.get('uniform') and str(m['partition']) not in wanted:
+                    continue
+                for e in self._load_manifest_file(m['path']):
+                    e = dict(e)
+                    e['__mf'] = m['path']
+                    files.append(e)
+            manifest = doc
+        else:
+            manifest = self.snapshot(version)
+            files = manifest['files']
         if partition_values is not None:
             wanted = {str(v) for v in partition_values}
             files = [f for f in files
@@ -610,14 +669,32 @@ class SnapshotTable:
         but cannot count matching rows. Undefined while merge-on-read
         deletes are pending (file counts include deleted rows) —
         raises; ``compact()`` materializes them and restores it."""
-        manifest = self.snapshot(version)
-        if manifest.get('deletes'):
+        doc = self._snapshot_doc(version)
+        if doc.get('deletes'):
             raise ValueError(
                 'count_rows: pending merge-on-read deletes make '
                 'metadata counts overcount — compact() first')
-        files = manifest['files']
-        if partition_values is not None:
-            wanted = {str(v) for v in partition_values}
+        wanted = (None if partition_values is None
+                  else {str(v) for v in partition_values})
+        if 'manifest_list' in doc:
+            # manifest-list aggregates answer the count WITHOUT
+            # loading manifest files (except mixed-partition ones
+            # under a partition filter)
+            total = 0
+            for m in doc['manifest_list']:
+                if wanted is None:
+                    total += m['rows']
+                elif m.get('uniform'):
+                    if str(m['partition']) in wanted:
+                        total += m['rows']
+                else:
+                    total += sum(
+                        e['rows']
+                        for e in self._load_manifest_file(m['path'])
+                        if str(e.get('partition')) in wanted)
+            return total
+        files = doc['files']
+        if wanted is not None:
             files = [f for f in files
                      if str(f.get('partition')) in wanted]
         return sum(f['rows'] for f in files)
@@ -747,10 +824,11 @@ class SnapshotTable:
         This is a pre-staging read of HEAD; ``_transform_validate``
         re-checks the same precondition inside the commit loop,
         atomically with the version claim."""
-        head = self.snapshot()
+        head = self._snapshot_doc()
         base_spec = head.get('partition_transform')
+        nonempty = self._doc_has_files(head)
         if partition_col is None:
-            if base_spec is not None and head['files']:
+            if base_spec is not None and nonempty:
                 raise ValueError(
                     f'table is hidden-partitioned ({base_spec!r}) — '
                     'pass partition_col so files keep partition values')
@@ -760,7 +838,7 @@ class SnapshotTable:
             spec = None
         if not explicit:
             return base_spec
-        if head['files'] and base_spec != spec:
+        if nonempty and base_spec != spec:
             raise ValueError(
                 f'partition transform {spec!r} != table\'s '
                 f'{base_spec!r} — partition evolution is out of scope '
@@ -774,10 +852,18 @@ class SnapshotTable:
         loses the race and surfaces as a conflict instead of mixing
         partition granularities in one manifest."""
         def check():
-            head = self.snapshot()
-            return (not head['files']
+            head = self._snapshot_doc()
+            return (not self._doc_has_files(head)
                     or head.get('partition_transform') == transform)
         return check
+
+    @staticmethod
+    def _doc_has_files(doc: dict) -> bool:
+        """Emptiness from the RAW snapshot doc — list aggregates for
+        manifest-list snapshots, so no manifest file is loaded."""
+        if 'manifest_list' in doc:
+            return any(m['n_files'] for m in doc['manifest_list'])
+        return bool(doc['files'])
 
     def partitions(self, version: Optional[int] = None) -> List:
         seen = {}
@@ -819,13 +905,15 @@ class SnapshotTable:
             # an unpartitioned append must not ERASE a recorded spec
             return self._commit('append', entries, schema,
                                 apply=lambda base: base + entries,
-                                tag=tag, evolve=True)
+                                tag=tag, evolve=True,
+                                list_op='append')
         try:
             return self._commit(
                 'append', entries, schema,
                 apply=lambda base: base + entries, tag=tag,
                 evolve=True, transform=transform,
-                validate=self._transform_validate(transform))
+                validate=self._transform_validate(transform),
+                list_op='append')
         except _CompactConflict:
             raise CommitConflict(
                 'append: the table\'s partition transform changed '
@@ -966,7 +1054,8 @@ class SnapshotTable:
             'delete-keys', [entry], None,
             apply=lambda base: list(base),
             tag=tag,
-            apply_deletes=lambda base: base + [entry])
+            apply_deletes=lambda base: base + [entry],
+            list_op='identity')
 
     def delete_where(self, spark: SparkSession, condition,
                      partition_col: Optional[str] = None,
@@ -1344,13 +1433,21 @@ class SnapshotTable:
                 live.add(f['path'])
             for dl in (kept_manifest.get('deletes') or []):
                 live.add(dl['path'])  # pending delete files are live
+            for m in (self._snapshot_doc(v).get('manifest_list')
+                      or []):
+                live.add(m['path'])  # shared manifest files are live
         deleted = []
         for v in versions:
             if v in keep:
                 continue
             manifest = self.snapshot(v)
+            expired_mfs = [
+                {'path': m['path']}
+                for m in (self._snapshot_doc(v).get('manifest_list')
+                          or [])]
             for f in (manifest['files']
-                      + list(manifest.get('deletes') or [])):
+                      + list(manifest.get('deletes') or [])
+                      + expired_mfs):
                 rel = f['path']
                 if rel in live:
                     continue
@@ -1556,7 +1653,8 @@ class SnapshotTable:
                 validate: Optional[Callable[[], bool]] = None,
                 transform: Optional[str] = '__inherit__',
                 apply_deletes: Optional[
-                    Callable[[List[dict]], List[dict]]] = None) -> int:
+                    Callable[[List[dict]], List[dict]]] = None,
+                list_op: Optional[str] = None) -> int:
         """Optimistic-concurrency commit loop: build the child manifest on
         the observed HEAD, claim version HEAD+1 by atomic rename, rebase
         and retry on collision. ``evolve`` merges the staged schema into
@@ -1572,10 +1670,22 @@ class SnapshotTable:
         observed base, our claim fails, and the next attempt re-checks
         against the new state. Checking before the base read would
         leave a window where a commit lands between check and read and
-        the stale precondition (or a duplicate tag) slips through."""
+        the stale precondition (or a duplicate tag) slips through.
+
+        ``list_op`` declares commits whose effect on the FILE LIST is
+        structural — ``'append'`` (base + entries) or ``'identity'``
+        (base unchanged; e.g. a delete-keys commit, which only adds a
+        delete file) — so the manifest list carries forward wholesale
+        and ``apply`` (kept for the legacy inline-files fallback) never
+        materializes the base: the commit is O(entries), not O(table
+        files). A 1-row takedown on a 1M-file table writes one delete
+        file and one snapshot doc."""
         for _attempt in range(self.max_commit_retries):
             base_version = self.current_version()
-            base = self.snapshot(base_version)
+            base = self._snapshot_doc(base_version)
+            fast = list_op is not None and 'files' not in base
+            if not fast:
+                base = self.snapshot(base_version)
             if validate is not None and not validate():
                 self._delete_entries(entries)
                 raise _CompactConflict
@@ -1608,12 +1718,26 @@ class SnapshotTable:
             # one read as 0 (they predate every delete).
             for f in entries:
                 f['seq'] = base_version + 1
+            # the persisted snapshot holds a MANIFEST LIST, not the
+            # flat file list: unchanged manifests carry by reference,
+            # so this commit writes O(entries it touched)
+            if fast:
+                base_mlist = list(base.get('manifest_list') or [])
+                if list_op == 'append' and entries:
+                    ml_new, written = self._pack_manifests(entries)
+                    mlist = base_mlist + ml_new
+                else:
+                    mlist, written = base_mlist, []
+            else:
+                new_files = apply(list(base['files']))
+                mlist, written = self._pack_manifests(
+                    new_files, base.get('manifest_list'))
             manifest = {
                 'version': base_version + 1,
                 'parent': base_version or None,
                 'operation': operation,
                 'schema': committed_schema,
-                'files': apply(list(base['files'])),
+                'manifest_list': mlist,
             }
             base_deletes = list(base.get('deletes') or [])
             dels = (apply_deletes(base_deletes)
@@ -1630,6 +1754,9 @@ class SnapshotTable:
                 manifest['tag'] = tag
             if self._claim_version(base_version + 1, manifest):
                 return base_version + 1
+            # lost the claim: the freshly written manifest files are
+            # referenced by nothing — reclaim before the rebase repacks
+            self._reclaim_manifest_files(written)
         self._delete_entries(entries)  # never published — reclaim
         raise CommitConflict(
             f'{operation}: lost {self.max_commit_retries} commit races')
@@ -1639,6 +1766,94 @@ class SnapshotTable:
             path = os.path.join(self.root, f['path'])
             if os.path.exists(path):
                 os.remove(path)
+
+    def _write_manifest_file(self, entries: List[dict]) -> str:
+        """Persist one immutable manifest file (tmp + fsync + rename;
+        no claim needed — the name is unique) and prime the cache."""
+        clean = [{k: v for k, v in e.items() if k != '__mf'}
+                 for e in entries]
+        rel = f'manifests/m-{uuid.uuid4().hex}.json'
+        tmp = os.path.join(self.manifest_dir,
+                           f'.tmp-{uuid.uuid4().hex}.json')
+        with open(tmp, 'w', encoding='utf-8') as fh:
+            json.dump({'entries': clean}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, os.path.join(self.root, rel))
+        self._mf_cache[rel] = clean
+        return rel
+
+    def _pack_manifests(self, new_files: List[dict],
+                        base_mlist: Optional[List[dict]] = None):
+        """Group a committed file list into manifest files: a manifest
+        whose entry set is UNCHANGED from the base snapshot is carried
+        forward by reference (zero rewrite); everything else — fresh
+        stagings and partially-retained manifests — is rewritten
+        grouped by partition value. A commit touching one partition
+        therefore writes O(that partition's entries), not O(all
+        files): the Iceberg manifest-list amortization
+        (https://iceberg.apache.org/spec/#manifest-lists,
+        re-implemented). Returns ``(manifest_list, written_paths)`` —
+        the caller must reclaim ``written_paths`` if its commit loses.
+
+        ``base_mlist`` (the base snapshot's manifest list) lets an
+        unchanged manifest carry its SUMMARY verbatim without loading
+        the manifest file: apply callbacks only keep or drop carried
+        entries (fresh stagings never carry ``__mf``, paths are
+        unique), so retained-count == recorded n_files proves set
+        equality.
+        """
+        by_mf: Dict[str, List[dict]] = {}
+        fresh: List[dict] = []
+        for f in new_files:
+            mf = f.get('__mf')
+            if mf is None:
+                fresh.append(f)
+            else:
+                by_mf.setdefault(mf, []).append(f)
+        summaries = {m['path']: m for m in (base_mlist or [])}
+        mlist: List[dict] = []
+        written: List[str] = []
+        for name in sorted(by_mf):
+            ents = by_mf[name]
+            summary = summaries.get(name)
+            if summary is not None and len(ents) == summary['n_files']:
+                mlist.append(summary)  # zero-I/O carry-forward
+                continue
+            orig = self._load_manifest_file(name)
+            if {e['path'] for e in ents} == {o['path'] for o in orig}:
+                mlist.append(self._mf_summary(name, orig))
+            else:
+                fresh.extend(ents)  # partially retained: rewrite
+        by_pv: Dict[str, List[dict]] = {}
+        for f in fresh:
+            by_pv.setdefault(str(f.get('partition')), []).append(f)
+        for pv in sorted(by_pv):
+            ents = by_pv[pv]
+            rel = self._write_manifest_file(ents)
+            written.append(rel)
+            mlist.append(self._mf_summary(rel, ents))
+        return mlist, written
+
+    @staticmethod
+    def _mf_summary(rel: str, entries: List[dict]) -> dict:
+        """A manifest-list entry: path + the aggregates that let reads
+        prune (uniform partition value) and count (row sum) WITHOUT
+        loading the manifest file."""
+        out = {'path': rel, 'n_files': len(entries),
+               'rows': sum(e['rows'] for e in entries)}
+        pvs = {e.get('partition') for e in entries}
+        if len(pvs) == 1:
+            out['partition'] = next(iter(pvs))
+            out['uniform'] = True
+        return out
+
+    def _reclaim_manifest_files(self, written: List[str]) -> None:
+        for rel in written:
+            self._mf_cache.pop(rel, None)
+            full = os.path.join(self.root, rel)
+            if os.path.exists(full):
+                os.remove(full)
 
     def _claim_version(self, version: int, manifest: dict) -> bool:
         """Atomically claim ``v<version>.json``; False if already taken.
@@ -1710,7 +1925,7 @@ def refresh_incremental(spark: SparkSession, source: SnapshotTable,
         batch = source.read_changes(spark, lo, hi)
         if batch is None:
             return None  # empty window: nothing staged, cursor re-derives
-        sink_tf = sink.snapshot().get('partition_transform')
+        sink_tf = sink._snapshot_doc().get('partition_transform')
         entries, schema = sink._stage(
             transform(batch), partition_col,
             partition_transform=sink_tf)
@@ -1721,8 +1936,9 @@ def refresh_incremental(spark: SparkSession, source: SnapshotTable,
                 tag=f'{name}@{hi}', evolve=True,
                 validate=lambda: (
                     sink.last_consumed(name) == lo
-                    and sink.snapshot().get('partition_transform')
-                    == sink_tf))
+                    and sink._snapshot_doc().get('partition_transform')
+                    == sink_tf),
+                list_op='append')
         except _CompactConflict:
             continue  # cursor moved under us: recompute the window
     raise CommitConflict(

@@ -1515,3 +1515,116 @@ def test_read_changes_rejects_delete_keys_window(spark, tmp_path):
     t.append(_docs(spark, 'b', n=2))
     with pytest.raises(ValueError, match='delete-keys'):
         t.read_changes(spark, v1)
+
+
+# -- manifest list: per-partition manifest files ------------------------------
+# Iceberg spec §"Manifest lists" (https://iceberg.apache.org/spec/), the
+# amortization the single-JSON design documented as its seam: a commit
+# touching one partition rewrites O(that partition), not O(all files).
+
+
+def test_manifest_list_carries_unchanged_partitions_by_reference(
+        spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'v1'), partition_col='bucket')  # buckets 0-3
+    doc1 = t._snapshot_doc(1)
+    assert 'manifest_list' in doc1 and 'files' not in doc1
+    by_pv1 = {str(m['partition']): m['path']
+              for m in doc1['manifest_list']}
+    assert len(by_pv1) == 4 and all(m.get('uniform')
+                                    for m in doc1['manifest_list'])
+    # second append touches ONLY bucket 2
+    t.append(_docs(spark, 'v2').where(F.col('bucket') == 2),
+             partition_col='bucket')
+    doc2 = t._snapshot_doc(2)
+    by_pv2 = {}
+    for m in doc2['manifest_list']:
+        by_pv2.setdefault(str(m['partition']), []).append(m['path'])
+    for pv, path in by_pv1.items():
+        assert path in by_pv2[pv]  # untouched manifests carried as-is
+    new = [p for ps in by_pv2.values() for p in ps
+           if p not in by_pv1.values()]
+    assert len(new) == 1  # exactly ONE new manifest file was written
+    assert t.read(spark).count() == 25
+
+
+def test_manifest_list_partition_read_loads_one_manifest(
+        spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'v1'), partition_col='bucket')
+    fresh = SnapshotTable(str(tmp_path / 't'))  # cold cache
+    loaded = []
+    orig = fresh._load_manifest_file
+    fresh._load_manifest_file = (
+        lambda rel: (loaded.append(rel), orig(rel))[1])
+    got = fresh.read(spark, partition_values=[2])
+    assert got.count() == 5
+    assert len(set(loaded)) == 1  # list-level pruning skipped the rest
+
+
+def test_manifest_list_count_rows_is_metadata_only(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'v1'), partition_col='bucket')
+    fresh = SnapshotTable(str(tmp_path / 't'))
+
+    def boom(rel):
+        raise AssertionError(f'count_rows loaded manifest {rel}')
+    fresh._load_manifest_file = boom
+    assert fresh.count_rows() == 20  # list aggregates answer it
+    assert fresh.count_rows(partition_values=[2]) == 5  # uniform mfs
+
+
+def test_expire_reclaims_only_unreferenced_manifest_files(
+        spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'v1'), partition_col='bucket')
+    shared = {m['path'] for m in t._snapshot_doc(1)['manifest_list']}
+    t.append(_docs(spark, 'v2').where(F.col('bucket') == 0),
+             partition_col='bucket')  # v2 references v1's manifests
+    t.overwrite(_docs(spark, 'v3', n=4))
+    v3_mfs = {m['path'] for m in t._snapshot_doc(3)['manifest_list']}
+    t.expire_snapshots(keep_last=1)
+    for rel in shared:  # expired with BOTH referencing versions gone
+        assert not os.path.exists(os.path.join(t.root, rel))
+    for rel in v3_mfs:
+        assert os.path.exists(os.path.join(t.root, rel))
+    fresh = SnapshotTable(str(tmp_path / 't'))
+    assert fresh.read(spark).count() == 4
+
+
+def test_expire_keeps_manifest_files_shared_with_live_version(
+        spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'v1'), partition_col='bucket')
+    v1_mfs = {m['path'] for m in t._snapshot_doc(1)['manifest_list']}
+    t.append(_docs(spark, 'v2').where(F.col('bucket') == 1),
+             partition_col='bucket')
+    t.expire_snapshots(keep_last=1)  # v1 snapshot goes, HEAD shares
+    for rel in v1_mfs:
+        assert os.path.exists(os.path.join(t.root, rel))
+    fresh = SnapshotTable(str(tmp_path / 't'))
+    assert fresh.read(spark).count() == 25
+    assert fresh.count_rows() == 25
+
+
+def test_legacy_inline_files_snapshot_still_reads(spark, tmp_path):
+    import json as _json
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'v1'), partition_col='bucket')
+    # rewrite v1.json to the pre-manifest-list inline form
+    doc = t.snapshot(1)
+    inline = dict(doc)
+    inline.pop('manifest_list')
+    inline['files'] = [{k: v for k, v in e.items() if k != '__mf'}
+                       for e in doc['files']]
+    path = os.path.join(t.manifest_dir, 'v1.json')
+    with open(path, 'w', encoding='utf-8') as fh:
+        _json.dump(inline, fh)
+    fresh = SnapshotTable(str(tmp_path / 't'))
+    assert fresh.read(spark).count() == 20
+    assert fresh.count_rows() == 20
+    assert fresh.read(spark, partition_values=[1]).count() == 5
+    # and a commit on top of the legacy snapshot packs a manifest list
+    fresh.append(_docs(spark, 'v2', n=4), partition_col='bucket')
+    assert 'manifest_list' in fresh._snapshot_doc(2)
+    assert fresh.read(spark).count() == 24
