@@ -133,17 +133,29 @@ def train(
     n_merges: int,
     text_col: str = 'text',
     min_count: int = 2,
+    max_local_state: int = 5_000_000,
 ) -> List[Tuple[str, str]]:
     """Learn up to ``n_merges`` BPE merges from the corpus.
 
-    Per iteration: one shuffle over the vocabulary-sized state, one
-    1-row collect (the argmax pair), one JVM replace, and a
-    localCheckpoint to truncate the growing replace lineage (the state
-    stays small, so the checkpoint is cheap; at cluster scale this is a
-    parquet round-trip per iteration, still vocabulary-sized). Stops
-    early when the best pair's count drops below ``min_count``.
+    HYBRID: the corpus-sized work — normalization, word split, the
+    (word, cnt) aggregation — is always distributed (one scan, one
+    shuffle on the word key). The merge LOOP then runs driver-side
+    whenever the distinct-word state fits (``max_local_state`` rows;
+    by Heaps' law ~10^6-10^7 even at 100 TB, and (word, cnt) rows are
+    tens of bytes — it essentially always fits): a production 30k-merge
+    vocabulary as 30k sequential Spark jobs is pure scheduler latency
+    on vocabulary-sized data. Above the threshold each merge iteration
+    falls back to one distributed shuffle over the state + a 1-row
+    argmax collect + a JVM replace, with a localCheckpoint truncating
+    the replace lineage. Both paths share one tie-break contract
+    ((count DESC, 'a|b' label ASC)) and are equivalence-tested against
+    each other and the sequential reference.
     """
-    state = word_counts(docs, text_col).select(
+    wc = word_counts(docs, text_col)
+    if wc.limit(max_local_state + 1).count() <= max_local_state:
+        counts = {r['word']: r['cnt'] for r in wc.collect()}
+        return _train_from_counts(counts, n_merges, min_count)
+    state = wc.select(
         word_repr_col(F.col('word')).alias('toks_str'), 'cnt')
     state = state.localCheckpoint(eager=True)
     merges: List[Tuple[str, str]] = []
@@ -232,6 +244,57 @@ def _merge_pass(toks, a, b):
             out.append(toks[i])
             i += 1
     return out
+
+
+def _train_from_counts(counts, n_merges: int,
+                       min_count: int = 2) -> List[Tuple[str, str]]:
+    """Driver-side merge loop over the collected (word, cnt) state.
+
+    Incremental pair bookkeeping (the standard fast BPE trainer): a
+    merge re-processes ONLY the words containing the merged pair (an
+    inverted pair->words index), so total work is proportional to
+    text actually rewritten, not n_merges * vocabulary. Tie-break is
+    the engine-wide contract: (count DESC, 'a|b' label ASC) —
+    equivalence-tested against both the distributed loop and the
+    naive ``reference_train``.
+    """
+    from collections import Counter, defaultdict
+    words = [list(w) for w in counts]
+    freqs = list(counts.values())
+    pc: Counter = Counter()
+    index = defaultdict(set)
+    for i, toks in enumerate(words):
+        c = freqs[i]
+        for j in range(len(toks) - 1):
+            p = (toks[j], toks[j + 1])
+            pc[p] += c
+            index[p].add(i)
+    merges: List[Tuple[str, str]] = []
+    for _ in range(n_merges):
+        if not pc:
+            break
+        (a, b), n = min(
+            pc.items(),
+            key=lambda kv: (-kv[1], kv[0][0] + PAIR_SEP + kv[0][1]))
+        if n < min_count:
+            break
+        merges.append((a, b))
+        for i in list(index.get((a, b), ())):
+            toks, c = words[i], freqs[i]
+            for j in range(len(toks) - 1):
+                p = (toks[j], toks[j + 1])
+                pc[p] -= c
+                if pc[p] == 0:
+                    del pc[p]
+                index[p].discard(i)
+            new = _merge_pass(toks, a, b)
+            words[i] = new
+            for j in range(len(new) - 1):
+                p = (new[j], new[j + 1])
+                pc[p] += c
+                index[p].add(i)
+        index.pop((a, b), None)
+    return merges
 
 
 def reference_train(texts, n_merges: int, min_count: int = 2):

@@ -167,3 +167,34 @@ def test_plan_is_map_only_jvm(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert 'EvalPython' not in plan
     assert 'Exchange' not in plan
+
+
+def test_distributed_and_local_train_paths_agree(spark):
+    # max_local_state=0 forces the per-merge distributed loop; both
+    # paths must produce the identical merge table (same tie-breaks)
+    for seed in (7, 8):
+        rng = random.Random(seed)
+        texts = _random_corpus(rng)
+        df = spark.createDataFrame([Row(doc_id=i, text=t)
+                                    for i, t in enumerate(texts)])
+        local = bpe.train(df, 8, min_count=1)
+        dist = bpe.train(df, 8, min_count=1, max_local_state=0)
+        assert local == dist == bpe.reference_train(
+            texts, 8, min_count=1), f'seed {seed}'
+
+
+def test_train_from_counts_matches_reference_many_merges(spark):
+    # deep merge run: the incremental index must stay consistent as
+    # merged tokens themselves merge again (runs, overlaps, singletons)
+    for seed in range(4):
+        rng = random.Random(100 + seed)
+        texts = _random_corpus(rng)
+        from collections import Counter
+        counts = Counter()
+        for t in texts:
+            for w in bpe._ref_norm(t).split(' '):
+                if w:
+                    counts[w] += 1
+        got = bpe._train_from_counts(dict(counts), 40, min_count=1)
+        want = bpe.reference_train(texts, 40, min_count=1)
+        assert got == want, f'seed {seed}'
