@@ -508,10 +508,15 @@ UAX29_COLON_SEGMENTED = ' s : t c : a'
 # eat") pins least-cost vs greedy: greedy longest-match would take
 # มาก ("much") and strand the unmatchable tail ิน; the least-cost path
 # picks มา|กิน (two dictionary words beat one word + two penalized
-# unknown characters).
-UAX29_THAI_SUFFIX = ' สวัสดีครับ ภาษาไทยดีมาก ผมรักฒฒประเทศไทย มากิน'
+# unknown characters). 'ตากลม' pins FREQUENCY-weighted costs (round 6,
+# matching ICU's weighted thaidict): both 2-word tilings are fully
+# lexical — ตา|กลม ("round eyes") vs ตาก|ลม ("expose to wind") — so a
+# uniform word cost ties (and longer-first would take ตาก); the tier
+# costs (ตา 3 + กลม 4 < ตาก 5 + ลม 3) pick the common reading.
+UAX29_THAI_SUFFIX = (' สวัสดีครับ ภาษาไทยดีมาก ผมรักฒฒประเทศไทย มากิน'
+                     ' ตากลม')
 UAX29_THAI_SEGMENTED = (' สวัสดี ครับ ภาษา ไทย ดี มาก'
-                        ' ผม รัก ฒฒ ประเทศ ไทย มา กิน')
+                        ' ผม รัก ฒฒ ประเทศ ไทย มา กิน ตา กลม')
 
 # W2 CJK divergence pin: the reference's ICU applies CJ dictionary
 # segmentation to Han/Hiragana; this engine intentionally keeps the

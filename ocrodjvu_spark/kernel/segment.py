@@ -173,91 +173,221 @@ def _locale_tailoring(locale):
 # Khmer, Myanmar, CJK). This embedded lexicon gives the Thai locale
 # least-cost-path segmentation with the same *shape* as ICU's
 # dictionary engines: the Viterbi pass below minimizes total path cost
-# (one unit per dictionary word, a heavy per-character penalty for
-# characters matching no entry, adjacent unknown characters merging
-# into a single chunk), so an ambiguous compound resolves to the
-# fewest-words reading rather than the greedy longest-first one —
-# e.g. 'มากิน' ("come eat") segments as มา|กิน (2 words), where greedy
-# longest-match would take มาก ("much") and strand the unmatchable
-# tail ิน as an unknown chunk. It remains an approximation — ICU ships
-# ~40k-entry frequency dictionaries; this is a compact common-word
-# lexicon — so Thai segmentation is *reasonable* rather than
-# byte-for-ICU. CJK locales keep the UAX #29 root behavior by DEFAULT
-# (one word per ideograph, Katakana runs joined by WB13; pinned by the
-# extract_uax29_cjk gate and documented in SURVEY §2); an explicit
-# 'zh_dict' / 'ja_dict' locale opts Han runs into the same least-cost
-# engine over the embedded CJK lexicon (extract_uax29_cjk_dict gate).
+# — each dictionary word costs its FREQUENCY TIER (a bucketed
+# -log(frequency), like ICU's per-word costs in thaidict.txt /
+# cjdict.txt), characters matching no entry pay a heavy per-character
+# penalty, adjacent unknown characters merge into a single chunk. An
+# ambiguous compound therefore resolves to the highest-likelihood
+# reading, not merely the fewest-words or greedy-longest one:
+# 'มากิน' ("come eat") segments as มา|กิน where greedy longest-match
+# would strand the tail ('มาก'|'ิน'), and 'ตากลม' resolves the classic
+# two-reading tie ตา|กลม ("round eyes") over ตาก|ลม ("expose to
+# wind") because the frequency costs differ while the word counts do
+# not. It remains an approximation — ICU ships ~40k-entry frequency
+# dictionaries; this is a compact common-vocabulary lexicon with
+# coarse tier costs — so Thai segmentation is *reasonable* rather
+# than byte-for-ICU. CJK locales keep the UAX #29 root behavior by
+# DEFAULT (one word per ideograph, Katakana runs joined by WB13;
+# pinned by the extract_uax29_cjk gate and documented in SURVEY §2);
+# an explicit 'zh_dict' / 'ja_dict' locale opts Han runs into the
+# same least-cost engine over the embedded CJK lexicon
+# (extract_uax29_cjk_dict gate).
 
-_THAI_LEXICON = frozenset((
-    # pronouns / people
-    'ผม', 'ฉัน', 'คุณ', 'เรา', 'เขา', 'มัน', 'คน', 'เด็ก',
-    'ผู้หญิง', 'ผู้ชาย', 'ครู', 'หมอ', 'เพื่อน', 'ครอบครัว',
-    'พ่อ', 'แม่', 'ลูก', 'พี่', 'น้อง',
-    # common verbs
-    'กิน', 'ดื่ม', 'นอน', 'เดิน', 'วิ่ง', 'พูด', 'ฟัง', 'อ่าน',
-    'เขียน', 'เรียน', 'ทำงาน', 'ทำ', 'ไป', 'มา', 'อยู่', 'เป็น',
-    'มี', 'ได้', 'ให้', 'รัก', 'ชอบ', 'เห็น', 'รู้', 'คิด',
-    # function words
-    'ไม่', 'และ', 'หรือ', 'แต่', 'กับ', 'ของ', 'ที่', 'ใน',
-    'บน', 'จาก', 'ถึง', 'จะ', 'ว่า', 'แล้ว', 'ก็', 'นี้', 'นั้น',
-    # nouns
-    'ประเทศ', 'ไทย', 'ภาษา', 'น้ำ', 'ข้าว', 'บ้าน', 'เมือง',
-    'โรงเรียน', 'หนังสือ', 'เวลา', 'วันนี้', 'วัน', 'ปี', 'เดือน',
-    'อาหาร', 'ตลาด', 'รถ', 'ไฟ', 'ฟ้า', 'ทะเล', 'ภูเขา',
-    'ต้นไม้', 'ดอกไม้', 'หมา', 'แมว', 'นก', 'ปลา', 'ใจ', 'งาน',
-    'สวัสดี', 'ขอบคุณ', 'ครับ', 'ค่ะ',
-    # adjectives / adverbs / numerals
-    'ดี', 'ใหม่', 'เก่า', 'ใหญ่', 'เล็ก', 'ร้อน', 'เย็น', 'หนาว',
-    'สวย', 'เร็ว', 'ช้า', 'มาก', 'น้อย',
-    'หนึ่ง', 'สอง', 'สาม', 'สี่', 'ห้า',
-))
+
+def _lex(*tiers):
+    """Build a word -> cost lexicon from (cost, 'w1 w2 ...') tiers.
+    Costs are bucketed -log(frequency): 2 = function words /
+    ultra-common, 3 = very common, 4 = common, 5 = ordinary content
+    words, 6 = rarer compounds. A later tier re-listing a word
+    overrides (the tiers below keep entries unique where it matters).
+    """
+    out = {}
+    for cost, ws in tiers:
+        for w in ws.split():
+            out[w] = cost
+    return out
+
+# NOT entries, by design: compounds that would re-join the pinned
+# gate/test segmentations (ภาษาไทย, ประเทศไทย, ดีมาก, สวัสดีครับ,
+# กินข้าว) — the pins encode the reference-parity splits.
+_THAI_LEXICON = _lex(
+    # function words / particles (ultra-common)
+    (2, 'ที่ และ ไม่ ใน ของ ให้ ได้ ไป มา มี เป็น จะ ว่า ก็ กับ'
+        ' แต่ หรือ จาก ถึง อยู่ คือ นี้ นั้น แล้ว ยัง ต้อง เมื่อ'
+        ' ถ้า เพราะ โดย ตาม อย่าง ซึ่ง ทุก ด้วย กว่า จึง เลย พอ'
+        ' ขึ้น ลง ออก เข้า ครับ ค่ะ นะ สิ อีก เอง บ้าง ต่อ เพื่อ'
+        ' ระหว่าง เกี่ยวกับ'),
+    # pronouns / very common verbs / core adjectives
+    (3, 'ผม ฉัน คุณ เรา เขา มัน ใคร เอง'
+        ' กิน ดื่ม นอน เดิน วิ่ง พูด ดู ฟัง อ่าน เขียน เรียน ทำ'
+        ' รัก ชอบ เห็น รู้ คิด บอก ถาม ตอบ ใช้ ซื้อ ขาย เล่น ร้อง'
+        ' นั่ง ยืน รอ หา เจอ พบ ช่วย ส่ง รับ เอา วาง เปิด ปิด'
+        ' เริ่ม หยุด กลับ อยาก จำ ลืม ยิ้ม กลัว เสีย ขอ ตก ลอง'
+        ' ดี ใหม่ เก่า ใหญ่ เล็ก มาก น้อย เร็ว ช้า สูง ต่ำ ยาว'
+        ' สั้น ร้อน เย็น หนาว สวย แพง ถูก ง่าย ยาก เต็ม ว่าง'
+        ' วัน คืน เช้า สาย เที่ยง บ่าย ค่ำ ปี เดือน เวลา ตอน'
+        ' น้ำ ข้าว บ้าน คน เด็ก ไทย ลม ตา หู มือ วันนี้ ตอนนี้'
+        ' หนึ่ง สอง สาม สี่ ห้า หก เจ็ด แปด เก้า สิบ ร้อย พัน'
+        ' หมื่น แสน ล้าน ครึ่ง สวัสดี ขอบคุณ ขอโทษ ไม่เป็นไร'
+        ' แม่ พ่อ ลูก พี่ น้อง หน้า หลัง ข้าง บน ล่าง ซ้าย ขวา'),
+    # common content words
+    (4, 'ผู้หญิง ผู้ชาย หญิง ชาย ครู หมอ เพื่อน ครอบครัว ปู่ ย่า'
+        ' ยาย ลุง ป้า น้า อา สามี ภรรยา แฟน นักเรียน นักศึกษา'
+        ' ตำรวจ ทหาร ชาวนา คนขับ นายก รัฐบาล ประชาชน'
+        ' ทำงาน เดินทาง เข้าใจ หัวเราะ ร้องไห้ ดีใจ เสียใจ สนุก'
+        ' เหนื่อย หิว อิ่ม ง่วง สบาย ป่วย เจ็บ ไข้ หาย สอน สอบ'
+        ' ฝึก ซ้อม แข่ง ชนะ แพ้ เก็บ ทิ้ง ล้าง กวาด ซัก ตัด เย็บ'
+        ' ปลูก ขับ ขี่ บิน ว่าย ปีน กระโดด เตะ จับ ปล่อย ดึง ผลัก'
+        ' ยก ลาก เลี้ยง เลือก เปลี่ยน พัก อาบ แต่ง สระ หวี ล็อก'
+        ' ประเทศ เมือง จังหวัด อำเภอ หมู่บ้าน ถนน ซอย สะพาน ตลาด'
+        ' ร้าน โรงแรม โรงเรียน โรงพยาบาล มหาวิทยาลัย วัด สนามบิน'
+        ' สถานี ธนาคาร ห้องสมุด สวน สนาม ห้อง ครัว ห้องน้ำ ประตู'
+        ' หน้าต่าง หลังคา กำแพง พื้น โต๊ะ เก้าอี้ เตียง ตู้ ชั้น'
+        ' พัดลม ทีวี วิทยุ โทรศัพท์ คอมพิวเตอร์ มือถือ หนังสือ'
+        ' สมุด ปากกา ดินสอ กระดาษ กระเป๋า รองเท้า เสื้อ กางเกง'
+        ' กระโปรง หมวก แว่นตา นาฬิกา แหวน เงิน ทอง ราคา ค่า'
+        ' ไฟ ดิน ฟ้า ฝน เมฆ หมอก แดด ดาว ทะเล ภูเขา แม่น้ำ คลอง'
+        ' น้ำตก ป่า ทุ่ง นา ไร่ ต้นไม้ ดอกไม้ ใบไม้ หญ้า ผลไม้'
+        ' กล้วย ส้ม มะม่วง มะพร้าว สับปะรด แตงโม ทุเรียน มังคุด'
+        ' ลำไย เงาะ ฝรั่ง องุ่น หมา แมว นก ปลา ช้าง ม้า วัว ควาย'
+        ' ไก่ เป็ด หมู แพะ แกะ เสือ สิงโต หมี ลิง กวาง กระต่าย'
+        ' หนู งู กบ เต่า ปู กุ้ง หอย ผีเสื้อ ผึ้ง มด ยุง แมลง'
+        ' ก๋วยเตี๋ยว ขนม ขนมปัง เนื้อ ไข่ นม น้ำตาล เกลือ พริก'
+        ' กระเทียม ขิง ตะไคร้ มะนาว น้ำปลา กาแฟ ชา น้ำแข็ง เบียร์'
+        ' เหล้า อาหาร กับข้าว แกง ต้มยำ ส้มตำ ผัดไทย จาน ชาม แก้ว'
+        ' ช้อน ส้อม มีด ตะเกียบ หม้อ กระทะ เตา ตู้เย็น'
+        ' สัปดาห์ ชั่วโมง นาที วินาที พรุ่งนี้ เมื่อวาน เดี๋ยวนี้'
+        ' ฤดู หน้าร้อน หน้าฝน หน้าหนาว เย็นนี้ เมื่อกี้'
+        ' หัว จมูก ปาก ฟัน ลิ้น คอ ไหล่ แขน นิ้ว เล็บ ขา เข่า เท้า'
+        ' ท้อง อก ใจ เลือด กระดูก ผิว แก้ม คิ้ว หนวด เครา'
+        ' ความรัก ความสุข ความจริง ความคิด ความรู้ ปัญหา เหตุผล'
+        ' ข่าว ข้อมูล เรื่อง คำ ประโยค ภาษา ชื่อ นามสกุล อายุ'
+        ' ชาติ ศาสนา วัฒนธรรม ประเพณี ดนตรี เพลง หนัง ละคร กีฬา'
+        ' ฟุตบอล มวย เกม รูป ภาพ สี แดง เขียว เหลือง ขาว ดำ ม่วง'
+        ' ชมพู เทา ทิศ เหนือ ใต้ ตะวันออก ตะวันตก กลาง ใกล้ ไกล'
+        ' รถ รถยนต์ รถไฟ รถเมล์ เรือ เครื่องบิน จักรยาน'
+        ' งาน การบ้าน การเมือง เศรษฐกิจ สังคม ประวัติ วิทยาศาสตร์'
+        ' คณิตศาสตร์ แพทย์ พยาบาล กลม'),
+    # ordinary / rarer words (incl. the frequency-pin counterpart:
+    # ตาก "expose/dry" loses ตากลม to ตา+กลม on cost, not word count)
+    (5, 'ตาก ครอบ ครัว โรง เรียนรู้ ทดลอง สังเกต อธิบาย เปรียบ'
+        ' ประชุม สัมภาษณ์ ประกาศ โฆษณา สมัคร ลาออก เกษียณ'
+        ' อนุญาต ปฏิเสธ ยอมรับ เสนอ แนะนำ ปรึกษา ตรวจ รักษา'
+        ' ผ่าตัด ฉีด ยา เข็ม แผล โรค เชื้อ ไวรัส วัคซีน'
+        ' เครื่อง เครื่องมือ อุปกรณ์ เทคโนโลยี อินเทอร์เน็ต'
+        ' เว็บไซต์ อีเมล รหัส บัญชี ระบบ ข้อ กฎ กฎหมาย ศาล'
+        ' ผู้พิพากษา ทนาย นักข่าว นักเขียน นักร้อง นักแสดง'
+        ' ศิลปิน จิตรกร ช่าง วิศวกร สถาปนิก นักบิน กัปตัน'
+        ' เลขา ผู้จัดการ พนักงาน ลูกค้า เจ้านาย เจ้าของ'),
+)
 _THAI_MAX_LEN = max(len(w) for w in _THAI_LEXICON)
 
 
-# common 2–3-character CJK words (simplified + a few traditional /
-# Japanese kanji forms) for the OPT-IN 'zh_dict' / 'ja_dict' locales —
-# the default CJK path stays UAX #29 root rules
-_CJK_LEXICON = frozenset((
-    # pronouns / people
-    '我们', '你们', '他们', '她们', '大家', '自己', '先生', '小姐',
-    '朋友', '孩子', '女人', '男人', '学生', '老师', '医生', '父母',
-    '人民', '人们',
-    # places / institutions
-    '中国', '日本', '美国', '英国', '法国', '德国', '北京', '上海',
-    '国家', '世界', '城市', '农村', '地方', '学校', '大学', '中学',
-    '小学', '医院', '公司', '工厂', '商店', '饭店', '银行', '机场',
-    '车站', '公园', '图书馆', '办公室',
-    # time
-    '时间', '今天', '明天', '昨天', '现在', '以后', '以前', '上午',
-    '下午', '晚上', '早上', '星期', '小时', '分钟', '时候', '今年',
-    '明年', '去年',
-    # common nouns
-    '问题', '社会', '经济', '政府', '市场', '技术', '发展', '文化',
-    '历史', '教育', '科学', '电脑', '电话', '手机', '网络', '信息',
-    '新闻', '音乐', '电影', '天气', '东西', '事情', '工作', '生活',
-    '汉语', '英语', '日语', '语言', '文字', '名字', '身体', '健康',
-    '运动', '足球', '篮球', '照片', '颜色', '火车', '汽车', '飞机',
-    '词典', '课本', '作业', '考试', '成绩', '水果', '苹果', '米饭',
-    '面条', '鸡蛋', '牛奶', '面包', '咖啡', '蔬菜', '计算机',
-    '互联网', '出租车', '服务员', '运动员', '科学家', '艺术家',
-    # verbs / verb phrases
-    '学习', '工作', '生活', '认识', '知道', '认为', '觉得', '希望',
-    '喜欢', '开始', '结束', '应该', '可以', '需要', '帮助', '介绍',
-    '参加', '离开', '回来', '出去', '起来', '睡觉', '吃饭', '喝水',
-    '说话', '看书', '写字', '唱歌', '跳舞', '游泳', '跑步', '旅游',
-    '买东西',
-    # function / adverbial
-    '什么', '怎么', '为什么', '这个', '那个', '这里', '那里', '因为',
-    '所以', '但是', '如果', '虽然', '而且', '或者', '还是', '已经',
-    '非常', '真的', '一起', '一样', '很多', '一点', '有点', '没有',
-    '不是', '就是', '都是', '不过',
-    # greetings
-    '你好', '谢谢', '再见', '对不起', '没关系',
-    # traditional / Japanese kanji forms
-    '日本語', '中国語', '英語', '電話', '電車', '時間', '仕事',
-    '会社', '學校', '學生', '老師', '銀行', '圖書館', '經濟',
-    '問題', '國家', '歷史', '發展',
-))
+# common CJK words (simplified + traditional / Japanese kanji forms —
+# the ja entries are kanji-only because the engine segments HAN runs;
+# kana keeps UAX #29 root rules) for the OPT-IN 'zh_dict' / 'ja_dict'
+# locales — the default CJK path stays UAX #29 root rules. Single
+# ideographs are deliberately absent (they'd shadow the unknown-run
+# rule); an isolated ideograph between entries surfaces as its own
+# unknown chunk, e.g. 在 in the pinned 我们|在|中国 phrase.
+_CJK_LEXICON = _lex(
+    # function / structural (ultra-common)
+    (2, '我们 你们 他们 她们 它们 这个 那个 这些 那些 这里 那里'
+        ' 什么 怎么 为什么 多少 因为 所以 但是 可是 不过 而且'
+        ' 或者 还是 如果 虽然 然后 现在 已经 还有 没有 不是 就是'
+        ' 都是 也是 只是 可以 应该 必须 需要 可能 一定 非常 很多'
+        ' 一些 一点 有点 一起 一样 大家 自己 别人 所有 每个 这样'
+        ' 那样 其实 当然 于是 因此 然而 即使 无论 只要 只有 不仅'
+        ' 虽说 要是 就算'),
+    # very common verbs / adjectives / core nouns / time / greetings
+    (3, '知道 认识 觉得 认为 希望 喜欢 想要 开始 结束 继续 学习'
+        ' 工作 生活 休息 睡觉 起床 吃饭 喝水 说话 聊天 回答 帮助'
+        ' 感谢 欢迎 介绍 参加 离开 回来 回去 出去 出来 进来 起来'
+        ' 过来 过去 出发 到达 发现 决定 选择 改变 使用 进行 成为'
+        ' 得到 看见 听见 看到 听到 找到 遇到 感到 想到 记得 忘记'
+        ' 高兴 快乐 幸福 难过 生气 害怕 担心 紧张 有趣 漂亮 美丽'
+        ' 可爱 聪明 努力 认真 简单 容易 困难 复杂 重要 主要 特别'
+        ' 普通 一般 正常 奇怪 干净 安静 方便 舒服 健康 危险 安全'
+        ' 便宜 有名 年轻 时间 地方 东西 事情 问题 办法 方法 原因'
+        ' 结果 情况 关系 机会 意思 感觉 心情 声音 颜色 天气 今天'
+        ' 明天 昨天 早上 上午 中午 下午 晚上 今年 明年 去年 星期'
+        ' 周末 小时 分钟 时候 以前 以后 最近 刚才 马上 经常 常常'
+        ' 总是 有时 永远 一直 中国 美国 日本 英国 国家 世界 城市'
+        ' 地区 学校 大学 中学 小学 医院 公司 商店 市场 饭店 银行'
+        ' 机场 车站 公园 家庭 父母 孩子 朋友 同学 老师 学生 医生'
+        ' 先生 小姐 男人 女人 人民 人们 名字 身体 眼睛 汉语 英语'
+        ' 中文 英文 语言 电脑 手机 电话 电视 电影 音乐 新闻 信息'
+        ' 你好 您好 谢谢 再见 对不起 没关系 不客气 请问'),
+    # common content words
+    (4, '社会 经济 政府 政治 法律 教育 科学 技术 文化 历史 艺术'
+        ' 文学 哲学 数学 物理 化学 生物 地理 体育 音乐会 比赛'
+        ' 游戏 故事 小说 诗歌 杂志 报纸 媒体 节目 动画 漫画 照片'
+        ' 视频 软件 硬件 程序 网络 网站 网页 邮件 密码 数据 系统'
+        ' 设备 机器 机器人 人工智能 科技 互联网 计算机 词典 字典'
+        ' 文章 句子 单词 语法 发音 翻译 课程 课本 教材 作业 考试'
+        ' 成绩 学期 假期 暑假 寒假 毕业 专业 学位 论文 报告 会议'
+        ' 文件 合同 工资 收入 价格 价值 质量 数量 产品 商品 品牌'
+        ' 广告 顾客 客户 生意 贸易 金融 投资 股票 利润 成本 货币'
+        ' 美元 人民币 北京 上海 广州 深圳 香港 台湾 东京 纽约'
+        ' 伦敦 巴黎 法国 德国 韩国 印度 泰国 越南 意大利 西班牙'
+        ' 加拿大 俄罗斯 澳大利亚 首都 农村 乡村 郊区 民族 人口'
+        ' 企业 工厂 超市 餐厅 酒店 宾馆 邮局 地铁 火车 汽车 飞机'
+        ' 轮船 自行车 摩托车 出租车 公共汽车 广场 博物馆 电影院'
+        ' 剧院 图书馆 教室 办公室 宿舍 厨房 卧室 客厅 卫生间'
+        ' 阳台 花园 院子 季节 春天 夏天 秋天 冬天 世纪 将来 未来'
+        ' 突然 忽然 爸爸 妈妈 父亲 母亲 儿子 女儿 哥哥 弟弟 姐姐'
+        ' 妹妹 爷爷 奶奶 叔叔 阿姨 丈夫 妻子 夫妻 婴儿 青年 中年'
+        ' 老年 老人 男孩 女孩 女士 太太 同事 邻居 客人 主人 校长'
+        ' 教授 博士 专家 学者 护士 病人 警察 士兵 军人 工人 农民'
+        ' 司机 厨师 服务员 经理 老板 员工 职员 秘书 律师 法官'
+        ' 记者 作家 诗人 画家 歌手 演员 导演 明星 运动员 教练'
+        ' 科学家 工程师 艺术家 音乐家 米饭 面条 饺子 包子 馒头'
+        ' 面包 蛋糕 饼干 巧克力 糖果 冰淇淋 鸡蛋 牛肉 猪肉 羊肉'
+        ' 鸡肉 海鲜 蔬菜 水果 苹果 香蕉 橘子 葡萄 西瓜 草莓 桃子'
+        ' 樱桃 柠檬 菠萝 芒果 土豆 西红柿 黄瓜 白菜 萝卜 洋葱'
+        ' 大蒜 辣椒 豆腐 牛奶 酸奶 咖啡 红茶 绿茶 果汁 啤酒'
+        ' 葡萄酒 矿泉水 饮料 早饭 午饭 晚饭 早餐 午餐 晚餐 味道'
+        ' 好吃 好喝 头发 鼻子 嘴巴 耳朵 牙齿 舌头 脖子 肩膀 肚子'
+        ' 膝盖 皮肤 血液 骨头 心脏 大脑 感冒 发烧 咳嗽 头疼 生病'
+        ' 治疗 手术 检查 锻炼 运动 跑步 散步 游泳 爬山 瑜伽 健身'
+        ' 足球 篮球 排球 网球 乒乓球 羽毛球 动物 植物 森林 草原'
+        ' 沙漠 海洋 大海 河流 湖泊 天空 阳光 月亮 星星 地球 宇宙'
+        ' 太阳 空气 环境 自然 气候 下雨 下雪 刮风 台风 地震 洪水'
+        ' 火山 石头 沙子 泥土 铁路 公路 道路 隧道 建筑 房子 房间'
+        ' 大楼 墙壁 地板 屋顶 门口 窗户 桌子 椅子 沙发 被子 枕头'
+        ' 毛巾 牙刷 牙膏 肥皂 镜子 梳子 剪刀 钥匙 钱包 书包 行李'
+        ' 箱子 袋子 瓶子 杯子 盘子 筷子 勺子 衣服 裤子 裙子 衬衫'
+        ' 外套 毛衣 大衣 袜子 鞋子 帽子 手套 围巾 眼镜 手表 戒指'
+        ' 项链 老虎 狮子 大象 猴子 熊猫 兔子 老鼠 乌龟 青蛙 奶牛'
+        ' 绵羊 山羊 骆驼 斑马 长颈鹿 鲸鱼 鲨鱼 海豚 企鹅 蝴蝶'
+        ' 蜜蜂 蚂蚁 蚊子 苍蝇 蜘蛛 恐龙 上面 下面 前面 后面 左边'
+        ' 右边 里面 外面 中间 旁边 附近 对面 东边 西边 南边 北边'
+        ' 东方 西方 南方 北方 方向 位置 地址 地图 距离 知识 能力'
+        ' 水平 态度 习惯 兴趣 爱好 梦想 目标 计划 意见 建议 消息'
+        ' 内容 经验 旅行 旅游 购物 做饭 洗澡 打扫 收拾 整理 准备'
+        ' 完成 研究 讨论 提高 增加 减少 开发 生产 制造 建设 设计'
+        ' 管理 组织 领导 服务 销售 购买 支付 礼物 生日 节日 春节'
+        ' 国庆节 中秋节 婚礼 表演 演出 玩具 唱歌 跳舞 看书 写字'
+        ' 买东西 说明 解释 练习 复习 预习 活动 邀请 约会 聚会'),
+    # traditional / Japanese kanji forms (kanji-only — see above)
+    (4, '日本語 中国語 英語 韓国語 外国語 外国人 日本人 電話 電車'
+        ' 電気 時間 仕事 会社 会議 学校 學校 學生 老師 先生 銀行'
+        ' 圖書館 図書館 經濟 問題 國家 歷史 發展 天気 元気 映画'
+        ' 音楽 写真 新聞 雑誌 料理 野菜 果物 牛乳 勉強 宿題 試験'
+        ' 成績 卒業 入学 大学院 研究室 駅員 新幹線 自動車 自転車'
+        ' 飛行機 空港 病院 郵便局 東京 大阪 京都 名古屋 北海道'
+        ' 沖縄 漢字 言葉 辞書 文法 発音 翻訳 会話 質問 返事 番号'
+        ' 住所 名前 家族 兄弟 姉妹 両親 子供 友達 彼女 彼氏 先輩'
+        ' 後輩 同僚 社長 部長 課長 店員 医者 看護師 警察官 弁護士'
+        ' 教師 生徒 毎日 毎週 毎月 毎年 今日 明日 昨日 今週 来週'
+        ' 先週 今月 来月 先月 来年 昨年 午前 午後 今晩 今夜 週末'),
+    # rarer / longer compounds
+    (5, '研究生 大学生 中学生 小学生 留学生 研究所 实验室 幼儿园'
+        ' 体育场 体育馆 游泳池 停车场 加油站 火车站 汽车站 飞机场'
+        ' 售货员 售票员 理发师 摄影师 设计师 程序员 中国人 北京人'
+        ' 上海人 美国人 本地人 年轻人 中年人 老年人 负责人'
+        ' 主持人 候选人 办公楼 教学楼 实验楼'),
+)
 _CJK_MAX_LEN = max(len(w) for w in _CJK_LEXICON)
 
 
@@ -286,11 +416,12 @@ _DICT_LOCALES = {
     'ja@dict': (_is_han, _CJK_LEXICON, _CJK_MAX_LEN),
 }
 
-# least-cost path weights: ICU's dictionary engines run a Viterbi-style
-# best-path search; with an unweighted lexicon the objective reduces to
-# "fewest words, unknown characters heavily penalized"
-_WORD_COST = 1
-_UNKNOWN_CHAR_COST = 5
+# ICU's dictionary engines run a Viterbi-style best-path search over
+# per-word frequency costs; the tier costs in the lexicons above (2-6,
+# bucketed -log f) play that role. The unknown-character penalty sits
+# strictly above the costliest word so any dictionary reading beats
+# skipping, and a run of unknowns merges into one chunk.
+_UNKNOWN_CHAR_COST = 10
 
 
 def _dict_run_boundaries(run: str, words, max_len) -> list:
@@ -298,13 +429,14 @@ def _dict_run_boundaries(run: str, words, max_len) -> list:
     ``run``, end inclusive).
 
     Backward DP: ``best[i]`` is the cheapest cost to segment
-    ``run[i:]``; each dictionary word costs ``_WORD_COST``, each
-    character matching no entry ``_UNKNOWN_CHAR_COST``. Ties prefer
-    the longer dictionary word (lengths iterated descending, first
-    strict improvement wins), and any dictionary word beats an
-    equal-cost unknown step. Adjacent unknown characters merge into a
-    single chunk when the boundaries are emitted — the ICU-shaped
-    unknown-run rule the greedy predecessor also had.
+    ``run[i:]``; each dictionary word costs its frequency tier
+    (``words`` maps word -> cost), each character matching no entry
+    ``_UNKNOWN_CHAR_COST``. Ties prefer the longer dictionary word
+    (lengths iterated descending, first strict improvement wins), and
+    any dictionary word beats an equal-cost unknown step. Adjacent
+    unknown characters merge into a single chunk when the boundaries
+    are emitted — the ICU-shaped unknown-run rule the greedy
+    predecessor also had.
     """
     n = len(run)
     best = [0] * (n + 1)
@@ -313,8 +445,9 @@ def _dict_run_boundaries(run: str, words, max_len) -> list:
         cost = _UNKNOWN_CHAR_COST + best[i + 1]
         take = 0
         for length in range(min(max_len, n - i), 0, -1):
-            if run[i:i + length] in words:
-                c = _WORD_COST + best[i + length]
+            wc = words.get(run[i:i + length])
+            if wc is not None:
+                c = wc + best[i + length]
                 if c < cost:
                     cost, take = c, length
         best[i], step[i] = cost, take

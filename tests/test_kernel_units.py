@@ -376,9 +376,19 @@ def test_uax29_thai_dictionary_segmentation():
     # LEAST-COST vs GREEDY distinguishing pin: greedy longest-match
     # takes มาก ("much") first and strands the unmatchable tail ิน as
     # an unknown chunk (['มาก', 'ิน']); the Viterbi path prefers two
-    # dictionary words — มา|กิน ("come eat"), cost 2 vs 1 + 2×5 — which
-    # is also what ICU's least-cost Thai engine produces
+    # dictionary words — มา|กิน ("come eat"), cost 2+3 vs 3 + 2×10 —
+    # which is also what ICU's least-cost Thai engine produces
     assert toks('มากิน', locale='th') == ['มา', 'กิน']
+    # FREQUENCY vs WORD-COUNT distinguishing pin: ตากลม has two
+    # complete 2-word tilings — ตา|กลม ("round eyes") and ตาก|ลม
+    # ("expose to wind"). A uniform word cost ties and the longer-first
+    # tie-break picks ตาก|ลม; the frequency costs (ตา 3 + กลม 4 <
+    # ตาก 5 + ลม 3) pick the common reading, the way ICU's weighted
+    # thaidict does
+    assert toks('ตากลม', locale='th') == ['ตา', 'กลม']
+    # frequency tiers must not outweigh the lexicality of compounds:
+    # ทำงาน stays one word though ทำ and งาน are themselves entries
+    assert toks('ทำงานมาก', locale='th') == ['ทำงาน', 'มาก']
     # no dictionary for the locale: per-grapheme root behavior (marks
     # still attach per WB4)
     assert toks('ผมกิน', locale='en') == ['ผ', 'ม', 'กิ', 'น']
