@@ -976,16 +976,18 @@ def _q_checkpoint_snapshot(spark, sf_dir):
 
 def _q_corpus_takedown(spark, sf_dir):
     # the takedown/right-to-be-forgotten flow on the snapshot store,
-    # BOTH delete strategies over the same opt-out list (every 9th
-    # doc's content hash, so natural duplicates of an opted-out text
-    # go too). part='cow': copy-on-write delete_where — files with
-    # matching rows rewritten — then expire physically reclaims the
-    # pre-delete snapshot. part='mor': MERGE-ON-READ delete_keys
+    # ALL THREE delete strategies over the same opt-out list (every
+    # 9th doc's content hash, so natural duplicates of an opted-out
+    # text go too). part='cow': copy-on-write delete_where — files
+    # with matching rows rewritten — then expire physically reclaims
+    # the pre-delete snapshot. part='mor': MERGE-ON-READ delete_keys
     # (Iceberg v2 equality delete file) — no data file rewritten, the
     # scan anti-joins the keys; compact then MATERIALIZES the pending
-    # delete (manifest drops it, asserted in-gate) and the final read
-    # must equal the copy-on-write result — the same oracle SQL checks
-    # both parts.
+    # delete (manifest drops it, asserted in-gate). part='pos':
+    # MERGE-ON-READ delete_positions (Iceberg v2 position delete
+    # file) — the same predicate committed as (file, row) pairs, read
+    # back with the pending delete applied at scan. The same oracle
+    # SQL checks all three parts.
     import os
     from ocrodjvu_spark.plans.snapstore import SnapshotTable
     base = _gate_tempdir('ocrodjvu-spark-takedown-')
@@ -1027,7 +1029,20 @@ def _q_corpus_takedown(spark, sf_dir):
         raise AssertionError('compact left pending deletes')
     mor = m.read(spark).select(
         F.lit('mor').alias('part'), 'doc_id', 'content_hash')
-    return cow.unionByName(mor)
+
+    p = SnapshotTable(os.path.join(base, 'corpus_pos'))
+    p.append(corpus)
+    pos_paths = sorted(f['path'] for f in p.snapshot()['files'])
+    p.delete_positions(spark, F.col('content_hash').isin(optout))
+    after_p = p.snapshot()
+    if sorted(f['path'] for f in after_p['files']) != pos_paths:
+        raise AssertionError('position delete rewrote data files')
+    dls = after_p.get('deletes') or []
+    if not (len(dls) == 1 and dls[0].get('positions')):
+        raise AssertionError('no pending position-delete file')
+    pos = p.read(spark).select(
+        F.lit('pos').alias('part'), 'doc_id', 'content_hash')
+    return cow.unionByName(mor).unionByName(pos)
 
 
 def _q_snapshot_upsert(spark, sf_dir):
@@ -2194,6 +2209,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    have never held a driver verdict (consolidated where
         #    round 6 merged them), then every gate round 6 changed
         #    by consolidation — 30 entries ------------------------
+        # round-6 changes: frequency-costed lexicons altered the Thai
+        # pin (new ตากลม suffix) and reweighted the CJK dictionary
+        'extract_uax29_thai': _q_extract_uax29_thai,
+        'extract_uax29_cjk_dict': _q_extract_uax29_cjk_dict,
         'checkpoint_snapshot': _q_checkpoint_snapshot,
         'dedup_incremental': _q_dedup_incremental,
         'streaming_ingest': _q_streaming_ingest,
@@ -2298,8 +2317,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ann_lsh_topk': _q_ann_lsh_topk,
         'extract_uax29': _q_extract_uax29,
         'ann_recall_kmeans': _q_ann_recall_kmeans,
-        'extract_uax29_cjk_dict': _q_extract_uax29_cjk_dict,
-        'extract_uax29_thai': _q_extract_uax29_thai,
         'multimodal_features': _q_multimodal_features,
         'dedup_lines': _q_dedup_lines,
         'corpus_pipeline': _q_corpus_pipeline,
@@ -4717,7 +4734,9 @@ def oracle_sql() -> dict[str, str]:
     d['corpus_takedown'] = (
         "SELECT 'cow' AS part, * FROM (" + survivors + ")\n"
         "UNION ALL\n"
-        "SELECT 'mor', * FROM (" + survivors + ")")
+        "SELECT 'mor', * FROM (" + survivors + ")\n"
+        "UNION ALL\n"
+        "SELECT 'pos', * FROM (" + survivors + ")")
     d['snapshot_sketch_metadata'] = (
         "SELECT 'bloom' AS part, doc_id, lang, content_hash,"
         " CAST(NULL AS INTEGER) AS register,"

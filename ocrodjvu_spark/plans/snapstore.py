@@ -45,14 +45,15 @@ re-implemented here, not copied):
   ``delete_where`` accepts a caller-supplied ``prune_filters`` hint
   with the same contract.
 
-* **Merge-on-read equality deletes.** ``delete_keys`` commits a small
-  parquet of key tuples instead of rewriting data files (Iceberg v2
-  equality delete files): readers anti-join each data file against the
-  delete files sequenced after it (data-sequence numbers, so rows
-  appended after a delete survive it), and ``compact`` materializes
-  pending deletes away. A 1-row takedown costs one tiny write, not a
-  whole-file rewrite; ``delete_where`` stays the read-optimized
-  copy-on-write path.
+* **Merge-on-read equality AND position deletes.** ``delete_keys``
+  commits a small parquet of key tuples, ``delete_positions`` a small
+  parquet of (file, row-position) pairs for a predicate's matches
+  (Iceberg v2 equality / position delete files): readers anti-join
+  each data file against the delete files sequenced after it
+  (data-sequence numbers, so rows appended after a delete survive it),
+  and ``compact`` materializes pending deletes away. A 1-row takedown
+  costs one tiny write, not a whole-file rewrite; ``delete_where``
+  stays the read-optimized copy-on-write path for broad predicates.
 
 Scale notes (100 TB): commits are O(entries they touch), not O(table
 files). A commit carries every unchanged manifest forward BY REFERENCE
@@ -750,9 +751,28 @@ class SnapshotTable:
         out = None
         for applicable, fs in sorted(groups.items()):
             df = self._read_entries(spark, fs, schema_json)
+            pos_ds = [deletes[i] for i in applicable
+                      if deletes[i].get('positions')]
+            if pos_ds:
+                # POSITION deletes (Iceberg v2): anti-join on the
+                # scan-provided (_metadata.file_name, row_index) —
+                # file names are table-unique (uuid staging)
+                data_cols = df.columns
+                df = df.select(
+                    '*',
+                    F.col('_metadata.file_name').alias('__snap_file'),
+                    F.col('_metadata.row_index').alias('__snap_pos'))
+                pk = spark.read.parquet(*[
+                    os.path.join(self.root, d['path'])
+                    for d in pos_ds]).toDF('__snap_file', '__snap_pos')
+                df = df.join(F.broadcast(pk.dropDuplicates()),
+                             on=['__snap_file', '__snap_pos'],
+                             how='left_anti').select(data_cols)
             by_cols: Dict[tuple, List[dict]] = {}
             for i in applicable:
                 d = deletes[i]
+                if d.get('positions'):
+                    continue
                 by_cols.setdefault(tuple(d['key_cols']), []).append(d)
             for cols, ds in sorted(by_cols.items()):
                 keys = spark.read.parquet(*[
@@ -1056,6 +1076,85 @@ class SnapshotTable:
             tag=tag,
             apply_deletes=lambda base: base + [entry],
             list_op='identity')
+
+    def delete_positions(self, spark: SparkSession, condition,
+                         tag: Optional[str] = None,
+                         max_retries: int = 5) -> int:
+        """MERGE-ON-READ position delete (Iceberg v2 position delete
+        files; spec: https://iceberg.apache.org/spec/#position-delete-files,
+        re-implemented, not copied): evaluate ``condition`` once
+        against the current snapshot and commit the matching rows'
+        (file, row position) pairs as ONE small delete file — no data
+        file is rewritten. The predicate twin of ``delete_keys``: use
+        it when the opt-out set is defined by a predicate rather than
+        a key list but the MATCH COUNT is small (a takedown, not a
+        purge); the delete file is one row per deleted ROW, so a broad
+        predicate belongs to copy-on-write ``delete_where``.
+
+        Positions are (parquet file name, ``_metadata.row_index``) —
+        file names are table-unique by construction (uuid staging).
+        Rows where ``condition`` is NULL are KEPT (SQL DELETE
+        semantics, same as ``delete_where``). Unlike equality deletes,
+        positions bind to the files they were computed against, so the
+        commit validates the file set is unchanged and REBASES
+        (recomputing positions) if a rewrite landed concurrently —
+        the Iceberg position-delete conflict rule. Sequencing,
+        ``compact()`` materialization, ``count_rows`` / CDC guards,
+        and expiry all follow the equality-delete contract.
+        """
+        for _ in range(max_retries):
+            base_manifest = self.snapshot()
+            base_version = base_manifest['version']
+            files0 = base_manifest['files']
+            if not files0:
+                return base_version
+            df = self._read_entries(spark, files0,
+                                    base_manifest.get('schema'))
+            pos = (df.select(
+                       F.col('_metadata.file_name').alias('file_name'),
+                       F.col('_metadata.row_index').alias('pos'),
+                       F.coalesce(condition, F.lit(False)).alias('__m'))
+                     .where(F.col('__m'))
+                     .select('file_name', 'pos'))
+            stage_id = uuid.uuid4().hex
+            stage_dir = os.path.join(self.data_dir,
+                                     f'.stage-{stage_id}')
+            pos.coalesce(1).write.parquet(stage_dir)
+            entry = None
+            try:
+                for name in sorted(os.listdir(stage_dir)):
+                    if not name.endswith('.parquet'):
+                        continue
+                    rel = f'data/{stage_id}-posdel.parquet'
+                    os.rename(os.path.join(stage_dir, name),
+                              os.path.join(self.root, rel))
+                    rows, _stats = self._file_meta(
+                        os.path.join(self.root, rel))
+                    entry = {'path': rel, 'positions': True,
+                             'rows': rows}
+                    break
+            finally:
+                shutil.rmtree(stage_dir, ignore_errors=True)
+            if entry is None or entry['rows'] == 0:
+                if entry is not None:
+                    self._delete_entries([entry])
+                return self.current_version()  # nothing matches
+            expected = sorted(f['path'] for f in files0)
+            try:
+                return self._commit(
+                    'delete-positions', [entry], None,
+                    apply=lambda base: list(base),
+                    tag=tag,
+                    apply_deletes=lambda base, e=entry: base + [e],
+                    validate=lambda: sorted(
+                        f['path'] for f in self.snapshot()['files']
+                    ) == expected,
+                    list_op='identity')
+            except _CompactConflict:
+                continue  # a rewrite moved row positions: recompute
+        raise CommitConflict(
+            f'delete_positions: base kept changing for {max_retries} '
+            'attempts')
 
     def delete_where(self, spark: SparkSession, condition,
                      partition_col: Optional[str] = None,

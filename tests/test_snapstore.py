@@ -1628,3 +1628,84 @@ def test_legacy_inline_files_snapshot_still_reads(spark, tmp_path):
     fresh.append(_docs(spark, 'v2', n=4), partition_col='bucket')
     assert 'manifest_list' in fresh._snapshot_doc(2)
     assert fresh.read(spark).count() == 24
+
+
+# -- merge-on-read POSITION deletes (Iceberg v2 position delete files)
+
+
+def test_delete_positions_merge_on_read_basic(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=10))
+    data_paths = sorted(f['path'] for f in t.snapshot()['files'])
+    t.delete_positions(spark, F.col('doc_id').isin(3, 7))
+    m = t.snapshot()
+    assert sorted(f['path'] for f in m['files']) == data_paths
+    assert len(m['deletes']) == 1
+    assert m['deletes'][0]['positions'] and m['deletes'][0]['rows'] == 2
+    got = t.read(spark)
+    assert {r.doc_id for r in got.collect()} == set(range(10)) - {3, 7}
+    assert t.read(spark, version=1).count() == 10  # time travel
+    with pytest.raises(ValueError, match='compact'):
+        t.count_rows()
+
+
+def test_delete_positions_sequencing_spares_later_appends(
+        spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=6))
+    t.delete_positions(spark, F.col('doc_id') < 2)
+    t.append(_docs(spark, 'b', n=6))  # same doc_ids, later files
+    got = {(r.doc_id, r.ver) for r in t.read(spark).collect()}
+    assert (0, 'a') not in got and (1, 'a') not in got
+    assert (0, 'b') in got and (1, 'b') in got
+    assert len(got) == 10
+
+
+def test_delete_positions_null_condition_rows_kept(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(spark.createDataFrame(
+        [Row(doc_id=0, flag=True), Row(doc_id=1, flag=None),
+         Row(doc_id=2, flag=False)]))
+    t.delete_positions(spark, F.col('flag'))
+    got = {r.doc_id for r in t.read(spark).collect()}
+    assert got == {1, 2}  # NULL condition keeps the row (SQL DELETE)
+
+
+def test_delete_positions_no_match_is_noop(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=4))
+    v = t.delete_positions(spark, F.col('doc_id') > 99)
+    assert v == 1 and not t.snapshot().get('deletes')
+    assert t.count_rows() == 4  # still metadata-only, nothing pending
+
+
+def test_delete_positions_compact_materializes(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=8))
+    t.delete_positions(spark, F.col('doc_id') % 2 == 0)
+    t.compact(spark)
+    m = t.snapshot()
+    assert not m.get('deletes')
+    assert {r.doc_id for r in t.read(spark).collect()} == {1, 3, 5, 7}
+    assert t.count_rows() == 4  # metadata counts restored
+
+
+def test_delete_positions_stack_with_equality_deletes(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=10))
+    t.delete_keys(spark, spark.createDataFrame([Row(doc_id=1)]),
+                  ['doc_id'])
+    t.delete_positions(spark, F.col('doc_id').isin(4, 5))
+    got = {r.doc_id for r in t.read(spark).collect()}
+    assert got == set(range(10)) - {1, 4, 5}
+
+
+def test_delete_positions_rewrite_applies_pending(spark, tmp_path):
+    # a copy-on-write delete_where over files with PENDING position
+    # deletes must not resurrect the position-deleted rows
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=8))
+    t.delete_positions(spark, F.col('doc_id') == 2)
+    t.delete_where(spark, F.col('doc_id') >= 6)
+    got = {r.doc_id for r in t.read(spark).collect()}
+    assert got == {0, 1, 3, 4, 5}
