@@ -1890,6 +1890,36 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, n_queries=10, k=5)
 
 
+def _q_ann_index_persisted(spark, sf_dir):
+    # the deployable-IVF lifecycle: TRAIN the coarse quantizer
+    # (kmeans_centroids — the train-only face of the embedding_kmeans
+    # loop), PUBLISH it as a versioned snapshot-table artifact
+    # (save_vector_index, the bpe.save_merges deployment contract),
+    # reload with a FRESH handle and ASSIGN the corpus under the
+    # loaded centroids (assign_to_centroids — map-only, centroids as
+    # JVM literals: the serving path). The roundtrip must be
+    # bit-identical, so the same unrolled-Lloyd oracle as
+    # embedding_kmeans value-checks the assignment; persistence
+    # properties (version committed, reload equality, re-publish bumps
+    # the version, pinned version stays readable) asserted in-gate.
+    import os
+    emb = T.load_table(spark, sf_dir, 'embeddings')
+    cents = similarity.kmeans_centroids(emb, k=8, iterations=3)
+    root = os.path.join(_gate_tempdir('ocrodjvu-spark-annindex-'),
+                        'ivf')
+    v1 = similarity.save_vector_index(spark, root, cents)
+    loaded, quant = similarity.load_vector_index(spark, root)
+    want = {cid: [int(x) for x in vec] for cid, vec in cents.items()}
+    if v1 != 1 or quant != 1000 or loaded != want:
+        raise AssertionError('vector-index roundtrip mismatch')
+    if similarity.save_vector_index(spark, root, cents) != 2:
+        raise AssertionError('re-publish must bump the version')
+    pinned, _q = similarity.load_vector_index(spark, root, version=1)
+    if pinned != want:
+        raise AssertionError('pinned index version must stay readable')
+    return similarity.assign_to_centroids(emb, loaded)
+
+
 def _q_embedding_kmeans(spark, sf_dir):
     # iterative algorithm coverage: Lloyd's k-means (k=8, 3 rounds) on
     # the integer-quantized grid — exact distances, so the unrolled SQL
@@ -2209,8 +2239,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    have never held a driver verdict (consolidated where
         #    round 6 merged them), then every gate round 6 changed
         #    by consolidation — 30 entries ------------------------
-        # round-6 changes: frequency-costed lexicons altered the Thai
-        # pin (new ตากลม suffix) and reweighted the CJK dictionary
+        # round-6 additions/changes: persisted-IVF lifecycle (new);
+        # frequency-costed lexicons altered the Thai pin (new ตากลม
+        # suffix) and reweighted the CJK dictionary
+        'ann_index_persisted': _q_ann_index_persisted,
         'extract_uax29_thai': _q_extract_uax29_thai,
         'extract_uax29_cjk_dict': _q_extract_uax29_cjk_dict,
         'checkpoint_snapshot': _q_checkpoint_snapshot,
@@ -3678,6 +3710,9 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         ''',
         'embedding_kmeans': _sql_kmeans(),
+        # the persisted-index gate returns the identical assignment
+        # (the save/load roundtrip is bit-exact by contract)
+        'ann_index_persisted': _sql_kmeans(),
         'ann_cosine_topk': _SQL_ANN_EXACT,
         'ann_recall': f'''
             WITH exact AS ({_SQL_ANN_EXACT}),

@@ -369,10 +369,27 @@ def kmeans_labels(embeddings: DataFrame, k: int = 8, iterations: int = 3,
 
     Output: (vec_id, cluster) after the final assignment.
     """
-    pts = embeddings.select(
+    centroids, _dim, assign, pts = _kmeans_loop(
+        embeddings, k, iterations, id_col, vec_col, quant)
+    result = assign(centroids).select(id_col, 'cluster')
+    pts.unpersist(False)
+    return result
+
+
+def _quantized_points(embeddings: DataFrame, id_col: str,
+                      vec_col: str, quant: int) -> DataFrame:
+    return embeddings.select(
         F.col(id_col),
         F.transform(as_double(F.col(vec_col)),
                     lambda x: F.round(x * quant).cast('long')).alias('qv'))
+
+
+def _kmeans_loop(embeddings, k, iterations, id_col, vec_col, quant):
+    """Run the Lloyd loop; returns (centroids, dim, assign, pts) with
+    ``pts`` still persisted — the caller must unpersist after its last
+    ``assign``. Factored out so training (``kmeans_centroids``) and
+    assignment-only consumers share one implementation."""
+    pts = _quantized_points(embeddings, id_col, vec_col, quant)
     pts = pts.persist()
     seed_rows = pts.orderBy(id_col).limit(k).collect()
     if len(seed_rows) < k:
@@ -383,7 +400,7 @@ def kmeans_labels(embeddings: DataFrame, k: int = 8, iterations: int = 3,
     centroids = {cid: list(r['qv']) for cid, r in enumerate(seed_rows)}
     dim = len(seed_rows[0]['qv'])
 
-    def assign(cents) -> DataFrame:
+    def assign(cents, points=None) -> DataFrame:
         scored = F.array(*[
             F.struct(
                 F.aggregate(
@@ -399,7 +416,7 @@ def kmeans_labels(embeddings: DataFrame, k: int = 8, iterations: int = 3,
             for cid, vec in sorted(cents.items())
         ])
         # struct ordering is lexicographic: min distance, ties by cid
-        return pts.select(
+        return (pts if points is None else points).select(
             id_col, 'qv',
             F.array_min(scored).getField('cid').alias('cluster'))
 
@@ -411,9 +428,76 @@ def kmeans_labels(embeddings: DataFrame, k: int = 8, iterations: int = 3,
         ]).collect()
         for r in means:  # empty clusters keep their previous centroid
             centroids[int(r['cluster'])] = [r[f'c{i}'] for i in range(dim)]
-    result = assign(centroids).select(id_col, 'cluster')
+    return centroids, dim, assign, pts
+
+
+def kmeans_centroids(embeddings: DataFrame, k: int = 8,
+                     iterations: int = 3, id_col: str = 'vec_id',
+                     vec_col: str = 'embedding',
+                     quant: int = 1000):
+    """Train-only face of ``kmeans_labels``: the final quantized
+    centroid table as ``{cluster_id: [long, ...]}`` — k x dim values,
+    the deployable coarse-quantizer artifact (see
+    ``save_vector_index``)."""
+    centroids, _dim, _assign, pts = _kmeans_loop(
+        embeddings, k, iterations, id_col, vec_col, quant)
     pts.unpersist(False)
-    return result
+    return centroids
+
+
+def assign_to_centroids(embeddings: DataFrame, centroids,
+                        id_col: str = 'vec_id',
+                        vec_col: str = 'embedding',
+                        quant: int = 1000) -> DataFrame:
+    """Map-only nearest-centroid assignment under a TRAINED quantizer
+    (centroids inlined as JVM literals, exact integer distances —
+    identical tie-break to ``kmeans_labels``): the serving-time path
+    of a persisted IVF index. Output: (id, cluster)."""
+    pts = _quantized_points(embeddings, id_col, vec_col, quant)
+    scored = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col('qv'),
+                    F.array(*[F.lit(int(c)).cast('long') for c in vec]),
+                    lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast('long'),
+                lambda acc, d: acc + d,
+            ).alias('d'),
+            F.lit(cid).cast('int').alias('cid'),
+        )
+        for cid, vec in sorted(centroids.items())
+    ])
+    return pts.select(
+        id_col, F.array_min(scored).getField('cid').alias('cluster'))
+
+
+def save_vector_index(spark, table_root: str, centroids,
+                      quant: int = 1000) -> int:
+    """Persist a trained coarse quantizer as a versioned
+    snapshot-table artifact (k rows: cluster, qv, quant) — the same
+    deployment contract as ``bpe.save_merges``: training jobs publish
+    a new VERSION atomically, serving jobs pin one, and a corpus
+    snapshot stays reproducible by time-traveling to the index version
+    that assigned it. Returns the committed version."""
+    from ..plans.snapstore import SnapshotTable
+    df = spark.createDataFrame(
+        [(int(cid), [int(x) for x in vec], int(quant))
+         for cid, vec in sorted(centroids.items())],
+        'cluster int, qv array<bigint>, quant int')
+    return SnapshotTable(table_root).overwrite(df)
+
+
+def load_vector_index(spark, table_root: str, version=None):
+    """Load a persisted quantizer (default HEAD; pass ``version`` to
+    pin). Returns ``(centroids_dict, quant)``."""
+    from ..plans.snapstore import SnapshotTable
+    df = SnapshotTable(table_root).read(spark, version)
+    if df is None:
+        raise ValueError(f'no vector index at {table_root!r}')
+    rows = df.collect()
+    return ({int(r['cluster']): list(r['qv']) for r in rows},
+            int(rows[0]['quant']))
 
 
 def semantic_dedup_pairs(embeddings: DataFrame, threshold: float = 0.4,

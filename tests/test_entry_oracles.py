@@ -75,3 +75,31 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert 'extracted_text' in df.columns
+
+
+def test_vector_index_roundtrip_and_versioning(spark, tmp_path):
+    from pyspark.sql import Row
+    from ocrodjvu_spark.functions import similarity
+    emb = spark.createDataFrame([
+        Row(vec_id=i, embedding=[float(i % 3), float(i % 5), 1.0])
+        for i in range(12)])
+    cents = similarity.kmeans_centroids(emb, k=3, iterations=2)
+    root = str(tmp_path / 'ivf')
+    assert similarity.save_vector_index(spark, root, cents) == 1
+    loaded, quant = similarity.load_vector_index(spark, root)
+    assert quant == 1000
+    assert loaded == {c: [int(x) for x in v] for c, v in cents.items()}
+    # assignment under the loaded index == kmeans_labels' own final
+    # assignment (identical tie-break contract)
+    got = {(r.vec_id, r.cluster) for r in
+           similarity.assign_to_centroids(emb, loaded).collect()}
+    want = {(r.vec_id, r.cluster) for r in
+            similarity.kmeans_labels(emb, k=3, iterations=2).collect()}
+    assert got == want
+    # publishing again bumps the version; the old pin stays readable
+    assert similarity.save_vector_index(spark, root, {0: [1, 2, 3]},
+                                        quant=500) == 2
+    old, q1 = similarity.load_vector_index(spark, root, version=1)
+    assert old == loaded and q1 == 1000
+    new, q2 = similarity.load_vector_index(spark, root)
+    assert new == {0: [1, 2, 3]} and q2 == 500
