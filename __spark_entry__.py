@@ -878,6 +878,15 @@ def _q_doc_chunks(spark, sf_dir):
     return textops.chunk_documents(docs, window=64, stride=48)
 
 
+def _q_winnowing_fingerprints(spark, sf_dir):
+    # MOSS-style winnowing (Schleimer et al. 2003): positioned 3-gram
+    # hashes, window-4 minimum selection (leftmost tie-break via the
+    # hash*2^20+pos composite key) — guarantees a shared fingerprint
+    # for any >= 6-token shared substring at ~40% of the hash volume
+    docs = T.load_table(spark, sf_dir, 'documents')
+    return textops.winnowing_fingerprints(docs, n=3, window=4)
+
+
 def _q_dedup_substring_spans(spark, sf_dir):
     # Lee et al. 2022-style exact-substring duplicate regions: token
     # spans covered by 5-grams shared by >= 2 documents, merged
@@ -2243,6 +2252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # frequency-costed lexicons altered the Thai pin (new ตากลม
         # suffix) and reweighted the CJK dictionary
         'ann_index_persisted': _q_ann_index_persisted,
+        'winnowing_fingerprints': _q_winnowing_fingerprints,
         'extract_uax29_thai': _q_extract_uax29_thai,
         'extract_uax29_cjk_dict': _q_extract_uax29_cjk_dict,
         'checkpoint_snapshot': _q_checkpoint_snapshot,
@@ -3179,6 +3189,39 @@ def oracle_sql() -> dict[str, str]:
         # integer-quantized log-probs (1e6 grid): LONG sums are exact
         # and order-independent, so Spark and DuckDB agree bit-for-bit
         'dedup_substring_spans': _sql_dup_spans(),
+        'winnowing_fingerprints': f'''
+            WITH tok AS (SELECT doc_id, {_TOKS} AS toks
+                         FROM documents),
+            th AS ({_sql_token_hashes('tok')}),
+            pos_sh AS (
+                SELECT doc_id, CAST(t.i - 1 AS INTEGER) AS pos,
+                       {_sql_pos_shingle(3)} AS sh
+                FROM th,
+                     LATERAL (SELECT unnest(range(1, len(hs) - 1))
+                              AS i) t
+                WHERE len(hs) >= 3
+            ),
+            keyed AS (
+                SELECT doc_id, pos, sh * 1048576 + pos AS key
+                FROM pos_sh
+            ),
+            win AS (
+                SELECT doc_id, pos,
+                       min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW
+                           AND 3 FOLLOWING) AS wmin,
+                       count(*) OVER (PARTITION BY doc_id) AS m
+                FROM keyed
+            ),
+            sel AS (
+                SELECT DISTINCT doc_id, wmin FROM win
+                WHERE pos <= greatest(m - 4, 0)
+            )
+            SELECT doc_id,
+                   CAST(wmin % 1048576 AS INTEGER) AS fp_pos,
+                   CAST(wmin // 1048576 AS BIGINT) AS fp
+            FROM sel
+        ''',
         'dedup_substring_capped': _sql_dup_spans(max_df=2),
         'dedup_substring_apply': f'''
             WITH spans AS ({_sql_dup_spans()}),

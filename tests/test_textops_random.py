@@ -116,3 +116,70 @@ def test_duplicated_spans_matches_brute_force(spark):
                      docs, n=5, min_df=2).collect())
     assert got == _brute_spans(token_lists, n=5, min_df=2)
     assert len(got) > 10  # the random corpus genuinely exercises it
+
+
+def _ref_winnow(text, n=3, window=4, cap=1 << 20):
+    """Sequential winnowing reference (Schleimer et al. 2003 fig. 5
+    semantics with leftmost-min tie-break via the composite key)."""
+    toks = re.sub(r'\s+', ' ', text.strip()).split(' ')
+    toks = [t for t in toks if t]
+
+    def h(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % 2147483647
+        return acc
+
+    hs = [h(t) for t in toks]
+    if len(hs) < n:
+        return set()
+    sh = []
+    for i in range(len(hs) - n + 1):
+        v = hs[i]
+        for j in range(1, n):
+            v = (v * 1009 + hs[i + j]) % 2147483647
+        sh.append(v)
+    keys = [s * cap + p for p, s in enumerate(sh)]
+    m = len(keys)
+    out = set()
+    for start in range(max(m - window, 0) + 1):
+        out.add(min(keys[start:start + window]))
+    return {(k % cap, k >> 20) for k in out}
+
+
+def test_winnowing_matches_sequential_reference(spark):
+    rng = random.Random(42)
+    rows = []
+    for i in range(40):
+        n_tok = rng.randint(0, 30)
+        rows.append((i, ' '.join(
+            rng.choice(['alpha', 'beta', 'gamma', 'delta', 'x'])
+            for _ in range(n_tok))))
+    df = spark.createDataFrame(rows, 'doc_id int, text string')
+    got = {}
+    for r in textops.winnowing_fingerprints(df).collect():
+        got.setdefault(r.doc_id, set()).add((r.fp_pos, r.fp))
+    for i, text in rows:
+        assert got.get(i, set()) == _ref_winnow(text), f'doc {i}'
+
+
+def test_winnowing_guarantee_shared_substring(spark):
+    # any shared substring of >= window + n - 1 = 6 tokens must yield
+    # at least one SHARED fingerprint hash (position-independent)
+    shared = 'one two three four five six'
+    df = spark.createDataFrame(
+        [(0, 'prefix junk ' + shared + ' tail a'),
+         (1, shared + ' completely different ending here')],
+        'doc_id int, text string')
+    fps = textops.winnowing_fingerprints(df).collect()
+    a = {r.fp for r in fps if r.doc_id == 0}
+    b = {r.fp for r in fps if r.doc_id == 1}
+    assert a & b
+
+
+def test_winnowing_short_doc_keeps_global_min(spark):
+    # fewer shingles than one full window -> exactly one fingerprint
+    df = spark.createDataFrame([(0, 'a b c d')],  # 2 shingles < 4
+                               'doc_id int, text string')
+    fps = textops.winnowing_fingerprints(df).collect()
+    assert len(fps) == 1
