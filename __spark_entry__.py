@@ -878,6 +878,33 @@ def _q_doc_chunks(spark, sf_dir):
     return textops.chunk_documents(docs, window=64, stride=48)
 
 
+def _q_snapshot_changelog(spark, sf_dir):
+    # CDC WITH DELETES (Iceberg changelog-scan shape): append corpus
+    # (v1), equality-delete every 9th doc (v2), append re-crawled
+    # +1e6-id docs for every 13th (v3), position-delete doc_id%7==3
+    # (v4 — hits surviving originals AND v3 rows whose shifted id
+    # matches). The feed must emit each row change exactly once with
+    # its commit version: deletes at v2/v4 are computed against the
+    # VISIBLE state of the parent snapshot (earlier pending deletes
+    # applied), which the oracle reconstructs set-algebraically.
+    import os
+    from ocrodjvu_spark.plans.snapstore import SnapshotTable
+    docs = T.load_table(spark, sf_dir, 'documents') \
+        .select('doc_id', 'n_chars')
+    t = SnapshotTable(os.path.join(
+        _gate_tempdir('ocrodjvu-spark-changelog-'), 't'))
+    t.append(docs)
+    t.delete_keys(spark, docs.where(F.col('doc_id') % 9 == 0)
+                  .select('doc_id'), ['doc_id'])
+    t.append(docs.where(F.col('doc_id') % 13 == 0).select(
+        (F.col('doc_id') + F.lit(1000000)).alias('doc_id'), 'n_chars'))
+    t.delete_positions(spark, F.col('doc_id') % 7 == 3)
+    if t.read_changelog(spark, t.current_version()) is not None:
+        raise AssertionError('empty changelog window must be None')
+    return t.read_changelog(spark, 0).select(
+        'doc_id', 'n_chars', '_change_type', '_commit_version')
+
+
 def _q_winnowing_fingerprints(spark, sf_dir):
     # MOSS-style winnowing (Schleimer et al. 2003): positioned 3-gram
     # hashes, window-4 minimum selection (leftmost tie-break via the
@@ -2253,6 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # suffix) and reweighted the CJK dictionary
         'ann_index_persisted': _q_ann_index_persisted,
         'winnowing_fingerprints': _q_winnowing_fingerprints,
+        'snapshot_changelog': _q_snapshot_changelog,
         'extract_uax29_thai': _q_extract_uax29_thai,
         'extract_uax29_cjk_dict': _q_extract_uax29_cjk_dict,
         'checkpoint_snapshot': _q_checkpoint_snapshot,
@@ -3189,6 +3217,29 @@ def oracle_sql() -> dict[str, str]:
         # integer-quantized log-probs (1e6 grid): LONG sums are exact
         # and order-independent, so Spark and DuckDB agree bit-for-bit
         'dedup_substring_spans': _sql_dup_spans(),
+        'snapshot_changelog': '''
+            WITH base AS (SELECT doc_id, n_chars FROM documents),
+            ins3 AS (
+                SELECT doc_id + 1000000 AS doc_id, n_chars
+                FROM base WHERE doc_id % 13 = 0
+            ),
+            vis3 AS (
+                SELECT * FROM base WHERE doc_id % 9 <> 0
+                UNION ALL SELECT * FROM ins3
+            )
+            SELECT doc_id, n_chars,
+                   'insert' AS _change_type,
+                   CAST(1 AS INTEGER) AS _commit_version FROM base
+            UNION ALL
+            SELECT doc_id, n_chars, 'delete', CAST(2 AS INTEGER)
+            FROM base WHERE doc_id % 9 = 0
+            UNION ALL
+            SELECT doc_id, n_chars, 'insert', CAST(3 AS INTEGER)
+            FROM ins3
+            UNION ALL
+            SELECT doc_id, n_chars, 'delete', CAST(4 AS INTEGER)
+            FROM vis3 WHERE doc_id % 7 = 3
+        ''',
         'winnowing_fingerprints': f'''
             WITH tok AS (SELECT doc_id, {_TOKS} AS toks
                          FROM documents),

@@ -726,7 +726,8 @@ class SnapshotTable:
                 StructType.fromJson(json.loads(schema_json)))
         return reader.parquet(*paths)
 
-    def _read_files_mor(self, spark: SparkSession, files, manifest):
+    def _read_files_mor(self, spark: SparkSession, files, manifest,
+                        keep_positions: bool = False):
         """Read an explicit file list with the snapshot's pending
         equality deletes APPLIED at scan time (merge-on-read): each
         data file is anti-joined against exactly the delete files
@@ -737,11 +738,20 @@ class SnapshotTable:
         anti-join per distinct key-column set per branch — delete key
         sets are small by design (opt-out lists); a delete too big to
         broadcast is what copy-on-write ``delete_where`` (or a
-        ``compact``) is for."""
+        ``compact``) is for.
+
+        ``keep_positions`` appends ``__snap_file`` / ``__snap_pos``
+        scan-metadata columns to the OUTPUT (the changelog scan needs
+        them to resolve a later position delete against this state)."""
         deletes = list(manifest.get('deletes') or [])
         schema_json = manifest.get('schema')
-        if not deletes:
+        if not deletes and not keep_positions:
             return self._read_entries(spark, files, schema_json)
+        if not deletes:
+            return self._read_entries(spark, files, schema_json).select(
+                '*',
+                F.col('_metadata.file_name').alias('__snap_file'),
+                F.col('_metadata.row_index').alias('__snap_pos'))
         groups: Dict[tuple, List[dict]] = {}
         for f in files:
             applicable = tuple(
@@ -753,21 +763,24 @@ class SnapshotTable:
             df = self._read_entries(spark, fs, schema_json)
             pos_ds = [deletes[i] for i in applicable
                       if deletes[i].get('positions')]
-            if pos_ds:
-                # POSITION deletes (Iceberg v2): anti-join on the
-                # scan-provided (_metadata.file_name, row_index) —
-                # file names are table-unique (uuid staging)
+            if pos_ds or keep_positions:
                 data_cols = df.columns
                 df = df.select(
                     '*',
                     F.col('_metadata.file_name').alias('__snap_file'),
                     F.col('_metadata.row_index').alias('__snap_pos'))
+            if pos_ds:
+                # POSITION deletes (Iceberg v2): anti-join on the
+                # scan-provided (_metadata.file_name, row_index) —
+                # file names are table-unique (uuid staging)
                 pk = spark.read.parquet(*[
                     os.path.join(self.root, d['path'])
                     for d in pos_ds]).toDF('__snap_file', '__snap_pos')
                 df = df.join(F.broadcast(pk.dropDuplicates()),
                              on=['__snap_file', '__snap_pos'],
-                             how='left_anti').select(data_cols)
+                             how='left_anti')
+            if pos_ds and not keep_positions:
+                df = df.select(data_cols)
             by_cols: Dict[tuple, List[dict]] = {}
             for i in applicable:
                 d = deletes[i]
@@ -827,6 +840,106 @@ class SnapshotTable:
             return None
         return self._read_entries(
             spark, added, self.snapshot(to_version).get('schema'))
+
+    def read_changelog(self, spark: SparkSession, from_version: int,
+                       to_version: Optional[int] = None
+                       ) -> Optional[DataFrame]:
+        """CDC feed WITH DELETES (Iceberg's changelog scan shape,
+        re-implemented): every row change strictly after
+        ``from_version`` up to ``to_version``, as the table schema
+        plus ``_change_type`` ('insert' | 'delete') and
+        ``_commit_version``. A consumer replaying the feed in
+        ``_commit_version`` order reconstructs the visible-state
+        transition exactly.
+
+        Per traversed commit:
+
+        * ``append`` — the added files' rows as 'insert' events (raw:
+          a row inserted at v and deleted at v' > v emits BOTH events,
+          like any changelog).
+        * ``delete-keys`` / ``delete-positions`` — 'delete' events:
+          the rows the commit actually removed, computed as the
+          VISIBLE state at v-1 (merge-on-read: earlier pending deletes
+          applied, so a key deleted twice emits its rows once)
+          semi-joined with the commit's delete file.
+        * anything else (overwrite / replace_partitions / delete /
+          merge / compact) raises — a rewrite makes row-level change
+          attribution ambiguous at file granularity, the same contract
+          as ``read_changes`` (compaction is invisible to CDC only
+          with snapshot-diffing, which is what full-table refresh is
+          for).
+
+        Returns None for an empty window.
+        """
+        if to_version is None:
+            to_version = self.current_version()
+        if from_version > to_version:
+            raise ValueError(
+                f'read_changelog: from_version {from_version} is '
+                f'newer than to_version {to_version}')
+        events: List[DataFrame] = []
+        v = to_version
+        chain: List[int] = []
+        while v > from_version:
+            chain.append(v)
+            doc = self._snapshot_doc(v)
+            if doc['operation'] not in (
+                    'append', 'delete-keys', 'delete-positions'):
+                raise ValueError(
+                    f"read_changelog: snapshot v{v} is a "
+                    f"'{doc['operation']}' — changelog scans are "
+                    'defined over append/merge-on-read-delete history')
+            v = doc.get('parent') or 0
+        if v != from_version:
+            raise ValueError(
+                f'read_changelog: v{from_version} is not on '
+                f'v{to_version}\'s parent chain (expired?)')
+        for v in sorted(chain):
+            manifest = self.snapshot(v)
+            op = manifest['operation']
+            if op == 'append':
+                new_files = [f for f in manifest['files']
+                             if f.get('seq', 0) == v]
+                if not new_files:
+                    continue
+                df = self._read_entries(spark, new_files,
+                                        manifest.get('schema'))
+                events.append(df.select(
+                    '*', F.lit('insert').alias('_change_type'),
+                    F.lit(v).cast('int').alias('_commit_version')))
+                continue
+            dls = [d for d in (manifest.get('deletes') or [])
+                   if d['seq'] == v]
+            if len(dls) != 1:
+                raise ValueError(
+                    f'read_changelog: v{v} ({op}) carries '
+                    f'{len(dls)} delete files, expected 1')
+            d = dls[0]
+            prev = self.snapshot(v - 1)
+            state = self._read_files_mor(
+                spark, prev['files'], prev,
+                keep_positions=bool(d.get('positions')))
+            dfile = spark.read.parquet(
+                os.path.join(self.root, d['path']))
+            if d.get('positions'):
+                dfile = dfile.toDF('__snap_file', '__snap_pos')
+                deleted = state.join(
+                    F.broadcast(dfile.dropDuplicates()),
+                    on=['__snap_file', '__snap_pos'],
+                    how='left_semi').drop('__snap_file', '__snap_pos')
+            else:
+                deleted = state.join(
+                    F.broadcast(dfile.dropDuplicates()),
+                    on=list(d['key_cols']), how='left_semi')
+            events.append(deleted.select(
+                '*', F.lit('delete').alias('_change_type'),
+                F.lit(v).cast('int').alias('_commit_version')))
+        if not events:
+            return None
+        out = events[0]
+        for e in events[1:]:
+            out = out.unionByName(e, allowMissingColumns=True)
+        return out
 
     def _resolve_transform(self, partition_col,
                            spec: Optional[str]) -> Optional[str]:

@@ -1709,3 +1709,69 @@ def test_delete_positions_rewrite_applies_pending(spark, tmp_path):
     t.delete_where(spark, F.col('doc_id') >= 6)
     got = {r.doc_id for r in t.read(spark).collect()}
     assert got == {0, 1, 3, 4, 5}
+
+
+# -- changelog scan (CDC with merge-on-read deletes) --------------------------
+
+
+def test_changelog_inserts_and_deletes(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=6))                         # v1
+    t.delete_keys(spark, spark.createDataFrame(
+        [Row(doc_id=1), Row(doc_id=2)]), ['doc_id'])         # v2
+    t.append(_docs(spark, 'b', n=3))                         # v3
+    t.delete_positions(spark, (F.col('doc_id') == 0)
+                       & (F.col('ver') == 'b'))              # v4
+    log = t.read_changelog(spark, 0)
+    rows = {(r.doc_id, r.ver, r._change_type, r._commit_version)
+            for r in log.collect()}
+    inserts = {r for r in rows if r[2] == 'insert'}
+    deletes = {r for r in rows if r[2] == 'delete'}
+    assert len(inserts) == 9  # 6 at v1 + 3 at v3
+    assert deletes == {(1, 'a', 'delete', 2), (2, 'a', 'delete', 2),
+                       (0, 'b', 'delete', 4)}
+    # replaying the log reconstructs the visible state
+    visible = {(r.doc_id, r.ver) for r in t.read(spark).collect()}
+    replay = {(d, v) for d, v, op, _ in inserts} \
+        - {(d, v) for d, v, op, _ in deletes}
+    assert replay == visible
+
+
+def test_changelog_double_delete_emits_once(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=4))
+    keys = spark.createDataFrame([Row(doc_id=3)])
+    t.delete_keys(spark, keys, ['doc_id'])        # v2: deletes the row
+    t.delete_keys(spark, keys, ['doc_id'])        # v3: already gone
+    log = t.read_changelog(spark, 1)
+    dels = [(r.doc_id, r._commit_version) for r in log.collect()
+            if r._change_type == 'delete']
+    assert dels == [(3, 2)]  # the second delete emits NOTHING
+
+
+def test_changelog_window_and_rejects_rewrites(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=4))              # v1
+    t.append(_docs(spark, 'b', n=2))              # v2
+    log = t.read_changelog(spark, 1)              # window (1, 2]
+    assert {r.ver for r in log.collect()} == {'b'}
+    assert t.read_changelog(spark, 2) is None     # empty window
+    t.compact(spark)                              # v3: a rewrite
+    with pytest.raises(ValueError, match='compact'):
+        t.read_changelog(spark, 1)
+
+
+def test_changelog_delete_after_later_append_spares_new_rows(
+        spark, tmp_path):
+    # sequencing flows through the changelog: the delete at v3 targets
+    # only rows visible at v2, not same-key rows appended at v4
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=3))                       # v1,v2? no: v1
+    t.append(_docs(spark, 'x', n=1))                       # v2
+    t.delete_keys(spark, spark.createDataFrame(
+        [Row(doc_id=0)]), ['doc_id'])                      # v3
+    t.append(_docs(spark, 'y', n=1))                       # v4
+    log = t.read_changelog(spark, 0)
+    dels = {(r.doc_id, r.ver) for r in log.collect()
+            if r._change_type == 'delete'}
+    assert dels == {(0, 'a'), (0, 'x')}  # (0,'y') inserted after, spared
