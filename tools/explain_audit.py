@@ -433,6 +433,33 @@ def main():
              lambda p: p.count('CASE WHEN (doc_id') == 15),
         ])
 
+    audit(
+        'winnowing fingerprints (doc-bounded window, one shuffle, '
+        'no Python)',
+        textops.winnowing_fingerprints(docs),
+        [
+            ('no Python eval anywhere',
+             lambda p: 'EvalPython' not in p),
+            ('window partitions on the doc key (no single-partition '
+             'exchange)',
+             lambda p: 'SinglePartition' not in p),
+            ('exactly one exchange feeds the window + distinct '
+             '(same doc_id key reused)',
+             lambda p: p.count('Exchange hashpartitioning') <= 2),
+        ])
+    _emb = T.load_table(spark, sf_dir, 'embeddings')
+    audit(
+        'assign_to_centroids (serving path: map-only, centroid '
+        'literals inlined)',
+        similarity.assign_to_centroids(
+            _emb, {0: [0] * 64, 1: [1000] * 64}),
+        [
+            ('no Python eval in the assignment',
+             lambda p: 'EvalPython' not in p),
+            ('no shuffle (map-only projection)',
+             lambda p: 'Exchange' not in p),
+        ])
+
     # df comes from a window count over tf's term partition, so there is
     # no tf|><|df join to mis-broadcast; the only join left is the 1-row
     # n_docs cross join (hinted broadcast, which is correct). Hints
