@@ -89,3 +89,41 @@ def test_djvused2hocr_roundtrips_through_hocr2djvused(tmp_path):
 def test_golden_cases_importable():
     # keep the shared corpus loader import exercised from this module
     assert len(list(golden_cases())) == 68
+
+
+def test_snapshot_admin_metadata_and_changelog(spark, tmp_path, capsys):
+    from pyspark.sql import Row, functions as F
+    from ocrodjvu_spark.plans.snapstore import SnapshotTable
+    sys.path.insert(0, '/root/repo/tools')
+    import snapshot_admin
+
+    root = str(tmp_path / 't')
+    t = SnapshotTable(root)
+    t.append(spark.createDataFrame(
+        [Row(doc_id=i, bucket=i % 2) for i in range(8)]),
+        partition_col='bucket')
+    t.delete_keys(spark, spark.createDataFrame([Row(doc_id=5)]),
+                  ['doc_id'])
+
+    assert snapshot_admin.main([root, 'log']) == 0
+    out = capsys.readouterr().out
+    assert 'append' in out and 'delete-keys' in out
+
+    assert snapshot_admin.main([root, 'manifests']) == 0
+    out = capsys.readouterr().out
+    assert 'manifest files' in out and 'partition=' in out
+    assert '[pending delete]' in out and "keys=['doc_id']" in out
+
+    assert snapshot_admin.main([root, 'changelog', '--from', '0']) == 0
+    out = capsys.readouterr().out
+    assert 'inserts: 8' in out and 'deletes: 1' in out
+
+    # a rewrite in the window surfaces as an error, not a stack trace?
+    # (the CLI propagates the ValueError — callers see the message)
+    t.delete_positions(spark, F.col('doc_id') == 6)
+    assert snapshot_admin.main([root, 'changelog', '--from', '2']) == 0
+    out = capsys.readouterr().out
+    assert 'deletes: 1' in out
+
+    # not-a-table guard
+    assert snapshot_admin.main([str(tmp_path), 'log']) == 1

@@ -7,6 +7,8 @@ Usage:
     python tools/snapshot_admin.py <table_root> compact [--partition-col C]
         [--cluster-by A,B | --zorder-by A,B] [--target-partitions N]
     python tools/snapshot_admin.py <table_root> changes --from N [--to M]
+    python tools/snapshot_admin.py <table_root> changelog --from N [--to M]
+    python tools/snapshot_admin.py <table_root> manifests [--version N]
     python tools/snapshot_admin.py <table_root> diff --from N [--to M]
     python tools/snapshot_admin.py <table_root> ndv <column> [--ndv-p P]
     python tools/snapshot_admin.py <table_root> expire [--keep-last N]
@@ -49,6 +51,12 @@ def main(argv=None):
     p.add_argument('--from', dest='from_version', type=int, required=True)
     p.add_argument('--to', dest='to_version', type=int, default=None)
     p.add_argument('-n', type=int, default=20)
+    p = sub.add_parser('changelog')
+    p.add_argument('--from', dest='from_version', type=int, required=True)
+    p.add_argument('--to', dest='to_version', type=int, default=None)
+    p.add_argument('-n', type=int, default=20)
+    p = sub.add_parser('manifests')
+    p.add_argument('--version', type=int, default=None)
     p = sub.add_parser('diff')
     p.add_argument('--from', dest='from_version', type=int, required=True)
     p.add_argument('--to', dest='to_version', type=int, default=None)
@@ -95,6 +103,30 @@ def main(argv=None):
             return 1
         print(f'{args.column}: ~{est:.0f} distinct '
               f"(zero data I/O, p={tn.write_props()['ndv_p']})")
+        return 0
+
+    if args.cmd == 'manifests':
+        # metadata-only: the snapshot's manifest list with per-manifest
+        # aggregates (legacy inline snapshots print as one pseudo-row)
+        doc = t._snapshot_doc(args.version)
+        mlist = doc.get('manifest_list')
+        if mlist is None:
+            files = doc['files']
+            print(f"v{doc['version']}: legacy inline file list "
+                  f"({len(files)} files, "
+                  f"{sum(f.get('rows', 0) for f in files)} rows)")
+            return 0
+        print(f"v{doc['version']}: {len(mlist)} manifest files")
+        for m in mlist:
+            part = (f" partition={m['partition']}" if m.get('uniform')
+                    else ' (mixed partitions)')
+            print(f"  {m['path']}  files={m['n_files']:>4} "
+                  f"rows={m['rows']:>10}{part}")
+        for d in (doc.get('deletes') or []):
+            kind = ('positions' if d.get('positions')
+                    else f"keys={d['key_cols']}")
+            print(f"  [pending delete] {d['path']} rows={d['rows']} "
+                  f"seq={d['seq']} {kind}")
         return 0
 
     if args.cmd == 'diff':
@@ -155,6 +187,20 @@ def main(argv=None):
             return 0
         df.show(args.n, truncate=40)
         print('rows added:', df.count())
+        return 0
+
+    if args.cmd == 'changelog':
+        df = t.read_changelog(spark, args.from_version, args.to_version)
+        if df is None:
+            print('(no changes in window)')
+            return 0
+        df.orderBy('_commit_version').show(args.n, truncate=40)
+        from pyspark.sql import functions as SF
+        counts = {r['_change_type']: r['n'] for r in
+                  df.groupBy('_change_type')
+                    .agg(SF.count('*').alias('n')).collect()}
+        print(f"inserts: {counts.get('insert', 0)}  "
+              f"deletes: {counts.get('delete', 0)}")
         return 0
 
     return 2
