@@ -30,17 +30,27 @@ def _table_rows(spark, t):
 
 def _check_invariants(spark, t, model):
     assert _table_rows(spark, t) == model
-    # metadata-only count agrees with the data, totally and per bucket
-    assert t.count_rows() == sum(model.values())
-    assert t.count_rows(partition_values=[0]) == sum(
-        n for (d, b, v), n in model.items() if b == 0)
+    pending = bool(t._snapshot_doc().get('deletes'))
+    if pending:
+        # metadata counts are undefined while merge-on-read deletes
+        # are pending — the contract is an explicit raise
+        import pytest
+        with pytest.raises(ValueError, match='compact'):
+            t.count_rows()
+    else:
+        # metadata-only count agrees with the data, total + per bucket
+        assert t.count_rows() == sum(model.values())
+        assert t.count_rows(partition_values=[0]) == sum(
+            n for (d, b, v), n in model.items() if b == 0)
     # every on-disk file referenced by some snapshot (no orphans, no
-    # dangling references)
+    # dangling references); delete files count as referenced
     on_disk = {f'data/{n}' for n in os.listdir(t.data_dir)
                if n.endswith('.parquet')}
     referenced = set()
     for v in t.versions():
-        referenced |= {f['path'] for f in t.snapshot(v)['files']}
+        m = t.snapshot(v)
+        referenced |= {f['path'] for f in m['files']}
+        referenced |= {d['path'] for d in (m.get('deletes') or [])}
     assert on_disk == referenced
     # manifest pruning returns exactly the bucket's rows
     if model:
@@ -73,7 +83,8 @@ def test_random_operation_sequences_match_model(spark, tmp_path):
         for step in range(10):
             op = rng.choice(
                 ['append', 'append', 'replace', 'delete', 'compact',
-                 'expire', 'merge', 'delete_pruned', 'cluster'])
+                 'expire', 'merge', 'delete_pruned', 'cluster',
+                 'delete_keys', 'delete_positions'])
             ops_run.append(op)
             if op == 'append':
                 df, rows = _batch(spark, rng, f's{step}')
@@ -110,6 +121,28 @@ def test_random_operation_sequences_match_model(spark, tmp_path):
                 model = Counter({k: n for k, n in model.items()
                                  if k[0] not in keys})
                 model.update(rows)
+            elif op == 'delete_keys':
+                # merge-on-read equality delete of EXISTING matching
+                # rows; later appends are free to re-add the keys
+                if not model:
+                    continue
+                m = rng.randrange(2, 5)
+                keys = sorted({d for (d, _b, _v) in model
+                               if d % m == 0})
+                if not keys:
+                    continue
+                t.delete_keys(spark, spark.createDataFrame(
+                    [Row(doc_id=k) for k in keys]), ['doc_id'])
+                model = Counter({k: n for k, n in model.items()
+                                 if k[0] % m != 0})
+            elif op == 'delete_positions':
+                # merge-on-read position delete via predicate
+                if not model:
+                    continue
+                m = rng.randrange(2, 5)
+                t.delete_positions(spark, F.col('doc_id') % m == 1)
+                model = Counter({k: n for k, n in model.items()
+                                 if k[0] % m != 1})
             elif op == 'delete_pruned':
                 if not model:
                     continue
