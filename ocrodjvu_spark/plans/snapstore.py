@@ -77,6 +77,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from typing import Callable, Dict, List, Optional, Sequence
 
@@ -1618,6 +1619,51 @@ class SnapshotTable:
                 continue
         raise CommitConflict(
             f'compact: base kept changing for {max_retries} attempts')
+
+    def remove_orphans(self, older_than_sec: float = 3600.0
+                       ) -> List[str]:
+        """Reclaim data-directory files referenced by NO live snapshot
+        — crashed writers' stagings and never-committed delete files
+        (Iceberg's ``remove_orphan_files``, re-implemented). Every
+        commit path reclaims its own files on a clean failure; this
+        sweeps what a mid-stage CRASH leaves behind, which at 100 TB
+        is real storage (a died 1 GB staging per executor incident).
+
+        ``older_than_sec`` is the in-flight guard: writers stage
+        BEFORE claiming a version, so a file is only an orphan
+        candidate once its mtime is older than the longest plausible
+        stage-to-claim window. Orphaned ``.stage-*`` directories are
+        swept by the same age rule. Returns the reclaimed paths.
+        """
+        referenced = set()
+        for v in self.versions():
+            m = self.snapshot(v)
+            referenced |= {f['path'] for f in m['files']}
+            referenced |= {d['path']
+                           for d in (m.get('deletes') or [])}
+        now = time.time()
+        removed: List[str] = []
+        for name in sorted(os.listdir(self.data_dir)):
+            full = os.path.join(self.data_dir, name)
+            rel = f'data/{name}'
+            if rel in referenced:
+                continue
+            try:
+                age = now - os.path.getmtime(full)
+            except OSError:
+                continue  # vanished mid-scan (a racing cleaner)
+            if age < older_than_sec:
+                continue
+            if os.path.isdir(full):
+                if name.startswith('.stage-'):
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed.append(rel)
+                continue
+            if not name.endswith('.parquet'):
+                continue
+            os.remove(full)
+            removed.append(rel)
+        return removed
 
     def expire_snapshots(self, keep_last: int = 1) -> List[str]:
         """Drop all but the newest ``keep_last`` manifests and delete data

@@ -1775,3 +1775,34 @@ def test_changelog_delete_after_later_append_spares_new_rows(
     dels = {(r.doc_id, r.ver) for r in log.collect()
             if r._change_type == 'delete'}
     assert dels == {(0, 'a'), (0, 'x')}  # (0,'y') inserted after, spared
+
+
+def test_remove_orphans_sweeps_only_unreferenced_old_files(
+        spark, tmp_path):
+    import time as _time
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=6))
+    t.delete_keys(spark, spark.createDataFrame([Row(doc_id=1)]),
+                  ['doc_id'])
+    old = _time.time() - 7200
+    # a crashed writer's never-committed staging file + stage dir
+    orphan = os.path.join(t.data_dir, 'deadbeef-9.parquet')
+    open(orphan, 'wb').write(b'junk')
+    os.utime(orphan, (old, old))
+    stage = os.path.join(t.data_dir, '.stage-deadbeef')
+    os.makedirs(stage)
+    open(os.path.join(stage, 'part.parquet'), 'wb').write(b'junk')
+    os.utime(stage, (old, old))
+    # a FRESH unreferenced file is protected by the age floor
+    fresh = os.path.join(t.data_dir, 'cafebabe-0.parquet')
+    open(fresh, 'wb').write(b'junk')
+
+    removed = t.remove_orphans(older_than_sec=3600)
+    assert sorted(removed) == ['data/.stage-deadbeef',
+                               'data/deadbeef-9.parquet']
+    assert not os.path.exists(orphan) and not os.path.exists(stage)
+    assert os.path.exists(fresh)  # too young to judge
+    # referenced data + delete files untouched; table fully readable
+    got = {r.doc_id for r in t.read(spark).collect()}
+    assert got == set(range(6)) - {1}
+    assert t.read(spark, version=1).count() == 6

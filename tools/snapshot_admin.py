@@ -12,6 +12,7 @@ Usage:
     python tools/snapshot_admin.py <table_root> diff --from N [--to M]
     python tools/snapshot_admin.py <table_root> ndv <column> [--ndv-p P]
     python tools/snapshot_admin.py <table_root> expire [--keep-last N]
+    python tools/snapshot_admin.py <table_root> orphans [--older-than-sec S]
 
 `log` / `describe` are metadata-only (no Spark); `show` / `compact`
 start a local session. A path without a manifests/ directory is
@@ -66,6 +67,8 @@ def main(argv=None):
                    help='override the recorded register exponent')
     p = sub.add_parser('expire')
     p.add_argument('--keep-last', type=int, default=1)
+    p = sub.add_parser('orphans')
+    p.add_argument('--older-than-sec', type=float, default=3600.0)
     args = parser.parse_args(argv)
 
     if not os.path.isdir(os.path.join(args.root, 'manifests')):
@@ -155,6 +158,13 @@ def main(argv=None):
         deleted = t.expire_snapshots(keep_last=args.keep_last)
         print(f'expired: {len(deleted)} data files reclaimed; '
               f'versions kept: {t.versions()}')
+        return 0
+
+    if args.cmd == 'orphans':
+        removed = t.remove_orphans(older_than_sec=args.older_than_sec)
+        print(f'orphans reclaimed: {len(removed)}')
+        for rel in removed:
+            print(f'  {rel}')
         return 0
 
     from ocrodjvu_spark.session import get_spark
