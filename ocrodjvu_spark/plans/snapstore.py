@@ -613,12 +613,26 @@ class SnapshotTable:
 
     # -- reads --------------------------------------------------------------
 
+    def version_at(self, ts: float) -> int:
+        """Timestamp time travel resolution: the highest version whose
+        ``committed_at`` stamp is <= ``ts`` (epoch seconds) — Iceberg's
+        snapshot-as-of-timestamp rule. Versions predating the stamp
+        (legacy) are treated as infinitely old, so they resolve for
+        any ``ts``. Returns 0 when every snapshot is newer."""
+        best = 0
+        for v in self.versions():
+            at = self._snapshot_doc(v).get('committed_at')
+            if at is None or at <= ts:
+                best = max(best, v)
+        return best
+
     def read(
         self,
         spark: SparkSession,
         version: Optional[int] = None,
         partition_values: Optional[Sequence] = None,
         stats_filters: Optional[Sequence] = None,
+        as_of: Optional[float] = None,
     ) -> Optional[DataFrame]:
         """A DataFrame pinned to one snapshot's explicit file list.
 
@@ -630,10 +644,16 @@ class SnapshotTable:
         FILE-level: the surviving files still contain non-matching rows,
         so the caller applies the same predicate row-level on the
         returned frame (exactly how an engine consumes Iceberg's
-        bounds). Returns None for an empty table/snapshot — callers
+        bounds). ``as_of`` (epoch seconds, mutually exclusive with
+        ``version``) resolves via ``version_at`` — timestamp time
+        travel. Returns None for an empty table/snapshot — callers
         decide their own empty-schema story, same convention as
         ``checkpoint._read_sidecar``.
         """
+        if as_of is not None:
+            if version is not None:
+                raise ValueError('read: pass version OR as_of, not both')
+            version = self.version_at(as_of)
         doc = self._snapshot_doc(version)
         if 'manifest_list' in doc and partition_values is not None:
             # MANIFEST-LIST pruning: a uniform-partition manifest
@@ -2008,6 +2028,11 @@ class SnapshotTable:
             if committed_transform is not None:
                 manifest['partition_transform'] = committed_transform
             manifest['write_props'] = self.write_props()
+            # wall-clock commit stamp for timestamp time travel
+            # (version_at / read(as_of=...)); writer clock skew can
+            # reorder stamps across writers — the same caveat as
+            # Iceberg's snapshot timestamps
+            manifest['committed_at'] = time.time()
             if tag is not None:
                 manifest['tag'] = tag
             if self._claim_version(base_version + 1, manifest):

@@ -1806,3 +1806,22 @@ def test_remove_orphans_sweeps_only_unreferenced_old_files(
     got = {r.doc_id for r in t.read(spark).collect()}
     assert got == set(range(6)) - {1}
     assert t.read(spark, version=1).count() == 6
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    import time as _time
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'v1', n=4))
+    between = _time.time()
+    _time.sleep(0.05)
+    t.overwrite(_docs(spark, 'v2', n=2))
+    assert t.version_at(between) == 1
+    assert t.version_at(_time.time()) == 2
+    assert t.version_at(between - 1e6) == 0
+    old = t.read(spark, as_of=between)
+    assert old.count() == 4
+    assert {r.ver for r in old.select('ver').distinct().collect()} \
+        == {'v1'}
+    assert t.read(spark, as_of=_time.time()).count() == 2
+    with pytest.raises(ValueError, match='not both'):
+        t.read(spark, version=1, as_of=between)

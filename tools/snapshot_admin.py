@@ -80,12 +80,18 @@ def main(argv=None):
     t = SnapshotTable(args.root)
 
     if args.cmd == 'log':
+        import datetime
         for v in t.versions():
             m = t.snapshot(v)
             rows = sum(f.get('rows', 0) for f in m['files'])
             tag = f" tag={m['tag']}" if m.get('tag') else ''
+            at = m.get('committed_at')
+            when = ('' if at is None else datetime.datetime
+                    .fromtimestamp(at, datetime.timezone.utc)
+                    .strftime('  %Y-%m-%d %H:%M:%SZ'))
             print(f"v{v}  {m['operation']:<20} "
-                  f"files={len(m['files']):>4} rows={rows:>10}{tag}")
+                  f"files={len(m['files']):>4} rows={rows:>10}"
+                  f"{when}{tag}")
         return 0
 
     if args.cmd == 'describe':
