@@ -2004,18 +2004,39 @@ class SnapshotTable:
                 if list_op == 'append' and entries:
                     ml_new, written = self._pack_manifests(entries)
                     mlist = base_mlist + ml_new
+                    summary = {
+                        'added_files': len(entries),
+                        'added_rows': sum(e['rows'] for e in entries),
+                        'removed_files': 0, 'removed_rows': 0}
                 else:
                     mlist, written = base_mlist, []
+                    summary = {'added_files': 0, 'added_rows': 0,
+                               'removed_files': 0, 'removed_rows': 0}
             else:
                 new_files = apply(list(base['files']))
                 mlist, written = self._pack_manifests(
                     new_files, base.get('manifest_list'))
+                old = {f['path']: f['rows'] for f in base['files']}
+                new = {f['path']: f['rows'] for f in new_files}
+                summary = {
+                    'added_files': sum(1 for p in new if p not in old),
+                    'added_rows': sum(r for p, r in new.items()
+                                      if p not in old),
+                    'removed_files': sum(1 for p in old
+                                         if p not in new),
+                    'removed_rows': sum(r for p, r in old.items()
+                                        if p not in new)}
             manifest = {
                 'version': base_version + 1,
                 'parent': base_version or None,
                 'operation': operation,
                 'schema': committed_schema,
                 'manifest_list': mlist,
+                # FILE-level commit summary (Iceberg snapshot summary
+                # shape): what this commit added/removed without
+                # diffing snapshots; delete-file commits read 0/0 here
+                # (their row effect is merge-on-read)
+                'summary': summary,
             }
             base_deletes = list(base.get('deletes') or [])
             dels = (apply_deletes(base_deletes)

@@ -1825,3 +1825,18 @@ def test_timestamp_time_travel(spark, tmp_path):
     assert t.read(spark, as_of=_time.time()).count() == 2
     with pytest.raises(ValueError, match='not both'):
         t.read(spark, version=1, as_of=between)
+
+
+def test_commit_summary_records_file_deltas(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=6))
+    s1 = t._snapshot_doc(1)['summary']
+    assert s1['added_rows'] == 6 and s1['removed_files'] == 0
+    t.overwrite(_docs(spark, 'b', n=2))
+    s2 = t._snapshot_doc(2)['summary']
+    assert s2['added_rows'] == 2 and s2['removed_rows'] == 6
+    t.delete_keys(spark, spark.createDataFrame([Row(doc_id=0)]),
+                  ['doc_id'])
+    s3 = t._snapshot_doc(3)['summary']
+    assert s3 == {'added_files': 0, 'added_rows': 0,
+                  'removed_files': 0, 'removed_rows': 0}

@@ -89,9 +89,13 @@ def main(argv=None):
             when = ('' if at is None else datetime.datetime
                     .fromtimestamp(at, datetime.timezone.utc)
                     .strftime('  %Y-%m-%d %H:%M:%SZ'))
+            s = m.get('summary')
+            delta = ('' if not s else
+                     f"  (+{s['added_files']}f/+{s['added_rows']}r"
+                     f" -{s['removed_files']}f/-{s['removed_rows']}r)")
             print(f"v{v}  {m['operation']:<20} "
                   f"files={len(m['files']):>4} rows={rows:>10}"
-                  f"{when}{tag}")
+                  f"{when}{delta}{tag}")
         return 0
 
     if args.cmd == 'describe':
