@@ -655,14 +655,22 @@ class SnapshotTable:
                 raise ValueError('read: pass version OR as_of, not both')
             version = self.version_at(as_of)
         doc = self._snapshot_doc(version)
-        if 'manifest_list' in doc and partition_values is not None:
+        if 'manifest_list' in doc and (partition_values is not None
+                                       or stats_filters is not None):
             # MANIFEST-LIST pruning: a uniform-partition manifest
-            # whose value is not wanted is skipped without even
-            # loading it — O(partitions) planning instead of O(files)
-            wanted = {str(v) for v in partition_values}
+            # whose value is not wanted — or whose aggregated column
+            # bounds disprove the stats filters — is skipped without
+            # even loading it: O(partitions) planning, not O(files)
+            wanted = (None if partition_values is None
+                      else {str(v) for v in partition_values})
             files = []
             for m in doc['manifest_list']:
-                if m.get('uniform') and str(m['partition']) not in wanted:
+                if (wanted is not None and m.get('uniform')
+                        and str(m['partition']) not in wanted):
+                    continue
+                if (stats_filters is not None and m.get('stats')
+                        and not file_may_match(
+                            {'stats': m['stats']}, stats_filters)):
                     continue
                 for e in self._load_manifest_file(m['path']):
                     e = dict(e)
@@ -2142,14 +2150,32 @@ class SnapshotTable:
     @staticmethod
     def _mf_summary(rel: str, entries: List[dict]) -> dict:
         """A manifest-list entry: path + the aggregates that let reads
-        prune (uniform partition value) and count (row sum) WITHOUT
-        loading the manifest file."""
+        prune (uniform partition value, per-column stat bounds) and
+        count (row sum) WITHOUT loading the manifest file."""
         out = {'path': rel, 'n_files': len(entries),
                'rows': sum(e['rows'] for e in entries)}
         pvs = {e.get('partition') for e in entries}
         if len(pvs) == 1:
             out['partition'] = next(iter(pvs))
             out['uniform'] = True
+        # list-level column bounds (Iceberg manifest-list
+        # partition/field summaries): a column qualifies only when
+        # EVERY entry carries stats for it — otherwise pruning on the
+        # aggregate could skip a stats-less file that matches
+        cols = None
+        for e in entries:
+            ks = set((e.get('stats') or {}).keys())
+            cols = ks if cols is None else (cols & ks)
+        stats = {}
+        for c in (cols or ()):
+            los = [e['stats'][c][0] for e in entries]
+            his = [e['stats'][c][1] for e in entries]
+            try:
+                stats[c] = [min(los), max(his)]
+            except TypeError:
+                continue  # mixed un-orderable bounds: not summarizable
+        if stats:
+            out['stats'] = stats
         return out
 
     def _reclaim_manifest_files(self, written: List[str]) -> None:

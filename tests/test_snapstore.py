@@ -1840,3 +1840,23 @@ def test_commit_summary_records_file_deltas(spark, tmp_path):
     s3 = t._snapshot_doc(3)['summary']
     assert s3 == {'added_files': 0, 'added_rows': 0,
                   'removed_files': 0, 'removed_rows': 0}
+
+
+def test_manifest_list_stats_pruning_skips_whole_manifests(
+        spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(spark.createDataFrame(
+        [Row(doc_id=i, v='lo') for i in range(100)]))
+    t.append(spark.createDataFrame(
+        [Row(doc_id=i, v='hi') for i in range(500, 600)]))
+    fresh = SnapshotTable(str(tmp_path / 't'))
+    loaded = []
+    orig = fresh._load_manifest_file
+    fresh._load_manifest_file = (
+        lambda rel: (loaded.append(rel), orig(rel))[1])
+    got = fresh.read(spark, stats_filters=[('doc_id', '>=', 550)])
+    assert got.where(F.col('doc_id') >= 550).count() == 50
+    assert len(set(loaded)) == 1  # the 'lo' manifest never loaded
+    # conservative when a column is absent from the summary
+    assert fresh.read(
+        spark, stats_filters=[('nope', '>=', 1)]).count() == 200

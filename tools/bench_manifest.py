@@ -27,9 +27,11 @@ from ocrodjvu_spark.plans.snapstore import SnapshotTable, file_may_match
 
 
 def synth_entries(n, n_parts, tag):
+    # RANGE-correlated partitions (a clustered table): partition k
+    # holds the k-th doc_id slice, so manifest-level bounds are tight
     return [
         {'path': f'data/{tag}-{i}.parquet',
-         'partition': str(i % n_parts),
+         'partition': str(i * n_parts // n),
          'rows': 1000,
          'stats': {'doc_id': [i * 1000, (i + 1) * 1000],
                    'score': [0.0, 1.0]}}
@@ -68,6 +70,22 @@ def main():
                                    * 1000)])]
     prune_s = time.time() - t0
 
+    # list-level stats pruning: manifests whose aggregated bounds
+    # disprove the filter are skipped WITHOUT loading (fresh handle,
+    # cold cache — measures planning cost, not file reads)
+    lister = SnapshotTable(root)
+    flt = [('doc_id', '>=', (n - n // 100) * 1000)]
+    t0 = time.time()
+    doc_l = lister._snapshot_doc()
+    kept_mfs = [m for m in doc_l['manifest_list']
+                if not m.get('stats')
+                or file_may_match({'stats': m['stats']}, flt)]
+    survivors = []
+    for m in kept_mfs:
+        survivors += [e for e in lister._load_manifest_file(m['path'])
+                      if file_may_match(e, flt)]
+    list_prune_s = time.time() - t0
+
     counter = SnapshotTable(root)
     t0 = time.time()
     total = counter.count_rows()
@@ -96,6 +114,9 @@ def main():
         'snapshot_load_sec': round(load_s, 4),
         'stats_prune_sec': round(prune_s, 4),
         'pruned_kept': len(kept),
+        'list_level_prune_sec': round(list_prune_s, 4),
+        'list_level_manifests_loaded': len(kept_mfs),
+        'list_level_kept': len(survivors),
         'count_rows_sec': round(count_s, 4),
         'count_one_partition': one_part,
         'inc_commit_10_files_sec': round(inc_commit_s, 4),
