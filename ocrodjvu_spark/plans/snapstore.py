@@ -613,6 +613,61 @@ class SnapshotTable:
 
     # -- reads --------------------------------------------------------------
 
+    def set_ref(self, name: str, version: int) -> None:
+        """Point a NAMED REF at a committed version (atomic tmp +
+        fsync + rename; a pointer is last-writer-wins). Refs are the
+        WRITE-AUDIT-PUBLISH gate (Iceberg refs/branch pattern,
+        re-implemented for the linear chain): writers commit
+        snapshots normally, an audit job validates version N, then
+        ``set_ref('published', N)`` — consumers reading
+        ``read(ref='published')`` never see unaudited commits, and
+        ``expire_snapshots`` keeps every ref-pinned snapshot alive
+        regardless of the retention window. Forked writes (diverging
+        branch commits) are out of scope — the chain is linear; a ref
+        is a published pointer onto it."""
+        import re
+        if not re.fullmatch(r'[A-Za-z0-9_\-]{1,64}', name):
+            raise ValueError(f'invalid ref name {name!r}')
+        if version != 0 and version not in self.versions():
+            raise ValueError(f'ref target v{version} does not exist')
+        tmp = os.path.join(self.manifest_dir,
+                           f'.tmp-ref-{uuid.uuid4().hex}.json')
+        with open(tmp, 'w', encoding='utf-8') as fh:
+            json.dump({'version': version}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, os.path.join(self.manifest_dir,
+                                    f'r-{name}.json'))
+
+    def get_ref(self, name: str) -> Optional[int]:
+        """The version a ref points at, or None if unset."""
+        try:
+            with open(os.path.join(self.manifest_dir,
+                                   f'r-{name}.json'),
+                      encoding='utf-8') as fh:
+                return int(json.load(fh)['version'])
+        except FileNotFoundError:
+            return None
+        except (ValueError, KeyError, json.JSONDecodeError):
+            return None  # torn/garbage pointer reads as unset
+
+    def refs(self) -> Dict[str, int]:
+        """All named refs (name -> version)."""
+        out: Dict[str, int] = {}
+        for fn in os.listdir(self.manifest_dir):
+            if fn.startswith('r-') and fn.endswith('.json'):
+                v = self.get_ref(fn[2:-5])
+                if v is not None:
+                    out[fn[2:-5]] = v
+        return out
+
+    def drop_ref(self, name: str) -> None:
+        try:
+            os.remove(os.path.join(self.manifest_dir,
+                                   f'r-{name}.json'))
+        except FileNotFoundError:
+            pass
+
     def version_at(self, ts: float) -> int:
         """Timestamp time travel resolution: the highest version whose
         ``committed_at`` stamp is <= ``ts`` (epoch seconds) — Iceberg's
@@ -633,6 +688,7 @@ class SnapshotTable:
         partition_values: Optional[Sequence] = None,
         stats_filters: Optional[Sequence] = None,
         as_of: Optional[float] = None,
+        ref: Optional[str] = None,
     ) -> Optional[DataFrame]:
         """A DataFrame pinned to one snapshot's explicit file list.
 
@@ -650,10 +706,15 @@ class SnapshotTable:
         decide their own empty-schema story, same convention as
         ``checkpoint._read_sidecar``.
         """
+        if sum(x is not None for x in (version, as_of, ref)) > 1:
+            raise ValueError(
+                'read: version, as_of and ref are mutually exclusive')
         if as_of is not None:
-            if version is not None:
-                raise ValueError('read: pass version OR as_of, not both')
             version = self.version_at(as_of)
+        if ref is not None:
+            version = self.get_ref(ref)
+            if version is None:
+                raise ValueError(f'unknown ref {ref!r}')
         doc = self._snapshot_doc(version)
         if 'manifest_list' in doc and (partition_values is not None
                                        or stats_filters is not None):
@@ -1709,9 +1770,13 @@ class SnapshotTable:
         double-apply every consumed batch on the next refresh.
         """
         versions = self.versions()
-        if len(versions) <= keep_last:
+        keep = set(versions[-keep_last:] if keep_last > 0
+                   else versions)
+        # REF-PINNED snapshots never expire: a published pointer's
+        # target staying readable is the whole point of the WAP gate
+        keep |= {v for v in self.refs().values() if v in versions}
+        if keep >= set(versions):
             return []
-        keep = set(versions[-keep_last:])
         live = set()
         for v in keep:
             kept_manifest = self.snapshot(v)

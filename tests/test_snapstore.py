@@ -1823,7 +1823,7 @@ def test_timestamp_time_travel(spark, tmp_path):
     assert {r.ver for r in old.select('ver').distinct().collect()} \
         == {'v1'}
     assert t.read(spark, as_of=_time.time()).count() == 2
-    with pytest.raises(ValueError, match='not both'):
+    with pytest.raises(ValueError, match='mutually exclusive'):
         t.read(spark, version=1, as_of=between)
 
 
@@ -1860,3 +1860,34 @@ def test_manifest_list_stats_pruning_skips_whole_manifests(
     # conservative when a column is absent from the summary
     assert fresh.read(
         spark, stats_filters=[('nope', '>=', 1)]).count() == 200
+
+
+def test_refs_publish_gate_and_expiry_pinning(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'v1', n=4))
+    t.set_ref('published', 1)         # audit passed: publish v1
+    t.append(_docs(spark, 'v2', n=2))  # unaudited commits pile up
+    t.overwrite(_docs(spark, 'v3', n=1))
+    # consumers on the ref never see unaudited commits
+    pub = t.read(spark, ref='published')
+    assert pub.count() == 4
+    assert {r.ver for r in pub.select('ver').distinct().collect()} \
+        == {'v1'}
+    # expiry keeps the ref-pinned snapshot even outside the window
+    t.expire_snapshots(keep_last=1)
+    assert 1 in t.versions() and 2 not in t.versions()
+    fresh = SnapshotTable(str(tmp_path / 't'))
+    assert fresh.read(spark, ref='published').count() == 4
+    assert fresh.refs() == {'published': 1}
+    # publish advances; drop unpins
+    fresh.set_ref('published', 3)
+    assert fresh.read(spark, ref='published').count() == 1
+    fresh.drop_ref('published')
+    with pytest.raises(ValueError, match='unknown ref'):
+        fresh.read(spark, ref='published')
+    with pytest.raises(ValueError, match='does not exist'):
+        fresh.set_ref('x', 99)
+    with pytest.raises(ValueError, match='invalid ref name'):
+        fresh.set_ref('../escape', 1)
+    with pytest.raises(ValueError, match='mutually exclusive'):
+        fresh.read(spark, version=3, ref='published')

@@ -13,6 +13,8 @@ Usage:
     python tools/snapshot_admin.py <table_root> ndv <column> [--ndv-p P]
     python tools/snapshot_admin.py <table_root> expire [--keep-last N]
     python tools/snapshot_admin.py <table_root> orphans [--older-than-sec S]
+    python tools/snapshot_admin.py <table_root> refs | set-ref <name> <V>
+        | drop-ref <name>
 
 `log` / `describe` are metadata-only (no Spark); `show` / `compact`
 start a local session. A path without a manifests/ directory is
@@ -69,6 +71,12 @@ def main(argv=None):
     p.add_argument('--keep-last', type=int, default=1)
     p = sub.add_parser('orphans')
     p.add_argument('--older-than-sec', type=float, default=3600.0)
+    sub.add_parser('refs')
+    p = sub.add_parser('set-ref')
+    p.add_argument('name')
+    p.add_argument('version', type=int)
+    p = sub.add_parser('drop-ref')
+    p.add_argument('name')
     args = parser.parse_args(argv)
 
     if not os.path.isdir(os.path.join(args.root, 'manifests')):
@@ -168,6 +176,21 @@ def main(argv=None):
         deleted = t.expire_snapshots(keep_last=args.keep_last)
         print(f'expired: {len(deleted)} data files reclaimed; '
               f'versions kept: {t.versions()}')
+        return 0
+
+    if args.cmd == 'refs':
+        for name, v in sorted(t.refs().items()):
+            print(f'{name} -> v{v}')
+        return 0
+
+    if args.cmd == 'set-ref':
+        t.set_ref(args.name, args.version)
+        print(f'{args.name} -> v{args.version}')
+        return 0
+
+    if args.cmd == 'drop-ref':
+        t.drop_ref(args.name)
+        print(f'dropped {args.name}')
         return 0
 
     if args.cmd == 'orphans':
