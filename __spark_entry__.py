@@ -878,6 +878,46 @@ def _q_doc_chunks(spark, sf_dir):
     return textops.chunk_documents(docs, window=64, stride=48)
 
 
+def _q_snapshot_mview_cdc(spark, sf_dir):
+    # CDC-driven incremental MV over a MUTATING source (where the
+    # append-only refresh_incremental raises): two refreshes bracket a
+    # history of append / equality-delete / append / position-delete
+    # commits; inserts and the window's delete keys commit in ONE
+    # atomic claim (cursor tag rides it), so a replay is a no-op —
+    # asserted in-gate. The final view must equal the transform of the
+    # source's final visible state, which the oracle reconstructs
+    # set-algebraically.
+    import os
+    from ocrodjvu_spark.plans.snapstore import (SnapshotTable,
+                                                refresh_incremental_cdc)
+    docs = T.load_table(spark, sf_dir, 'documents') \
+        .select('doc_id', 'n_chars')
+    base = _gate_tempdir('ocrodjvu-spark-mviewcdc-')
+    src = SnapshotTable(os.path.join(base, 'src'))
+    mv = SnapshotTable(os.path.join(base, 'mv'))
+
+    def transform(df):
+        return df.where(F.col('n_chars') >= 200) \
+                 .select('doc_id', 'n_chars')
+
+    src.append(docs)
+    src.delete_keys(spark, docs.where(F.col('doc_id') % 9 == 0)
+                    .select('doc_id'), ['doc_id'])
+    if refresh_incremental_cdc(spark, src, mv, transform,
+                               ['doc_id']) is None:
+        raise AssertionError('first CDC refresh must commit')
+    src.append(docs.where(F.col('doc_id') % 13 == 0).select(
+        (F.col('doc_id') + F.lit(1000000)).alias('doc_id'), 'n_chars'))
+    src.delete_positions(spark, F.col('doc_id') % 7 == 3)
+    if refresh_incremental_cdc(spark, src, mv, transform,
+                               ['doc_id']) is None:
+        raise AssertionError('second CDC refresh must commit')
+    if refresh_incremental_cdc(spark, src, mv, transform,
+                               ['doc_id']) is not None:
+        raise AssertionError('replayed refresh must be a no-op')
+    return mv.read(spark)
+
+
 def _q_snapshot_changelog(spark, sf_dir):
     # CDC WITH DELETES (Iceberg changelog-scan shape): append corpus
     # (v1), equality-delete every 9th doc (v2), append re-crawled
@@ -2281,6 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ann_index_persisted': _q_ann_index_persisted,
         'winnowing_fingerprints': _q_winnowing_fingerprints,
         'snapshot_changelog': _q_snapshot_changelog,
+        'snapshot_mview_cdc': _q_snapshot_mview_cdc,
         'extract_uax29_thai': _q_extract_uax29_thai,
         'extract_uax29_cjk_dict': _q_extract_uax29_cjk_dict,
         'checkpoint_snapshot': _q_checkpoint_snapshot,
@@ -3217,6 +3258,19 @@ def oracle_sql() -> dict[str, str]:
         # integer-quantized log-probs (1e6 grid): LONG sums are exact
         # and order-independent, so Spark and DuckDB agree bit-for-bit
         'dedup_substring_spans': _sql_dup_spans(),
+        'snapshot_mview_cdc': '''
+            WITH base AS (SELECT doc_id, n_chars FROM documents),
+            ins3 AS (
+                SELECT doc_id + 1000000 AS doc_id, n_chars
+                FROM base WHERE doc_id % 13 = 0
+            ),
+            vis3 AS (
+                SELECT * FROM base WHERE doc_id % 9 <> 0
+                UNION ALL SELECT * FROM ins3
+            )
+            SELECT doc_id, n_chars FROM vis3
+            WHERE doc_id % 7 <> 3 AND n_chars >= 200
+        ''',
         'snapshot_changelog': '''
             WITH base AS (SELECT doc_id, n_chars FROM documents),
             ins3 AS (

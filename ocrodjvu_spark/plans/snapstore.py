@@ -2338,3 +2338,117 @@ def refresh_incremental(spark: SparkSession, source: SnapshotTable,
             continue  # cursor moved under us: recompute the window
     raise CommitConflict(
         f'refresh_incremental({name}): cursor kept moving')
+
+
+def refresh_incremental_cdc(spark: SparkSession, source: SnapshotTable,
+                            sink: SnapshotTable, transform,
+                            key_cols: Sequence[str],
+                            name: str = 'mv',
+                            partition_col: Optional[str] = None
+                            ) -> Optional[int]:
+    """Exactly-once incremental view maintenance over a MUTATING
+    source: consumes ``read_changelog`` (inserts AND merge-on-read
+    deletes), where ``refresh_incremental`` would raise on the first
+    delete commit in the window.
+
+    ``key_cols`` must be a PRIMARY KEY of the source (unique per
+    visible state) — the standard CDC-upsert-stream contract. Deletes
+    propagate to the sink BY KEY, so a duplicated key would make a
+    row-level source delete (e.g. ``delete_positions`` hitting one of
+    two rows sharing the key) over-delete the other row's sink
+    derivative; with a unique key, key-deletes and row-deletes
+    coincide. Row-wise ``transform`` must PRESERVE ``key_cols`` (sink
+    rows correspond to source rows on them — checked). Per window:
+
+    * The batch's NET insert set: insert events not followed (by
+      ``_commit_version``) by a delete of the same key — an insert
+      whose key the window later deletes must not reach the sink, a
+      delete-then-reinsert must.
+    * Delete events become ONE equality-delete file on ``key_cols``.
+    * Both commit in a SINGLE atomic claim (apply adds the data files,
+      apply_deletes adds the delete file, the ``<name>@<hi>`` cursor
+      tag rides the same commit) — a crash can never apply half a
+      batch. Data-sequence semantics make the combined commit correct:
+      the delete file and this batch's data files share one seq, and
+      deletes apply only strictly-later (``d.seq > f.seq``), so the
+      batch's own inserts survive its own deletes while every
+      previously-synced row with a deleted key dies merge-on-read.
+
+    Returns the sink version committed, or None when already current.
+    The sink accumulates pending delete files at refresh cadence —
+    run ``sink.compact()`` periodically, exactly like any
+    merge-on-read consumer.
+    """
+    key_cols = list(key_cols)
+    for _attempt in range(10):
+        hi = source.current_version()
+        lo = sink.last_consumed(name)
+        if hi <= lo:
+            return None
+        log = source.read_changelog(spark, lo, hi)
+        if log is None:
+            return None  # empty window: cursor re-derives next call
+        dels = log.where(F.col('_change_type') == 'delete')
+        last_del = (dels.groupBy(*key_cols)
+                    .agg(F.max('_commit_version').alias('__last_del')))
+        ins = log.where(F.col('_change_type') == 'insert')
+        survivors = (ins.join(F.broadcast(last_del), key_cols, 'left')
+                     .where(F.col('__last_del').isNull()
+                            | (F.col('_commit_version')
+                               > F.col('__last_del')))
+                     .drop('__last_del', '_change_type',
+                           '_commit_version'))
+        new_rows = transform(survivors)
+        missing = [k for k in key_cols if k not in new_rows.columns]
+        if missing:
+            raise ValueError(
+                f'refresh_incremental_cdc: transform dropped key '
+                f'columns {missing} — deletes could not be propagated')
+        sink_tf = sink._snapshot_doc().get('partition_transform')
+        entries, schema = sink._stage(
+            new_rows, partition_col, partition_transform=sink_tf)
+        data_entries = [e for e in entries if e['rows'] > 0]
+        sink._delete_entries(  # empty stagings: reclaim, don't commit
+            [e for e in entries if e['rows'] == 0])
+        del_entry = None
+        kdf = dels.select(*key_cols).dropDuplicates()
+        stage_id = uuid.uuid4().hex
+        stage_dir = os.path.join(sink.data_dir, f'.stage-{stage_id}')
+        kdf.coalesce(1).write.parquet(stage_dir)
+        try:
+            for fn in sorted(os.listdir(stage_dir)):
+                if fn.endswith('.parquet'):
+                    rel = f'data/{stage_id}-del.parquet'
+                    os.rename(os.path.join(stage_dir, fn),
+                              os.path.join(sink.root, rel))
+                    rows, _stats = SnapshotTable._file_meta(
+                        os.path.join(sink.root, rel))
+                    if rows > 0:
+                        del_entry = {'path': rel,
+                                     'key_cols': key_cols,
+                                     'rows': rows}
+                    else:
+                        sink._delete_entries([{'path': rel}])
+                    break
+        finally:
+            shutil.rmtree(stage_dir, ignore_errors=True)
+        staged = data_entries + ([del_entry] if del_entry else [])
+
+        def apply(base, de=data_entries):
+            return base + de
+
+        def apply_deletes(base, d=del_entry):
+            return base + [d] if d else base
+        try:
+            return sink._commit(
+                'cdc-refresh', staged, schema,
+                apply=apply, apply_deletes=apply_deletes,
+                tag=f'{name}@{hi}', evolve=True,
+                validate=lambda: (
+                    sink.last_consumed(name) == lo
+                    and sink._snapshot_doc().get('partition_transform')
+                    == sink_tf))
+        except _CompactConflict:
+            continue  # cursor moved under us: recompute the window
+    raise CommitConflict(
+        f'refresh_incremental_cdc({name}): cursor kept moving')

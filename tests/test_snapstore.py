@@ -1891,3 +1891,81 @@ def test_refs_publish_gate_and_expiry_pinning(spark, tmp_path):
         fresh.set_ref('../escape', 1)
     with pytest.raises(ValueError, match='mutually exclusive'):
         fresh.read(spark, version=3, ref='published')
+
+
+# -- CDC-driven incremental MV (mutating source) ------------------------------
+
+
+def _mv_state(spark, t):
+    df = t.read(spark)
+    if df is None:
+        return set()
+    return {(r.doc_id, r.ver) for r in df.collect()}
+
+
+def test_refresh_incremental_cdc_tracks_mutating_source(
+        spark, tmp_path):
+    # key_cols is a PRIMARY KEY of the source (the CDC-upsert
+    # contract) — every batch uses fresh or explicitly-reused ids
+    from ocrodjvu_spark.plans.snapstore import refresh_incremental_cdc
+    src = SnapshotTable(str(tmp_path / 'src'))
+    mv = SnapshotTable(str(tmp_path / 'mv'))
+
+    def batch(ids, ver):
+        return spark.createDataFrame(
+            [Row(doc_id=i, ver=ver) for i in ids])
+
+    def transform(df):
+        return df.where(F.col('doc_id') % 2 == 0) \
+                 .select('doc_id', 'ver')
+
+    src.append(batch(range(8), 'a'))
+    assert refresh_incremental_cdc(
+        spark, src, mv, transform, ['doc_id']) is not None
+    assert _mv_state(spark, mv) == {(d, 'a') for d in (0, 2, 4, 6)}
+    # idempotent replay: nothing new
+    assert refresh_incremental_cdc(
+        spark, src, mv, transform, ['doc_id']) is None
+
+    # one window with a delete, a same-key REINSERT, and fresh inserts
+    src.delete_keys(spark, spark.createDataFrame(
+        [Row(doc_id=2), Row(doc_id=4)]), ['doc_id'])
+    src.append(batch([2, 8, 9, 10], 'b'))  # 2 reborn as 'b'
+    assert refresh_incremental_cdc(
+        spark, src, mv, transform, ['doc_id']) is not None
+    want = {(r.doc_id, r.ver)
+            for r in transform(src.read(spark)).collect()}
+    assert _mv_state(spark, mv) == want
+    assert (2, 'b') in _mv_state(spark, mv)
+    assert (4, 'a') not in _mv_state(spark, mv)
+
+    # insert-then-delete INSIDE one window must not reach the sink;
+    # a key delete of an old row must evict its sink derivative
+    src.append(batch(range(20, 26), 'c'))
+    src.delete_positions(spark, F.col('ver') == 'c')
+    src.delete_keys(spark, spark.createDataFrame(
+        [Row(doc_id=6)]), ['doc_id'])
+    assert refresh_incremental_cdc(
+        spark, src, mv, transform, ['doc_id']) is not None
+    want = {(r.doc_id, r.ver)
+            for r in transform(src.read(spark)).collect()}
+    assert _mv_state(spark, mv) == want
+    state = _mv_state(spark, mv)
+    assert (6, 'a') not in state
+    assert not any(v == 'c' for _d, v in state)
+
+    # compact materializes the sink's accumulated delete files
+    mv.compact(spark)
+    assert not mv.snapshot().get('deletes')
+    assert _mv_state(spark, mv) == want
+
+
+def test_refresh_incremental_cdc_rejects_key_dropping_transform(
+        spark, tmp_path):
+    from ocrodjvu_spark.plans.snapstore import refresh_incremental_cdc
+    src = SnapshotTable(str(tmp_path / 'src'))
+    mv = SnapshotTable(str(tmp_path / 'mv'))
+    src.append(_docs(spark, 'a', n=2))
+    with pytest.raises(ValueError, match='dropped key'):
+        refresh_incremental_cdc(
+            spark, src, mv, lambda df: df.select('ver'), ['doc_id'])
