@@ -268,6 +268,35 @@ _THAI_LEXICON = _lex(
         ' รถ รถยนต์ รถไฟ รถเมล์ เรือ เครื่องบิน จักรยาน'
         ' งาน การบ้าน การเมือง เศรษฐกิจ สังคม ประวัติ วิทยาศาสตร์'
         ' คณิตศาสตร์ แพทย์ พยาบาล กลม'),
+    # more common content words (round-6 growth batch)
+    (4, 'ถือ จ่าย ยืม คืน แบ่ง เพิ่ม ลด เหลือ ขาด เกิน ครบ เสร็จ'
+        ' เกิด โต แก่ หนี ไล่ ซ่อน ค้น เดา สงสัย เชื่อ หวัง ฝัน'
+        ' ตื่น หลับ อาบน้ำ แปรงฟัน ช่วยเหลือ สอบถาม เล่าเรียน'
+        ' เจ็บป่วย ท่องเที่ยว พักผ่อน ออกกำลัง แต่งงาน หย่า'
+        ' ย้าย เช่า ผ่อน ขึ้นรถ ลงรถ ต่อรอง จอด เลี้ยว ตรง ข้าม'
+        ' ถอย ชน ล้ม ลื่น ตกใจ ตื่นเต้น ประหลาดใจ กังวล เครียด'
+        ' เบื่อ เหงา คิดถึง ภูมิใจ อิจฉา อาย โมโห หงุดหงิด'
+        ' ถุง กล่อง ขวด ถ้วย ไม้ เหล็ก พลาสติก กระจก ผ้า ฝ้าย'
+        ' ไหม หนัง เข็ม ด้าย เชือก กุญแจ ค้อน บันได พรม ม่าน'
+        ' หมอน ผ้าห่ม ที่นอน เทียน ไฟฉาย ถ่าน ปลั๊ก สายไฟ ท่อ'
+        ' สบู่ แชมพู ยาสีฟัน แปรงสีฟัน ผ้าเช็ดตัว กรรไกร'
+        ' เสื้อผ้า ชุด ถุงเท้า เข็มขัด กระดุม ซิป'
+        ' เงินเดือน รายได้ รายจ่าย ภาษี ดอกเบี้ย หนี้ กำไร'
+        ' ขาดทุน ส่วนลด ของขวัญ ของฝาก รางวัล โบนัส ประกัน'
+        ' สัญญา ใบเสร็จ ใบแจ้งหนี้ บัตร บัตรเครดิต บัญชี'
+        ' ธนบัตร เหรียญ กระปุก สาขา สำนักงาน โกดัง'
+        ' โรงงาน บริษัท ห้าง ร้านค้า แผง ลูกค้า พ่อค้า แม่ค้า'
+        ' ยาม ภารโรง ช่างไฟ ช่างประปา ช่างไม้ ช่างตัดผม'
+        ' ไข้หวัด ปวดหัว ปวดท้อง ท้องเสีย ไอ จาม แผล เลือดออก'
+        ' ยาแก้ปวด วิตามิน เข็มฉีดยา หมอฟัน คลินิก ห้องฉุกเฉิน'
+        ' เปล หน้ากาก วัคซีน เชื้อโรค ไข้เลือดออก'
+        ' สี่แยก สามแยก ทางด่วน ทางม้าลาย'
+        ' ป้ายรถเมล์ สถานีตำรวจ เทศบาล'
+        ' ชายหาด เกาะ แหลม อ่าว น้ำพุ บ่อ สระ เขื่อน'
+        ' พายุ ฟ้าร้อง ฟ้าผ่า น้ำท่วม แผ่นดินไหว ภัยแล้ง ควัน'
+        ' ฝุ่น ขยะ มลพิษ สิ่งแวดล้อม ธรรมชาติ พลังงาน ไฟฟ้า'
+        ' น้ำมัน แก๊ส ถ่านหิน พระอาทิตย์ พระจันทร์'
+        ' ท้องฟ้า อากาศ อุณหภูมิ ความชื้น ฤดูกาล'),
     # ordinary / rarer words (incl. the frequency-pin counterpart:
     # ตาก "expose/dry" loses ตากลม to ตา+กลม on cost, not word count)
     (5, 'ตาก ครอบ ครัว โรง เรียนรู้ ทดลอง สังเกต อธิบาย เปรียบ'
@@ -369,6 +398,50 @@ _CJK_LEXICON = _lex(
         ' 管理 组织 领导 服务 销售 购买 支付 礼物 生日 节日 春节'
         ' 国庆节 中秋节 婚礼 表演 演出 玩具 唱歌 跳舞 看书 写字'
         ' 买东西 说明 解释 练习 复习 预习 活动 邀请 约会 聚会'),
+    # more common content words (round-6 growth batch)
+    (4, '上班 下班 上课 下课 开车 坐车 骑车 走路 回家 出门 搬家'
+        ' 住院 出院 看病 吃药 打针 减肥 化妆 刷牙 洗脸 洗手 理发'
+        ' 做梦 起飞 降落 登机 托运 排队 取钱 存钱 汇款 转账 报名'
+        ' 注册 登录 退出 下载 上传 安装 卸载 更新 备份 删除 保存'
+        ' 打印 复印 扫描 搜索 浏览 点击 输入 输出 充电 关机 开机'
+        ' 重启 播放 暂停 录音 录像 直播 订阅 点赞 评论 转发 分享'
+        ' 发布 打电话 充电器 耳机 键盘 鼠标 屏幕 显示器 打印机'
+        ' 路由器 服务器 数据库 代码 算法 模型 训练 测试 部署 版本'
+        ' 漏洞 补丁 加密 解密 防火墙 病毒 黑客 隐私 权限 协议'
+        ' 接口 框架 函数 变量 参数 对象 类型 数组 字符串 整数'
+        ' 循环 条件 异常 日志 监控 报警 集群 节点 分区 副本 队列'
+        ' 缓存 索引 事务 快照 恢复 迁移 扩容 负载 吞吐 延迟 带宽'
+        ' 内存 硬盘 芯片 处理器 显卡 主板 电源 风扇 好像 似乎'
+        ' 大概 也许 差不多 几乎 完全 十分 相当 稍微 逐渐 渐渐'
+        ' 慢慢 快速 迅速 立即 赶紧 顺便 故意 终于 果然 居然 竟然'
+        ' 偶然 必然 显然 明显 清楚 模糊 准确 精确 大约 现金 零钱'
+        ' 发票 收据 账单 押金 租金 房租 水费 电费 物业 小区 楼梯'
+        ' 车库 地下室 前台 大堂 行李箱 护照 签证 身份证 驾照 车牌'
+        ' 地铁站 公交车 红绿灯 十字路口 人行道 高速公路 加油站'
+        ' 停车场 罚单 交通 堵车 事故 保险 修理 保养 轮胎 发动机'
+        ' 方向盘 刹车 油门 亲戚 长辈 夫妇 新郎 新娘 宝宝 双胞胎'
+        ' 房东 室友 同桌 班长 组长 队长 上司 下属 合伙人 股东'
+        ' 董事长 总裁 总监 主管 助理 实习生 志愿者 粉丝 观众 听众'
+        ' 读者 作者 译者 编辑 出版社 书店 课堂 讲座 演讲 培训'
+        ' 辅导 补习 笔记 草稿 答案 题目 及格 满分 奖学金 学费'
+        ' 校园 操场 食堂 实验 实习 招聘 面试 简历 录取 毕业生'
+        ' 校友 火锅 烧烤 炒饭 炒面 汤圆 粽子 月饼 春卷 烤鸭 豆浆'
+        ' 油条 稀饭 酱油 香油 味精 麻辣 清淡 油腻 过期 变质 年薪'
+        ' 月薪 加班 请假 休假 出差 退休 养老金 社保 公积金 利息'
+        ' 贷款 房贷 车贷 信用卡 余额 汇率 股市 基金 债券 分红'
+        ' 体检 血压 血糖 心率 体温 发炎 过敏 哮喘 糖尿病 高血压'
+        ' 心脏病 癌症 肿瘤 急诊 门诊 挂号 处方 药房 西药 中药'
+        ' 维生素 抗生素 疫苗 口罩 消毒 隔离 康复 大陆 半岛 海峡'
+        ' 海岸 港口 码头 灯塔 平原 盆地 高原 丘陵 山谷 山顶 山脚'
+        ' 悬崖 洞穴 温泉 冰川 极光 赤道 纬度 经度 时区 大气 气压'
+        ' 湿度 降水 干旱 雾霾 沙尘暴 龙卷风 海啸 目的 意义 责任'
+        ' 义务 权利 自由 平等 公平 正义 道德 法规 规则 秩序 改革'
+        ' 开放 创新 竞争 合作 交流 沟通 谈判 协商 妥协 冲突 矛盾'
+        ' 危机 挑战 机遇 风险 成功 失败 进步 增长 下降 趋势 比例'
+        ' 百分比 平均 总共 大量 少量 部分 整体 细节 重点 关键'
+        ' 核心 基础 前提 结论 证据 理由 观点 立场 印象 记忆 想象'
+        ' 创意 灵感 智慧 天赋 性格 脾气 情绪 压力 动力 信心 勇气'
+        ' 耐心 诚实 谦虚 骄傲 自信 乐观 悲观'),
     # traditional / Japanese kanji forms (kanji-only — see above)
     (4, '日本語 中国語 英語 韓国語 外国語 外国人 日本人 電話 電車'
         ' 電気 時間 仕事 会社 会議 学校 學校 學生 老師 先生 銀行'
@@ -380,7 +453,18 @@ _CJK_LEXICON = _lex(
         ' 住所 名前 家族 兄弟 姉妹 両親 子供 友達 彼女 彼氏 先輩'
         ' 後輩 同僚 社長 部長 課長 店員 医者 看護師 警察官 弁護士'
         ' 教師 生徒 毎日 毎週 毎月 毎年 今日 明日 昨日 今週 来週'
-        ' 先週 今月 来月 先月 来年 昨年 午前 午後 今晩 今夜 週末'),
+        ' 先週 今月 来月 先月 来年 昨年 午前 午後 今晩 今夜 週末'
+        ' 技術 芸術 歴史 美術 国語 英会話 電子 機械 自動 運転'
+        ' 練習 試合 優勝 選手 監督 観客 劇場 美術館 動物園 植物園'
+        ' 水族館 遊園地 温泉 旅館 予約 注文 会計 値段 割引 無料'
+        ' 有料 営業 開店 閉店 店長 品物 荷物 郵便 切手 封筒 葉書'
+        ' 携帯 番組 放送 医学 薬局 病気 頭痛 腹痛 風邪 注射 入院'
+        ' 退院 診察 年金 給料 残業 出張 会議室 部署 役所 市役所'
+        ' 警察署 消防署 裁判所 裁判官 大統領 首相 選挙 投票 憲法'
+        ' 条約 外交 輸出 輸入 関税 農業 漁業 建築 設計 製品 生産'
+        ' 消費 販売 宣伝 広告 市場 駅前 空気 天井 床屋 台所 玄関'
+        ' 廊下 屋根 庭園 噴水 横断歩道 交差点 信号'
+        ' 道路 地下鉄 切符 運賃 定期券 終電 始発'),
     # rarer / longer compounds
     (5, '研究生 大学生 中学生 小学生 留学生 研究所 实验室 幼儿园'
         ' 体育场 体育馆 游泳池 停车场 加油站 火车站 汽车站 飞机场'
