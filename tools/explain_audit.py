@@ -447,6 +447,30 @@ def main():
              '(same doc_id key reused)',
              lambda p: p.count('Exchange hashpartitioning') <= 2),
         ])
+    import tempfile
+    from pyspark.sql import Row
+    from ocrodjvu_spark.plans.snapstore import SnapshotTable
+    _snap = SnapshotTable(os.path.join(
+        tempfile.mkdtemp(prefix='plan-audit-snap-'), 't'))
+    _snap.append(spark.createDataFrame(
+        [Row(doc_id=i, v=i % 3) for i in range(64)]))
+    _snap.delete_keys(spark, spark.createDataFrame(
+        [Row(doc_id=3)]), ['doc_id'])
+    _snap.delete_positions(spark, F.col('doc_id') == 7)
+    audit(
+        'merge-on-read scan (pending equality + position deletes)',
+        _snap.read(spark),
+        [
+            ('delete files apply as BROADCAST anti-joins '
+             '(no shuffle join against tiny delete sets)',
+             lambda p: p.count('BroadcastHashJoin') >= 2
+             and 'LeftAnti' in p),
+            ('no sort-merge join anywhere in the MoR plan',
+             lambda p: 'SortMergeJoin' not in p),
+            ('no Python eval in the delete application',
+             lambda p: 'EvalPython' not in p),
+        ])
+
     _emb = T.load_table(spark, sf_dir, 'embeddings')
     audit(
         'assign_to_centroids (serving path: map-only, centroid '
