@@ -959,7 +959,11 @@ class SnapshotTable:
           with snapshot-diffing, which is what full-table refresh is
           for).
 
-        Returns None for an empty window.
+        Insert attribution uses data-sequence numbers (entries stamped
+        ``seq == v``), so windows must start at or after the first
+        seq-stamped commit — pre-sequencing legacy history (seq 0)
+        would attribute nothing; every table written since sequencing
+        landed qualifies. Returns None for an empty window.
         """
         if to_version is None:
             to_version = self.current_version()
