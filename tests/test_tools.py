@@ -72,3 +72,37 @@ def test_run_pipeline_jsonl_input_end_to_end(spark, tmp_path):
         [ln for ln in r.stdout.splitlines() if ln.startswith('{')][-1])
     assert summary['corrupt_input_lines'] == 1
     assert summary['total_turns'] == n
+
+
+def test_run_pipeline_snapshot_input_end_to_end(spark, tmp_path):
+    # snapshot-table INPUT through the production path: the 10^12-turn
+    # source is itself an Iceberg-style table — extraction reads a
+    # pinned published ref with merge-on-read deletes applied
+    import json as _json
+    import subprocess
+    from pyspark.sql import functions as F
+    from ocrodjvu_spark.plans.snapstore import SnapshotTable
+    from ocrodjvu_spark.sources import transcripts as T
+    tr = T.synthesize_transcripts(spark, '/root/testdata/sf0.001')
+    src = SnapshotTable(str(tmp_path / 'src'))
+    src.append(tr)
+    # a takedown lands as a merge-on-read delete; publish the result
+    src.delete_positions(spark, (F.col('conv_id') == 'conv-0')
+                         & (F.col('turn_idx') == 1))
+    src.set_ref('published', src.current_version())
+    src.append(tr.limit(5))  # unaudited commit AFTER the publish
+    want = tr.count() - 1
+    env = dict(os.environ, PYTHONPATH=REPO_ROOT)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, 'tools',
+                                      'run_pipeline.py'),
+         '--input', str(tmp_path / 'src'),
+         '--input-format', 'snapshot', '--input-ref', 'published',
+         '--output', str(tmp_path / 'out'),
+         '--sidecar', str(tmp_path / 'side'),
+         '--buckets', '4'],
+        capture_output=True, text=True, env=env, cwd=REPO_ROOT)
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = _json.loads(
+        [ln for ln in r.stdout.splitlines() if ln.startswith('{')][-1])
+    assert summary['total_turns'] == want

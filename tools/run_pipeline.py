@@ -4,11 +4,13 @@ Deploy (north rule: two cluster sizes, resumable, lineage sidecar):
 
     zip -r ocrodjvu_spark.zip ocrodjvu_spark
     spark-submit --py-files ocrodjvu_spark.zip tools/run_pipeline.py \\
-        --input <transcripts parquet/iceberg path> \\
+        --input <transcripts parquet/jsonl/snapshot-table path> \\
         --output <extracted table path> \\
         --sidecar <lineage table path> \\
         [--details words] [--uax29] [--rotation 0] \\
-        [--buckets 64] [--max-buckets N] [--salt 16] [--pages 17,37-42]
+        [--buckets 64] [--max-buckets N] [--salt 16] [--pages 17,37-42] \\
+        [--input-format snapshot --input-ref published] \\
+        [--table-format snapshot]
 
 On a cluster, master/executors come from spark-submit flags
 (--num-executors etc.); rerunning after a failure resumes from the
@@ -48,12 +50,22 @@ def main(argv=None):
     parser.add_argument('--pages', default=None,
                         help="turn ranges, e.g. '17,37-42'")
     parser.add_argument('--input-format', default='parquet',
-                        choices=('parquet', 'jsonl'),
+                        choices=('parquet', 'jsonl', 'snapshot'),
                         dest='input_format',
                         help='transcripts input encoding; jsonl reads '
                              'line-JSON with the transcript schema and '
                              'drops corrupt lines (counted in the '
-                             'summary)')
+                             'summary); snapshot reads a snapshot-'
+                             'manifest table (pinned file list, '
+                             'merge-on-read deletes applied; pin a '
+                             'version with --input-version or a '
+                             'published pointer with --input-ref)')
+    parser.add_argument('--input-version', type=int, default=None,
+                        help='snapshot input: time-travel to this '
+                             'version (default HEAD)')
+    parser.add_argument('--input-ref', default=None,
+                        help="snapshot input: read a published ref "
+                             "(e.g. 'published') instead of HEAD")
     parser.add_argument('--table-format', default='parquet',
                         choices=('parquet', 'snapshot'),
                         dest='table_format',
@@ -85,6 +97,15 @@ def main(argv=None):
             F.col('_corrupt_record').isNotNull()).count()
         transcripts = raw.where(F.col('_corrupt_record').isNull()) \
             .drop('_corrupt_record')
+    elif args.input_format == 'snapshot':
+        from ocrodjvu_spark.plans.snapstore import SnapshotTable
+        src = SnapshotTable(args.input)
+        transcripts = src.read(spark, version=args.input_version,
+                               ref=args.input_ref)
+        if transcripts is None:
+            print(json.dumps({'error': 'empty snapshot input',
+                              'input': args.input}))
+            return 1
     else:
         transcripts = spark.read.parquet(args.input)
     pages = parse_page_numbers(args.pages)
