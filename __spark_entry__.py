@@ -2311,10 +2311,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this round, (3) previously-verified gates, oldest verdict first.
     # When adding a gate, insert it at the top of block (2).
     return {
-        # -- block 1+2 (round-6 rotation): the late-r5 gates that
-        #    have never held a driver verdict (consolidated where
-        #    round 6 merged them), then every gate round 6 changed
-        #    by consolidation — 30 entries ------------------------
+        # -- block 1+2 (round-6 rotation): round-6 NEW gates
+        #    (ann_index_persisted, winnowing_fingerprints,
+        #    snapshot_changelog, snapshot_mview_cdc) and round-6
+        #    CHANGED gates (the two segmentation pins, the
+        #    three-strategy corpus_takedown), then the late-r5 gates
+        #    that have never held a driver verdict (consolidated
+        #    where round 6 merged them) — 36 entries ---------------
         # round-6 additions/changes: persisted-IVF lifecycle (new);
         # frequency-costed lexicons altered the Thai pin (new ตากลม
         # suffix) and reweighted the CJK dictionary
