@@ -152,8 +152,12 @@ def train(
     each other and the sequential reference.
     """
     wc = word_counts(docs, text_col)
-    if wc.limit(max_local_state + 1).count() <= max_local_state:
-        counts = {r['word']: r['cnt'] for r in wc.collect()}
+    # ONE job decides the path AND fetches the state: take(N+1)
+    # returns at most N+1 rows — overflow means "too big, go
+    # distributed" without a second corpus-sized aggregation
+    head = wc.take(max_local_state + 1)
+    if len(head) <= max_local_state:
+        counts = {r['word']: r['cnt'] for r in head}
         return _train_from_counts(counts, n_merges, min_count)
     state = wc.select(
         word_repr_col(F.col('word')).alias('toks_str'), 'cnt')

@@ -376,6 +376,27 @@ def kmeans_labels(embeddings: DataFrame, k: int = 8, iterations: int = 3,
     return result
 
 
+def _nearest_centroid_scores(centroids) -> Column:
+    """The (exact-integer distance, cid) struct array over a ``qv``
+    column — the ONE scoring expression shared by the training loop
+    and the serving-time ``assign_to_centroids`` (the tie-break
+    contract must be identical by construction)."""
+    return F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col('qv'),
+                    F.array(*[F.lit(int(c)).cast('long') for c in vec]),
+                    lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast('long'),
+                lambda acc, d: acc + d,
+            ).alias('d'),
+            F.lit(cid).cast('int').alias('cid'),
+        )
+        for cid, vec in sorted(centroids.items())
+    ])
+
+
 def _quantized_points(embeddings: DataFrame, id_col: str,
                       vec_col: str, quant: int) -> DataFrame:
     return embeddings.select(
@@ -400,25 +421,12 @@ def _kmeans_loop(embeddings, k, iterations, id_col, vec_col, quant):
     centroids = {cid: list(r['qv']) for cid, r in enumerate(seed_rows)}
     dim = len(seed_rows[0]['qv'])
 
-    def assign(cents, points=None) -> DataFrame:
-        scored = F.array(*[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col('qv'),
-                        F.array(*[F.lit(int(c)).cast('long') for c in vec]),
-                        lambda a, b: (a - b) * (a - b)),
-                    F.lit(0).cast('long'),
-                    lambda acc, d: acc + d,
-                ).alias('d'),
-                F.lit(cid).cast('int').alias('cid'),
-            )
-            for cid, vec in sorted(cents.items())
-        ])
+    def assign(cents) -> DataFrame:
         # struct ordering is lexicographic: min distance, ties by cid
-        return (pts if points is None else points).select(
+        return pts.select(
             id_col, 'qv',
-            F.array_min(scored).getField('cid').alias('cluster'))
+            F.array_min(_nearest_centroid_scores(cents))
+             .getField('cid').alias('cluster'))
 
     for _ in range(iterations):
         means = assign(centroids).groupBy('cluster').agg(*[
@@ -454,22 +462,10 @@ def assign_to_centroids(embeddings: DataFrame, centroids,
     identical tie-break to ``kmeans_labels``): the serving-time path
     of a persisted IVF index. Output: (id, cluster)."""
     pts = _quantized_points(embeddings, id_col, vec_col, quant)
-    scored = F.array(*[
-        F.struct(
-            F.aggregate(
-                F.zip_with(
-                    F.col('qv'),
-                    F.array(*[F.lit(int(c)).cast('long') for c in vec]),
-                    lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast('long'),
-                lambda acc, d: acc + d,
-            ).alias('d'),
-            F.lit(cid).cast('int').alias('cid'),
-        )
-        for cid, vec in sorted(centroids.items())
-    ])
     return pts.select(
-        id_col, F.array_min(scored).getField('cid').alias('cluster'))
+        id_col,
+        F.array_min(_nearest_centroid_scores(centroids))
+         .getField('cid').alias('cluster'))
 
 
 def save_vector_index(spark, table_root: str, centroids,

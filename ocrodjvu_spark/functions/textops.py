@@ -499,6 +499,15 @@ def winnowing_fingerprints(docs: DataFrame, id_col='doc_id',
     ).select(F.col(id_col), F.col('p.pos').alias('pos'),
              (F.col('p.sh') * WINNOW_POS_CAP
               + F.col('p.pos')).alias('key'))
+    # the composite key is only injective below the cap — fail LOUDLY
+    # on a >= 2^20-token doc rather than corrupt its fingerprints
+    # (chunk such docs first; see doc_chunks)
+    pos_sh = pos_sh.select(
+        id_col, 'pos', 'key',
+        F.assert_true(F.col('pos') < WINNOW_POS_CAP,
+                      F.lit('winnowing: document exceeds '
+                            'WINNOW_POS_CAP positions'))
+         .alias('__chk')).drop('__chk')
     w_doc = Window.partitionBy(id_col)
     w_slide = (Window.partitionBy(id_col).orderBy('pos')
                .rowsBetween(Window.currentRow, window - 1))

@@ -383,6 +383,17 @@ def _merge_schema(base_json: Optional[str], new_json: str) -> str:
     return json.dumps(out)
 
 
+def _materialize_filters(filters):
+    """Copy (col, op, value) filters with any 'in' probe value
+    materialized to a list ONCE — a one-shot iterable probe would be
+    drained by the first ``file_may_match`` call and silently read as
+    empty (pruning everything) for every later file or manifest."""
+    if filters is None:
+        return None
+    return [(c, op, list(v) if op == 'in' else v)
+            for c, op, v in filters]
+
+
 def file_may_match(entry: dict, filters) -> bool:
     """Conservative file-level evaluation of a conjunction of simple
     predicates against a manifest entry's column stats.
@@ -394,8 +405,10 @@ def file_may_match(entry: dict, filters) -> bool:
     stats for a column, or a value that cannot be ordered against the
     recorded bounds, keep the file.
     """
+    import datetime as _dt
     stats = entry.get('stats') or {}
     blooms = entry.get('bloom') or {}
+    sv = entry.get('sv', 1)
     for col, op, value in filters:
         if op == 'in':
             # materialize ONCE: a one-shot iterable drained by the
@@ -410,6 +423,15 @@ def file_may_match(entry: dict, filters) -> bool:
                                 for k in keys):
                 return False  # definitely absent from this file
         if col not in stats:
+            continue
+        # temporal probes against pre-v2 stats are UNDECIDABLE: the
+        # previous encoding stored dates as day ordinals (micros now),
+        # so comparing a micros-normalized probe against versionless
+        # bounds would unsoundly prune — keep the file (the bloom
+        # probe above is scale-free and still ran)
+        if sv < 2 and any(
+                isinstance(v, (_dt.date, _dt.datetime))
+                for v in (value if op == 'in' else [value])):
             continue
         lo, hi = stats[col]
         if op == 'in':
@@ -715,6 +737,7 @@ class SnapshotTable:
             version = self.get_ref(ref)
             if version is None:
                 raise ValueError(f'unknown ref {ref!r}')
+        stats_filters = _materialize_filters(stats_filters)
         doc = self._snapshot_doc(version)
         if 'manifest_list' in doc and (partition_values is not None
                                        or stats_filters is not None):
@@ -731,7 +754,8 @@ class SnapshotTable:
                     continue
                 if (stats_filters is not None and m.get('stats')
                         and not file_may_match(
-                            {'stats': m['stats']}, stats_filters)):
+                            {'stats': m['stats'],
+                             'sv': m.get('sv', 1)}, stats_filters)):
                     continue
                 for e in self._load_manifest_file(m['path']):
                     e = dict(e)
@@ -1254,11 +1278,25 @@ class SnapshotTable:
           every non-append commit.
         """
         key_cols = list(key_cols)
-        kdf = keys.select(*key_cols).dropDuplicates()
+        entry = self._stage_delete_file(
+            keys.select(*key_cols).dropDuplicates(), key_cols)
+        if entry is None:
+            return self.current_version()  # empty key set: no-op
+        return self._commit(
+            'delete-keys', [entry], None,
+            apply=lambda base: list(base),
+            tag=tag,
+            apply_deletes=lambda base: base + [entry],
+            list_op='identity')
+
+    def _stage_delete_file(self, kdf, key_cols):
+        """Stage a delete-file parquet (one coalesced file of key
+        tuples or positions) and return its manifest entry, or None
+        when the frame is empty (the zero-row staging is reclaimed).
+        Shared by ``delete_keys`` and the CDC view refresher."""
         stage_id = uuid.uuid4().hex
         stage_dir = os.path.join(self.data_dir, f'.stage-{stage_id}')
         kdf.coalesce(1).write.parquet(stage_dir)
-        entry = None
         try:
             for name in sorted(os.listdir(stage_dir)):
                 if not name.endswith('.parquet'):
@@ -1268,21 +1306,34 @@ class SnapshotTable:
                           os.path.join(self.root, rel))
                 rows, _stats = self._file_meta(
                     os.path.join(self.root, rel))
-                entry = {'path': rel, 'key_cols': key_cols,
-                         'rows': rows}
-                break
+                if rows == 0:
+                    self._delete_entries([{'path': rel}])
+                    return None
+                return {'path': rel, 'key_cols': list(key_cols),
+                        'rows': rows}
         finally:
             shutil.rmtree(stage_dir, ignore_errors=True)
-        if entry is None or entry['rows'] == 0:
-            if entry is not None:
-                self._delete_entries([entry])
-            return self.current_version()  # empty key set: no-op
-        return self._commit(
-            'delete-keys', [entry], None,
-            apply=lambda base: list(base),
-            tag=tag,
-            apply_deletes=lambda base: base + [entry],
-            list_op='identity')
+        return None
+
+
+    def _deletes_unchanged_validator(self, base_manifest):
+        """A ``_commit`` validate hook for REWRITE commits: the pending
+        delete-file list must be exactly what this rewrite derived its
+        data from. A racing merge-on-read delete (list_op='identity')
+        changes NO data-file path, so the path-set check alone would
+        let the rewrite commit — and its freshly-sequenced files would
+        be exempt from (or, for compact, silently drop) a delete the
+        rewrite never applied, resurrecting taken-down rows."""
+        expected = sorted(d['path']
+                          for d in (base_manifest.get('deletes') or []))
+
+        def check():
+            return sorted(
+                d['path']
+                for d in (self._snapshot_doc().get('deletes') or [])
+            ) == expected
+        return check
+
 
     def delete_positions(self, spark: SparkSession, condition,
                          tag: Optional[str] = None,
@@ -1396,6 +1447,7 @@ class SnapshotTable:
             files0 = base_manifest['files']
             if not files0:
                 return base_version
+            prune_filters = _materialize_filters(prune_filters)
             if prune_filters is not None:
                 touched = [f for f in files0
                            if file_may_match(f, prune_filters)]
@@ -1432,8 +1484,10 @@ class SnapshotTable:
                 return untouched + entries
 
             try:
-                return self._commit('delete', entries, schema,
-                                    apply=apply)
+                return self._commit(
+                    'delete', entries, schema, apply=apply,
+                    validate=self._deletes_unchanged_validator(
+                        base_manifest))
             except _CompactConflict:
                 self._delete_entries(entries)
                 continue
@@ -1582,8 +1636,10 @@ class SnapshotTable:
                 # path, whose staged schema derives from the SOURCE
                 # frame (a retyped source column must fail the commit,
                 # not silently re-type files carried forward)
-                return self._commit('merge', entries, schema,
-                                    apply=apply, evolve=True)
+                return self._commit(
+                    'merge', entries, schema, apply=apply, evolve=True,
+                    validate=self._deletes_unchanged_validator(
+                        base_manifest))
             except _CompactConflict:
                 self._delete_entries(entries)
                 continue
@@ -1704,9 +1760,11 @@ class SnapshotTable:
                 return list(entries)
 
             try:
-                return self._commit('compact', entries, schema,
-                                    apply=apply,
-                                    apply_deletes=lambda base: [])
+                return self._commit(
+                    'compact', entries, schema, apply=apply,
+                    apply_deletes=lambda base: [],
+                    validate=self._deletes_unchanged_validator(
+                        base_manifest))
             except _CompactConflict:
                 self._delete_entries(entries)  # stale rewrite
                 continue
@@ -1734,6 +1792,9 @@ class SnapshotTable:
             referenced |= {f['path'] for f in m['files']}
             referenced |= {d['path']
                            for d in (m.get('deletes') or [])}
+            referenced |= {mf['path'] for mf in
+                           (self._snapshot_doc(v).get('manifest_list')
+                            or [])}
         now = time.time()
         removed: List[str] = []
         for name in sorted(os.listdir(self.data_dir)):
@@ -1755,6 +1816,24 @@ class SnapshotTable:
             if not name.endswith('.parquet'):
                 continue
             os.remove(full)
+            removed.append(rel)
+        # manifest files written by commits that crashed between
+        # _pack_manifests and the version claim (or lost the claim and
+        # died before reclaiming) are referenced by no snapshot —
+        # sweep them under the same age floor
+        for name in sorted(os.listdir(self.manifest_dir)):
+            if not (name.startswith('m-') and name.endswith('.json')):
+                continue
+            rel = f'manifests/{name}'
+            if rel in referenced:
+                continue
+            full = os.path.join(self.root, rel)
+            try:
+                if now - os.path.getmtime(full) < older_than_sec:
+                    continue
+                os.remove(full)
+            except OSError:
+                continue
             removed.append(rel)
         return removed
 
@@ -1878,6 +1957,12 @@ class SnapshotTable:
                         'partition': part_val,
                         'rows': rows,
                         'stats': stats,
+                        # stats-encoding version 2: temporal bounds on
+                        # one epoch-micros axis (round 6 re-encoded
+                        # dates from day ordinals — a versionless
+                        # entry's date/ts bounds cannot be trusted by
+                        # a temporal probe)
+                        'sv': 2,
                     }
                     blooms, ndv = self._file_structures(
                         df.sparkSession, full, props)
@@ -2245,6 +2330,7 @@ class SnapshotTable:
                 continue  # mixed un-orderable bounds: not summarizable
         if stats:
             out['stats'] = stats
+            out['sv'] = min(e.get('sv', 1) for e in entries)
         return out
 
     def _reclaim_manifest_files(self, written: List[str]) -> None:
@@ -2414,28 +2500,8 @@ def refresh_incremental_cdc(spark: SparkSession, source: SnapshotTable,
         data_entries = [e for e in entries if e['rows'] > 0]
         sink._delete_entries(  # empty stagings: reclaim, don't commit
             [e for e in entries if e['rows'] == 0])
-        del_entry = None
-        kdf = dels.select(*key_cols).dropDuplicates()
-        stage_id = uuid.uuid4().hex
-        stage_dir = os.path.join(sink.data_dir, f'.stage-{stage_id}')
-        kdf.coalesce(1).write.parquet(stage_dir)
-        try:
-            for fn in sorted(os.listdir(stage_dir)):
-                if fn.endswith('.parquet'):
-                    rel = f'data/{stage_id}-del.parquet'
-                    os.rename(os.path.join(stage_dir, fn),
-                              os.path.join(sink.root, rel))
-                    rows, _stats = SnapshotTable._file_meta(
-                        os.path.join(sink.root, rel))
-                    if rows > 0:
-                        del_entry = {'path': rel,
-                                     'key_cols': key_cols,
-                                     'rows': rows}
-                    else:
-                        sink._delete_entries([{'path': rel}])
-                    break
-        finally:
-            shutil.rmtree(stage_dir, ignore_errors=True)
+        del_entry = sink._stage_delete_file(
+            dels.select(*key_cols).dropDuplicates(), key_cols)
         staged = data_entries + ([del_entry] if del_entry else [])
 
         def apply(base, de=data_entries):

@@ -1797,10 +1797,17 @@ def test_remove_orphans_sweeps_only_unreferenced_old_files(
     fresh = os.path.join(t.data_dir, 'cafebabe-0.parquet')
     open(fresh, 'wb').write(b'junk')
 
+    # a crashed commit's never-referenced manifest file
+    mf_orphan = os.path.join(t.manifest_dir, 'm-deadbeef.json')
+    open(mf_orphan, 'w').write('{"entries": []}')
+    os.utime(mf_orphan, (old, old))
+
     removed = t.remove_orphans(older_than_sec=3600)
     assert sorted(removed) == ['data/.stage-deadbeef',
-                               'data/deadbeef-9.parquet']
+                               'data/deadbeef-9.parquet',
+                               'manifests/m-deadbeef.json']
     assert not os.path.exists(orphan) and not os.path.exists(stage)
+    assert not os.path.exists(mf_orphan)
     assert os.path.exists(fresh)  # too young to judge
     # referenced data + delete files untouched; table fully readable
     got = {r.doc_id for r in t.read(spark).collect()}
@@ -1969,3 +1976,77 @@ def test_refresh_incremental_cdc_rejects_key_dropping_transform(
     with pytest.raises(ValueError, match='dropped key'):
         refresh_incremental_cdc(
             spark, src, mv, lambda df: df.select('ver'), ['doc_id'])
+
+
+def test_compact_racing_mor_delete_rebases_not_drops(spark, tmp_path):
+    # a delete_keys landing between compact's base read and its claim
+    # changes NO data-file path — the path-set check alone would let
+    # the stale rewrite commit and silently DROP the pending delete.
+    # The deletes-list validator must force a rebase instead.
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=8))
+    interloper = SnapshotTable(str(tmp_path / 't'))
+    orig_claim = t._claim_version
+    fired = {}
+
+    def claim(version, manifest):
+        if not fired:
+            fired['x'] = True
+            interloper.delete_keys(
+                spark, spark.createDataFrame([Row(doc_id=3)]),
+                ['doc_id'])
+        return orig_claim(version, manifest)
+    t._claim_version = claim
+    t.compact(spark)
+    got = {r.doc_id for r in t.read(spark).collect()}
+    assert got == set(range(8)) - {3}  # the takedown survived compact
+    assert not t.snapshot().get('deletes')  # and was materialized
+
+
+def test_delete_where_racing_mor_delete_rebases(spark, tmp_path):
+    # same interleave against delete_where: without the validator the
+    # rewritten files' fresh seq would EXEMPT them from the racing
+    # delete, resurrecting its rows inside the touched files
+    t = SnapshotTable(str(tmp_path / 't'))
+    t.append(_docs(spark, 'a', n=8))
+    interloper = SnapshotTable(str(tmp_path / 't'))
+    orig_claim = t._claim_version
+    fired = {}
+
+    def claim(version, manifest):
+        if not fired:
+            fired['x'] = True
+            interloper.delete_keys(
+                spark, spark.createDataFrame([Row(doc_id=2)]),
+                ['doc_id'])
+        return orig_claim(version, manifest)
+    t._claim_version = claim
+    t.delete_where(spark, F.col('doc_id') >= 6)
+    got = {r.doc_id for r in t.read(spark).collect()}
+    assert got == {0, 1, 3, 4, 5}  # both deletes hold
+
+
+def test_legacy_ordinal_date_stats_never_prune(spark, tmp_path):
+    # pre-v2 manifests stored DATE stats as day ordinals; a
+    # micros-normalized temporal probe must treat such bounds as
+    # undecidable and KEEP the file (regression for the round-6
+    # stats re-encoding)
+    import datetime
+    from ocrodjvu_spark.plans.snapstore import file_may_match
+    legacy = {'path': 'data/x.parquet', 'rows': 10,
+              'stats': {'d': [738900, 738910]}}  # day ordinals, no sv
+    probe = [('d', '=', datetime.date(2024, 1, 22))]
+    assert file_may_match(legacy, probe)         # kept: undecidable
+    assert file_may_match(legacy, [('d', '<', datetime.datetime(
+        2024, 1, 1))])                           # any direction kept
+    # v2 stats (micros) prune normally
+    import time as _t
+    lo = datetime.datetime(2024, 1, 20,
+                           tzinfo=datetime.timezone.utc).timestamp()
+    hi = datetime.datetime(2024, 1, 21,
+                           tzinfo=datetime.timezone.utc).timestamp()
+    v2 = {'path': 'data/y.parquet', 'rows': 10, 'sv': 2,
+          'stats': {'d': [int(lo * 1e6), int(hi * 1e6)]}}
+    assert not file_may_match(v2, probe)         # provably outside
+    # non-temporal probes on legacy entries still prune
+    assert not file_may_match(legacy, [('d', '>', 10**9)])
