@@ -120,8 +120,12 @@ def zone_text(zone: Zone) -> str:
     order of the emitted s-expression, so per-turn text equality against
     the reference holds whenever the zone trees match.
     """
-    if not any(isinstance(c, Zone) for c in zone.children):
-        return ''.join(str(c) for c in zone.children)
+    children = zone.children
+    if len(children) == 1 and isinstance(children[0], str):
+        # dominant case: a word/char leaf with one text child
+        return children[0]
+    if not any(isinstance(c, Zone) for c in children):
+        return ''.join(str(c) for c in children)
     parts = [zone_text(c) for c in zone.children if isinstance(c, Zone)]
     child_types = [c.type for c in zone.children if isinstance(c, Zone)]
     if all(t < ZONE_WORD for t in child_types):

@@ -331,16 +331,53 @@ class _Scanner:
         m = _BOX_RE.search(title)
         if m:
             g = m.groups()
-            box = BBox(int(g[0]), int(g[1]), int(g[2]), int(g[3]))
+            # plain tuple on this path: BBox construction is deferred
+            # to the consumers that need the mutable monoid (truthiness
+            # matches — a regex hit always has four non-None ints)
+            boxt = (int(g[0]), int(g[1]), int(g[2]), int(g[3]))
         else:
-            box = BBox()
-        kind = self._kind_of(node, box)
+            boxt = None
+        kind = self._kind_of(node, boxt)
         if not kind:
             return self._splice(node, page_size)
         if kind == ZONE_PAGE:
-            box, page_size = self._page_frame(box)
+            box, page_size = self._page_frame(
+                BBox(*boxt) if boxt else BBox())
         elif page_size is None:
             raise MalformedHocr('unable to determine page size')
+        elif kind <= ZONE_WORD and len(node) == 0:
+            # leaf fast path: a word-or-finer element with no child
+            # nodes — the dominant element shape in hOCR (every word
+            # span).  Collapses _assemble -> _Mix -> _word_or_finer for
+            # this shape; byte-equivalent to the generic path (the _Mix
+            # here is trivially text-only), pinned by the golden corpus
+            # and tests/test_kernel_units.py::test_leaf_fast_path_*.
+            text = node.text
+            if not text:
+                return []
+            if boxt is None:
+                raise MalformedHocr('zone without bounding box information')
+            s = self.settings
+            if s.bbox_data is None:
+                want = s.details
+                if s.uax29 is not None and want <= TEXT_DETAILS_WORD:
+                    want = TEXT_DETAILS_CHARACTER
+                if want >= kind:
+                    # inlined _reshape_leaf early-out (+ engine strip)
+                    if s.tesseract:
+                        kept = _TRAILING_NEWLINE_RUN.sub('', text)
+                    else:
+                        kept = text.rstrip()
+                    return [Zone(type=ZONE_CHARACTER, bbox=boxt,
+                                 children=[kept])]
+            reshaped = _reshape_leaf(kind, s.bbox_data or title, text, s,
+                                     page_size)
+            if len(reshaped) == 1 and isinstance(reshaped[0], str):
+                return [Zone(type=ZONE_CHARACTER, bbox=boxt,
+                             children=reshaped)]
+            return reshaped
+        else:
+            box = BBox(*boxt) if boxt else BBox()
         return self._assemble(kind, node, box, title, page_size)
 
     def _splice(self, node, page_size):
@@ -360,15 +397,25 @@ class _Scanner:
         s = self.settings
         if s.cuneiform and s.cuneiform <= (0, 8):
             return _BARE_TAG_KIND.get(node.tag)
-        for token in (node.get('class') or '').split():
-            if s.tesseract and token == 'ocrx_word' and not box:
+        cls = node.get('class')
+        if cls:
+            # fast path: the whole class attribute is one known token
+            # (the dominant case); multi-token / unknown values fall
+            # through to the split loop with identical semantics
+            kind = _CLASS_KIND.get(cls)
+            if kind is not None:
+                if not (s.tesseract and not box and cls == 'ocrx_word'):
+                    return kind
                 # Tesseract > 3.00 reuses ocrx_word for markup that is
                 # not a word zone; box-less occurrences are noise
-                # (lib/hocr.py:224-228).
-                continue
-            kind = _CLASS_KIND.get(token)
-            if kind:
-                return kind
+                # (lib/hocr.py:224-228) — fall through to the 'p' check.
+            else:
+                for token in cls.split():
+                    if s.tesseract and token == 'ocrx_word' and not box:
+                        continue
+                    kind = _CLASS_KIND.get(token)
+                    if kind:
+                        return kind
         if node.tag == 'p':
             # Cuneiform >= 0.9 marks everything hOCR-style *except*
             # paragraphs (lib/hocr.py:233-235).

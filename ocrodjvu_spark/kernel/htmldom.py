@@ -110,7 +110,8 @@ class _TreeBuilder(html.parser.HTMLParser):
                 if k and self.root.get(k) is None:
                     self.root.set(k.lower(), v if v is not None else '')
             return
-        self._implied_close(tag)
+        if tag in _P_CLOSERS or tag in _SELF_NESTING_CLOSERS:
+            self._implied_close(tag)
         if tag in ('head', 'body'):
             # singleton structural elements directly under the root
             for child in self.root:
@@ -133,7 +134,8 @@ class _TreeBuilder(html.parser.HTMLParser):
             for k, v in attrs:
                 if k and k not in attrib:
                     attrib[k] = v if v is not None else ''
-        self._ensure_container(tag)
+        if self._stack[-1] is self.root:
+            self._ensure_container(tag)  # may replace self._stack
         stack = self._stack
         stack[-1].append(elem)
         if tag not in VOID_ELEMENTS:
@@ -168,11 +170,18 @@ class _TreeBuilder(html.parser.HTMLParser):
     def handle_data(self, data):
         if not data:
             return
-        if self._top() is self.root:
+        top = self._stack[-1]
+        if top is self.root:
             if data.isspace():
                 return
             self._ensure_container('span')
-        self._add_text(data)
+            top = self._stack[-1]
+        # inlined _add_text (hot path: one call per text/tail chunk)
+        if len(top):
+            last = top[-1]
+            last.tail = (last.tail or '') + data
+        else:
+            top.text = (top.text or '') + data
 
     def handle_comment(self, data):
         if self._top() is self.root:
@@ -240,81 +249,28 @@ def _find_tag_end(text: str, pos: int) -> int:
     return -1
 
 
-def _fast_feed(builder: '_TreeBuilder', text: str) -> None:
-    """Regex tokenizer emitting the same builder callbacks as
-    html.parser — identical DOM recovery semantics, ~2-3x faster on the
-    extraction hot path. Falls back is handled by the caller."""
-    unescape = html.unescape
-    n = len(text)
-    pos = 0
-    while pos < n:
-        lt = text.find('<', pos)
-        if lt < 0:
-            chunk = text[pos:]
-            builder.handle_data(unescape(chunk) if '&' in chunk else chunk)
-            break
-        if lt > pos:
-            chunk = text[pos:lt]
-            builder.handle_data(unescape(chunk) if '&' in chunk else chunk)
-        m = _STARTTAG_RE.match(text, lt)
-        if m is not None:
-            # fast path: tag end found in one C-side match; the attr
-            # segment then goes through the IDENTICAL logic as the slow
-            # path below, so the paths cannot diverge on e.g. 'a=x/>'
-            pos = _emit_starttag(
-                builder, m.group(1), m.group(2), text, m.end(), n)
-            continue
-        nxt = text[lt + 1] if lt + 1 < n else ''
-        if nxt == '!' or nxt == '?':
-            if text.startswith('<!--', lt):
-                end = text.find('-->', lt + 4)
-                if end < 0:
-                    builder.handle_comment(text[lt + 4:])
-                    break
-                builder.handle_comment(text[lt + 4:end])
-                pos = end + 3
-                continue
-            end = text.find('>', lt)
-            pos = n if end < 0 else end + 1
-            continue
-        if nxt == '/':
-            m = _NAME_RE.match(text, lt + 2)
-            end = text.find('>', lt)
-            if m and end >= 0:
-                builder.handle_endtag(m.group(0).lower())
-                pos = end + 1
-            else:
-                builder.handle_data('<')
-                pos = lt + 1
-            continue
-        m = _NAME_RE.match(text, lt + 1)
-        if not m:
-            builder.handle_data('<')
-            pos = lt + 1
-            continue
-        name = m.group(0)
-        end = _find_tag_end(text, m.end())
-        if end < 0:
-            pos = n  # unterminated tag: drop the rest (libxml2-like)
-            continue
-        pos = _emit_starttag(
-            builder, name, text[m.end():end], text, end + 1, n)
+_unescape = html.unescape
+
+# memo for parsed attribute segments: the parse is a pure function of
+# the segment text, and real markup repeats segments heavily (constant
+# class attributes, regular title grids). A miss costs one dict probe
+# on top of the parse; the table is cleared when full so memory stays
+# bounded on high-entropy corpora.
+_ATTR_CACHE: dict = {}
+_ATTR_CACHE_MAX = 8192
 
 
-def _emit_starttag(builder: '_TreeBuilder', name: str, attr_text: str,
-                   text: str, pos: int, n: int) -> int:
-    """Shared start-tag emission for both tokenizer paths: parse the
-    attr segment, fire the builder callback, and consume <script>
-    CDATA. Returns the resume position (``n`` ends the feed loop).
+def _parse_attrs(attr_text: str):
+    """Attr segment -> (attrs tuple, self_closing flag), memoized.
 
     Self-closing matches html.parser/HTML5: the tag is self-closed only
     when a bare '/' remains AFTER attribute parsing — in '<p a=1/>' the
     slash is part of the unquoted value (open <p> with a='1/'), while
     '<p a="1"/>', '<p a=1 />' and '<br/>' self-close.
     """
-    unescape = html.unescape
-    if not name.islower():
-        name = name.lower()
+    cached = _ATTR_CACHE.get(attr_text)
+    if cached is not None:
+        return cached
     attrs = []
     last_end = 0
     if attr_text and not attr_text.isspace():
@@ -326,15 +282,93 @@ def _emit_starttag(builder: '_TreeBuilder', name: str, attr_text: str,
             elif v[:1] in ('"', "'") and v[-1:] == v[:1]:
                 v = v[1:-1]
             if '&' in v:
-                v = unescape(v)
+                v = _unescape(v)
             attrs.append((k.lower(), v))
             last_end = am.end()
-    if attr_text[last_end:].strip() == '/':
-        builder.handle_startendtag(name, attrs)
-        return pos
-    builder.handle_starttag(name, attrs)
-    if name != 'script':
-        return pos
+    result = (tuple(attrs), attr_text[last_end:].strip() == '/')
+    if len(_ATTR_CACHE) >= _ATTR_CACHE_MAX:
+        _ATTR_CACHE.clear()
+    _ATTR_CACHE[attr_text] = result
+    return result
+
+
+def _fast_feed(builder: '_TreeBuilder', text: str) -> None:
+    """Regex tokenizer emitting the same builder callbacks as
+    html.parser — identical DOM recovery semantics, ~2-3x faster on the
+    extraction hot path. Falls back is handled by the caller."""
+    unescape = _unescape
+    n = len(text)
+    pos = 0
+    find = text.find
+    match_starttag = _STARTTAG_RE.match
+    handle_data = builder.handle_data
+    handle_starttag = builder.handle_starttag
+    while pos < n:
+        lt = find('<', pos)
+        if lt < 0:
+            chunk = text[pos:]
+            handle_data(unescape(chunk) if '&' in chunk else chunk)
+            break
+        if lt > pos:
+            chunk = text[pos:lt]
+            handle_data(unescape(chunk) if '&' in chunk else chunk)
+        m = match_starttag(text, lt)
+        if m is not None:
+            # fast path: tag end found in one C-side match; the attr
+            # segment then goes through the IDENTICAL logic as the slow
+            # path below, so the paths cannot diverge on e.g. 'a=x/>'
+            name = m.group(1)
+            if not name.islower():
+                name = name.lower()
+            attrs, selfclose = _parse_attrs(m.group(2))
+            pos = m.end()
+            if selfclose:
+                builder.handle_startendtag(name, list(attrs))
+            else:
+                handle_starttag(name, attrs)
+                if name == 'script':
+                    pos = _consume_script(builder, text, pos, n)
+            continue
+        nxt = text[lt + 1] if lt + 1 < n else ''
+        if nxt == '!' or nxt == '?':
+            if text.startswith('<!--', lt):
+                end = find('-->', lt + 4)
+                if end < 0:
+                    builder.handle_comment(text[lt + 4:])
+                    break
+                builder.handle_comment(text[lt + 4:end])
+                pos = end + 3
+                continue
+            end = find('>', lt)
+            pos = n if end < 0 else end + 1
+            continue
+        if nxt == '/':
+            m = _NAME_RE.match(text, lt + 2)
+            end = find('>', lt)
+            if m and end >= 0:
+                builder.handle_endtag(m.group(0).lower())
+                pos = end + 1
+            else:
+                handle_data('<')
+                pos = lt + 1
+            continue
+        m = _NAME_RE.match(text, lt + 1)
+        if not m:
+            handle_data('<')
+            pos = lt + 1
+            continue
+        name = m.group(0)
+        end = _find_tag_end(text, m.end())
+        if end < 0:
+            pos = n  # unterminated tag: drop the rest (libxml2-like)
+            continue
+        pos = _emit_starttag(
+            builder, name, text[m.end():end], text, end + 1, n)
+
+
+def _consume_script(builder: '_TreeBuilder', text: str, pos: int,
+                    n: int) -> int:
+    """Consume <script> CDATA after its start tag; returns resume pos."""
     sm = _SCRIPT_END_RE.search(text, pos)
     if sm is None:
         builder.handle_data(text[pos:])
@@ -344,6 +378,23 @@ def _emit_starttag(builder: '_TreeBuilder', name: str, attr_text: str,
     gt = text.find('>', sm.end())
     builder.handle_endtag('script')
     return n if gt < 0 else gt + 1
+
+
+def _emit_starttag(builder: '_TreeBuilder', name: str, attr_text: str,
+                   text: str, pos: int, n: int) -> int:
+    """Start-tag emission for the careful tokenizer path: parse the
+    attr segment, fire the builder callback, and consume <script>
+    CDATA. Returns the resume position (``n`` ends the feed loop)."""
+    if not name.islower():
+        name = name.lower()
+    attrs, selfclose = _parse_attrs(attr_text)
+    if selfclose:
+        builder.handle_startendtag(name, list(attrs))
+        return pos
+    builder.handle_starttag(name, attrs)
+    if name != 'script':
+        return pos
+    return _consume_script(builder, text, pos, n)
 
 
 def parse_html(text: str, fast: bool = True) -> ET.Element:

@@ -20,6 +20,7 @@ pure-Python engine.
 
 from __future__ import annotations
 
+import re
 import unicodedata
 from typing import Iterator
 
@@ -712,16 +713,19 @@ def _uax29_root_iterator(text: str, locale=None) -> Iterator[int]:
     yield n
 
 
+_WS_RUN = re.compile(r'\s+|\S+')
+
+
 def simple_word_break_iterator(text: str) -> Iterator[int]:
-    """Boundary at every space<->non-space transition, plus the end."""
-    if not text:
-        return
-    space = text[0].isspace()
-    for n, ch in enumerate(text):
-        if space != ch.isspace():
-            yield n
-            space = not space
-    yield len(text)
+    """Boundary at every space<->non-space transition, plus the end.
+
+    Implemented as a regex scan over maximal space/non-space runs;
+    ``\\s`` matches exactly the ``str.isspace()`` character set (verified
+    over the full Unicode range), so boundaries are identical to the
+    per-character loop this replaces.
+    """
+    for m in _WS_RUN.finditer(text):
+        yield m.end()
 
 
 def word_break_iterator(text: str, locale=None) -> Iterator[int]:

@@ -102,6 +102,10 @@ class BBox:
 
 ZoneChild = Union['Zone', str]
 
+# ``Zone.__init__``'s first parameter is named ``type`` (public API,
+# mirrors the reference) — keep a module-level alias to the builtin.
+_builtin_type = type
+
 
 class Zone:
     """A typed zone with a bbox and children (sub-zones or string leaves)."""
@@ -113,7 +117,11 @@ class Zone:
         # inline the bbox property setter: __init__ runs once per zone
         # on the extraction hot path
         self._bbox = None if bbox is None else tuple(bbox)
-        self.children: List[ZoneChild] = list(children)
+        # a list argument is adopted without copying (every caller
+        # passes a fresh list it does not reuse — audited + pinned by
+        # the golden corpus); other iterables are materialized
+        self.children: List[ZoneChild] = (
+            children if _builtin_type(children) is list else list(children))
 
     @property
     def bbox(self):
@@ -212,6 +220,13 @@ class Zone:
             assert self._bbox[:2] == (0, 0), 'page bbox must start at (0, 0)'
             w, h = self._bbox[2:]
             xform = _InverseRotation(rotation, w, h)
+            if xform.k == 0:
+                # the dominant rotation=0 case is a pure y-mirror:
+                # specialized walk, same min/max normalization as the
+                # generic transform (pinned by test_rotate_* and the
+                # goldens)
+                self._mirror_y(h)
+                return
         x0, y0 = xform(self._bbox[0], self._bbox[1])
         x1, y1 = xform(self._bbox[2], self._bbox[3])
         if x0 > x1:
@@ -222,6 +237,21 @@ class Zone:
         for child in self.children:
             if isinstance(child, Zone):
                 child.rotate(rotation, xform)
+
+    def _mirror_y(self, h: int):
+        """rotation=0 specialization of ``rotate``: y' = h - y with the
+        same swap normalization (equivalent to the k=0 xform path)."""
+        x0, y0, x1, y1 = self._bbox
+        if x0 > x1:
+            x0, x1 = x1, x0
+        ny0 = h - y1
+        ny1 = h - y0
+        if ny0 > ny1:
+            ny0, ny1 = ny1, ny0
+        self._bbox = (x0, ny0, x1, ny1)
+        for child in self.children:
+            if isinstance(child, Zone):
+                child._mirror_y(h)
 
 
 class _InverseRotation:
@@ -307,6 +337,8 @@ def group_words(zones: Sequence, details: int, word_break_iterator) -> list:
         return (x0 + w * n // m, y0, x0 + w * (n + 1) // m, y1)
 
     words = []
+    words_append = words.append
+    word_detail = details > TEXT_DETAILS_CHARACTER
     i = 0
     r = 0  # range cursor (segments are visited in order)
     n_ranges = len(ranges)
@@ -342,15 +374,14 @@ def group_words(zones: Sequence, details: int, word_break_iterator) -> list:
                 if cy1 is not None and (by1 is None or by1 < cy1):
                     by1 = cy1
             bbox = (bx0, by0, bx1, by1)
-        word = Zone(type=ZONE_WORD, bbox=bbox)
-        words.append(word)
-        if details > TEXT_DETAILS_CHARACTER:
-            word += [subtext]
+        if word_detail:
+            inner = [subtext]
         else:
-            word += [
+            inner = [
                 Zone(type=ZONE_CHARACTER, bbox=char_box(k),
                      children=[text[k]])
                 for k in range(i, j)
             ]
+        words_append(Zone(type=ZONE_WORD, bbox=bbox, children=inner))
         i = j
     return words
