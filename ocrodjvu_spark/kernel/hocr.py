@@ -318,6 +318,14 @@ class _Scanner:
 
     def __init__(self, settings: ExtractSettings):
         self.settings = settings
+        # per-document invariants, hoisted off the per-element path
+        # (dialect flags are set by detect_dialect before scanning;
+        # only bbox_data mutates during a scan, and only internally)
+        want = settings.details
+        if settings.uax29 is not None and want <= TEXT_DETAILS_WORD:
+            # UAX #29 segmentation re-derives word boxes from characters
+            want = TEXT_DETAILS_CHARACTER
+        self._want = want
 
     # -- element -> items ---------------------------------------------------
 
@@ -327,7 +335,7 @@ class _Scanner:
             # comments, processing instructions, script payloads:
             # boilerplate, never content (lib/hocr.py:203-205)
             return []
-        title = node.get('title') or ''
+        title = node.attrib.get('title') or ''
         m = _BOX_RE.search(title)
         if m:
             g = m.groups()
@@ -358,18 +366,14 @@ class _Scanner:
             if boxt is None:
                 raise MalformedHocr('zone without bounding box information')
             s = self.settings
-            if s.bbox_data is None:
-                want = s.details
-                if s.uax29 is not None and want <= TEXT_DETAILS_WORD:
-                    want = TEXT_DETAILS_CHARACTER
-                if want >= kind:
-                    # inlined _reshape_leaf early-out (+ engine strip)
-                    if s.tesseract:
-                        kept = _TRAILING_NEWLINE_RUN.sub('', text)
-                    else:
-                        kept = text.rstrip()
-                    return [Zone(type=ZONE_CHARACTER, bbox=boxt,
-                                 children=[kept])]
+            if s.bbox_data is None and self._want >= kind:
+                # inlined _reshape_leaf early-out (+ engine strip)
+                if s.tesseract:
+                    kept = _TRAILING_NEWLINE_RUN.sub('', text)
+                else:
+                    kept = text.rstrip()
+                return [Zone(type=ZONE_CHARACTER, bbox=boxt,
+                             children=[kept])]
             reshaped = _reshape_leaf(kind, s.bbox_data or title, text, s,
                                      page_size)
             if len(reshaped) == 1 and isinstance(reshaped[0], str):
@@ -397,7 +401,7 @@ class _Scanner:
         s = self.settings
         if s.cuneiform and s.cuneiform <= (0, 8):
             return _BARE_TAG_KIND.get(node.tag)
-        cls = node.get('class')
+        cls = node.attrib.get('class')
         if cls:
             # fast path: the whole class attribute is one known token
             # (the dominant case); multi-token / unknown values fall

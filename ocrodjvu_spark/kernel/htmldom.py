@@ -48,6 +48,21 @@ _SELF_NESTING_CLOSERS = frozenset(('li', 'td', 'th', 'tr', 'option'))
 
 _STRUCTURE = ('html', 'head', 'body')
 
+# one-probe tag classification for the builder hot path (replaces three
+# frozenset membership tests per start tag): bit 1 = implied-close
+# trigger, bit 2 = head/body singleton, bit 4 = void element
+_F_IMPLIED = 1
+_F_SECTION = 2
+_F_VOID = 4
+_TAG_FLAGS = {}
+for _t in _P_CLOSERS | _SELF_NESTING_CLOSERS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_IMPLIED
+for _t in ('head', 'body'):
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_SECTION
+for _t in VOID_ELEMENTS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_VOID
+del _t
+
 
 class _TreeBuilder(html.parser.HTMLParser):
 
@@ -104,15 +119,16 @@ class _TreeBuilder(html.parser.HTMLParser):
     def handle_starttag(self, tag, attrs):
         if not tag.islower():
             tag = tag.lower()
+        flags = _TAG_FLAGS.get(tag, 0)
         if tag == 'html':
             # merge attributes into the synthetic root
             for k, v in attrs:
                 if k and self.root.get(k) is None:
                     self.root.set(k.lower(), v if v is not None else '')
             return
-        if tag in _P_CLOSERS or tag in _SELF_NESTING_CLOSERS:
+        if flags & _F_IMPLIED:
             self._implied_close(tag)
-        if tag in ('head', 'body'):
+        if flags & _F_SECTION:
             # singleton structural elements directly under the root
             for child in self.root:
                 if child.tag == tag:
@@ -138,7 +154,7 @@ class _TreeBuilder(html.parser.HTMLParser):
             self._ensure_container(tag)  # may replace self._stack
         stack = self._stack
         stack[-1].append(elem)
-        if tag not in VOID_ELEMENTS:
+        if not flags & _F_VOID:
             stack.append(elem)
 
     def _ensure_container(self, tag: str):
@@ -158,12 +174,17 @@ class _TreeBuilder(html.parser.HTMLParser):
             self.handle_starttag(tag, attrs)
 
     def handle_endtag(self, tag):
-        tag = tag.lower()
+        if not tag.islower():
+            tag = tag.lower()
         if tag == 'html':
             return
-        for i in range(len(self._stack) - 1, 0, -1):
-            if self._stack[i].tag == tag:
-                del self._stack[i:]
+        stack = self._stack
+        if len(stack) > 1 and stack[-1].tag == tag:
+            stack.pop()  # dominant case: well-nested close of the top
+            return
+        for i in range(len(stack) - 2, 0, -1):
+            if stack[i].tag == tag:
+                del stack[i:]
                 return
         # unmatched end tag: ignore
 
@@ -200,6 +221,10 @@ class _TreeBuilder(html.parser.HTMLParser):
 
 
 _NAME_RE = re.compile(r'[a-zA-Z][-a-zA-Z0-9:._]*')
+# one-shot end-tag matcher for the common well-formed case; anything
+# with junk between the name and '>' falls back to the two-step
+# NAME-match + find('>') path with identical semantics
+_ENDTAG_RE = re.compile(r'</([a-zA-Z][-a-zA-Z0-9:._]*)\s*>')
 _ATTR_RE = re.compile(
     r'\s*([^\s=/>]+)(?:\s*=\s*("[^"]*"|\'[^\']*\'|[^\s>]*))?')
 # CDATA ends only at an end tag whose NAME is exactly 'script'
@@ -343,6 +368,11 @@ def _fast_feed(builder: '_TreeBuilder', text: str) -> None:
             pos = n if end < 0 else end + 1
             continue
         if nxt == '/':
+            m = _ENDTAG_RE.match(text, lt)
+            if m is not None:
+                builder.handle_endtag(m.group(1))
+                pos = m.end()
+                continue
             m = _NAME_RE.match(text, lt + 2)
             end = find('>', lt)
             if m and end >= 0:

@@ -594,6 +594,17 @@ def uax29_word_break_iterator(text: str, locale=None) -> Iterator[int]:
         # dominant case for space-split tokens, locale-independent
         yield n
         return
+    if _ASCII_WORDSPACE.match(text) is not None:
+        # ASCII [0-9A-Za-z ]*: alnum runs join (WB5/8/9/10), SP runs
+        # join (WB3d WSegSpace x WSegSpace), and every run transition
+        # is a WB999 boundary — so boundaries are exactly the run
+        # ends. Locale-independent inside this charset: no tailored
+        # character (sv/fi ':') and no dictionary script can occur.
+        # Pinned against the root engine by
+        # test_kernel_units.py::test_uax29_ascii_wordspace_fast_path.
+        for m in _ASCII_RUNS.finditer(text):
+            yield m.end()
+        return
     if locale is not None:
         parts = str(locale).replace('-', '_').lower().split('_')
         key = parts[0]
@@ -714,6 +725,8 @@ def _uax29_root_iterator(text: str, locale=None) -> Iterator[int]:
 
 
 _WS_RUN = re.compile(r'\s+|\S+')
+_ASCII_WORDSPACE = re.compile(r'[0-9A-Za-z ]*\Z')
+_ASCII_RUNS = re.compile(r' +|[0-9A-Za-z]+')
 
 
 def simple_word_break_iterator(text: str) -> Iterator[int]:

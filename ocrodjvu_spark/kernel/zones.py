@@ -194,16 +194,22 @@ class Zone:
             y0, y1 = y1, y0
         elif y0 == y1:
             y1 += 1
-        out.append(f'({ZONE_NAME[self.type]} {x0} {y0} {x1} {y1}')
         children = self.children
+        if len(children) == 1 and _builtin_type(children[0]) is str:
+            # dominant case (word/char leaf): emit in one fragment
+            out.append(f'({ZONE_NAME[self.type]} {x0} {y0} {x1} {y1} '
+                       f'{_escape_string(children[0])})')
+            return
+        out.append(f'({ZONE_NAME[self.type]} {x0} {y0} {x1} {y1}')
         if children:
             escape = _escape_string
+            append = out.append
             for child in children:
-                out.append(' ')
-                if isinstance(child, Zone):
+                append(' ')
+                if _builtin_type(child) is Zone:
                     child._compact_into(out)
                 else:
-                    out.append(escape(child))
+                    append(escape(child))
         else:
             out.append(' ""')  # sexpr() emits one empty-string leaf
         out.append(')')

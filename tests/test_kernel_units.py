@@ -58,6 +58,29 @@ class TestWordBreaks:
         assert list(word_break_iterator('a b')) == [1, 2, 3]
         assert list(word_break_iterator('a b', locale='en')) == [1, 2, 3]
 
+    def test_uax29_ascii_wordspace_fast_path(self):
+        # the [0-9A-Za-z ]* fast path must agree with the full root
+        # engine (run it with a charset-excluded char appended, then
+        # strip that tail boundary) for every locale family
+        import random
+        from ocrodjvu_spark.kernel import segment
+        rng = random.Random(7)
+        chars = 'abcXYZ019 '
+        for _ in range(300):
+            s = ''.join(rng.choice(chars)
+                        for _ in range(rng.randrange(0, 24)))
+            fast = list(uax29_word_break_iterator(s, locale='en'))
+            # recompute via the root engine directly (bypasses the
+            # fast path) — boundaries must be identical
+            root = list(segment._uax29_root_iterator(s)) if s else []
+            assert fast == root, (s, fast, root)
+
+    def test_simple_word_break_unicode_spaces(self):
+        # regex-run implementation: \s must keep matching exactly the
+        # str.isspace() set for representative exotic whitespace
+        for ws in ('\x1c', '\x1d', '\x85', '\xa0', ' ', '　'):
+            assert list(simple_word_break_iterator(f'a{ws}b')) == [1, 2, 3]
+
 
 class TestBBox:
     def test_union(self):
