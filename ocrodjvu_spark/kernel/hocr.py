@@ -493,7 +493,8 @@ class _Scanner:
             # becomes word zones
             items = group_words(
                 items, s.details,
-                lambda t: word_break_iterator(t, s.uax29))
+                lambda t: word_break_iterator(t, s.uax29),
+                simple=s.uax29 is None)
             if not items:
                 return on_empty
             drop_separators = False

@@ -20,6 +20,7 @@ Semantics match the reference zone model (ocrodjvu lib/text_zones.py:38-224):
 
 from __future__ import annotations
 
+import re
 from typing import Iterable, List, Sequence, Union
 
 from .sexpr import _escape_string
@@ -295,7 +296,51 @@ class _InverseRotation:
         return h - yr, xr
 
 
-def group_words(zones: Sequence, details: int, word_break_iterator) -> list:
+_HAS_WS = re.compile(r'\s')
+
+
+def _group_solid_words(zones) -> 'list | None':
+    """O(zones) regrouping for the dominant shape: solid text zones
+    separated by whitespace-only strings. Returns None when the shape
+    does not hold (zones that touch, embedded whitespace, empty-text
+    adjacency, partial/inverted boxes on multi-char zones) — the
+    caller then runs the generic path."""
+    words = []
+    append = words.append
+    prev_zone = False
+    for z in zones:
+        if _builtin_type(z) is str:
+            if not z:
+                # generic path raises IndexError on ''[0] — preserve
+                # that behavior by falling back
+                return None
+            prev_zone = False  # whitespace separator
+            continue
+        t = z.children[0] if z.children else None
+        if _builtin_type(t) is not str:
+            return None
+        if not t:
+            # zero-width zone: contributes nothing AND no separation
+            continue
+        if _HAS_WS.search(t) is not None:
+            if t.isspace():
+                prev_zone = False  # boxed whitespace acts as a gap
+                continue
+            return None  # mixed text: needs per-char splitting
+        if prev_zone:
+            return None  # adjacent solid zones merge into one word
+        bb = z._bbox
+        if len(t) > 1 and not (
+                bb is not None and bb[0] is not None
+                and bb[2] is not None and bb[0] <= bb[2]):
+            return None  # generic path re-derives from the char split
+        append(Zone(type=ZONE_WORD, bbox=bb, children=[t]))
+        prev_zone = True
+    return words
+
+
+def group_words(zones: Sequence, details: int, word_break_iterator,
+                simple: bool = False) -> list:
     """Fold a run of character zones (plus whitespace strings) into words.
 
     ``zones`` is a sequence of CHARACTER zones whose single child is a text
@@ -304,7 +349,19 @@ def group_words(zones: Sequence, details: int, word_break_iterator) -> list:
     offsets. Multi-char zones are split into per-char boxes with integer
     ``x0 + w*i//n`` interpolation before regrouping.
     Returns word zones, or ``[text]`` if only line detail was requested.
+
+    ``simple=True`` asserts the breaker is the space-run segmenter
+    (``uax29 is None``), enabling an O(zones) fast path when every zone
+    is a solid (whitespace-free) fragment separated by whitespace —
+    each zone is then exactly one word with its own bbox, matching the
+    generic path's single-zone-segment shortcut. Any other shape falls
+    back to the generic O(chars) path with identical results (pinned
+    by test_group_words_simple_fast_path_equivalence).
     """
+    if simple and details == TEXT_DETAILS_WORD:
+        fast = _group_solid_words(zones)
+        if fast is not None:
+            return fast
     # z[0] is the first character for plain strings and the first (text)
     # child for zones — faithful to the reference's indexing semantics.
     text = ''.join(z[0] for z in zones)

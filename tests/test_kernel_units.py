@@ -152,6 +152,50 @@ class TestGroupWords:
             for ch, bbox in spec
         ]
 
+    def test_group_words_simple_fast_path_equivalence(self):
+        # simple=True (space-run breaker) must match the generic path
+        # over shapes that exercise the fast path AND every bail-out:
+        # solid zones, adjacent zones, embedded spaces, boxed spaces,
+        # empty-text zones, partial/inverted boxes, '' separators
+        import random
+        from ocrodjvu_spark.kernel.zones import ZONE_WORD
+        rng = random.Random(11)
+        for _ in range(400):
+            items = []
+            x = 0
+            for _ in range(rng.randrange(1, 7)):
+                roll = rng.random()
+                if roll < 0.5:
+                    t = ''.join(rng.choice('abc')
+                                for _ in range(rng.randrange(1, 4)))
+                elif roll < 0.62:
+                    t = 'a b'     # embedded space: must bail
+                elif roll < 0.72:
+                    t = ' '       # boxed whitespace gap
+                elif roll < 0.8:
+                    t = ''        # zero-width zone
+                else:
+                    t = 'xy'
+                bbox = rng.choice([
+                    (x, 0, x + 10 * max(len(t), 1), 10),
+                    (x + 10, 0, x, 10),      # inverted
+                    (None, None, None, None),  # missing
+                ])
+                items.append(
+                    Zone(ZONE_CHARACTER, bbox=bbox, children=[t]))
+                x += 40
+                if rng.random() < 0.7:
+                    items.append(rng.choice([' ', '  ']))
+            def run(simple):
+                try:
+                    out = group_words(list(items), ZONE_WORD,
+                                      simple_word_break_iterator,
+                                      simple=simple)
+                    return [w.sexpr() for w in out]
+                except Exception as exc:  # generic path may raise on
+                    return type(exc).__name__  # degenerate inputs
+            assert run(True) == run(False)
+
     def test_line_details(self):
         zones = self._chars([('a', (0, 0, 10, 10)), ('b', (10, 0, 20, 10))])
         out = group_words(zones, ZONE_LINE, simple_word_break_iterator)
