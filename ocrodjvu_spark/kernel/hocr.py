@@ -326,6 +326,8 @@ class _Scanner:
             # UAX #29 segmentation re-derives word boxes from characters
             want = TEXT_DETAILS_CHARACTER
         self._want = want
+        self._cuneiform_bare = bool(
+            settings.cuneiform and settings.cuneiform <= (0, 8))
 
     # -- element -> items ---------------------------------------------------
 
@@ -335,7 +337,8 @@ class _Scanner:
             # comments, processing instructions, script payloads:
             # boilerplate, never content (lib/hocr.py:203-205)
             return []
-        title = node.attrib.get('title') or ''
+        attrib = node.attrib
+        title = attrib.get('title') or ''
         m = _BOX_RE.search(title)
         if m:
             g = m.groups()
@@ -345,7 +348,19 @@ class _Scanner:
             boxt = (int(g[0]), int(g[1]), int(g[2]), int(g[3]))
         else:
             boxt = None
-        kind = self._kind_of(node, boxt)
+        # inline single-token class hit (the dominant case); every
+        # other shape — multi-token classes, bare-tag dialects, the
+        # boxless tesseract ocrx_word quirk — goes through _kind_of
+        kind = None
+        if not self._cuneiform_bare:
+            cls = attrib.get('class')
+            if cls is not None:
+                kind = _CLASS_KIND.get(cls)
+            if kind is None or (kind == ZONE_WORD and boxt is None
+                                and self.settings.tesseract):
+                kind = self._kind_of(node, boxt)
+        else:
+            kind = self._kind_of(node, boxt)
         if not kind:
             return self._splice(node, page_size)
         if kind == ZONE_PAGE:

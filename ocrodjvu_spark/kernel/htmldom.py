@@ -117,12 +117,16 @@ class _TreeBuilder(html.parser.HTMLParser):
     # -- parser callbacks --------------------------------------------------
 
     def handle_starttag(self, tag, attrs):
+        # ``attrs``: (k, v) list from html.parser, or a prebuilt
+        # lowercased first-wins dict from the fast tokenizer (shared,
+        # never mutated here)
         if not tag.islower():
             tag = tag.lower()
         flags = _TAG_FLAGS.get(tag, 0)
         if tag == 'html':
             # merge attributes into the synthetic root
-            for k, v in attrs:
+            pairs = attrs.items() if type(attrs) is dict else attrs
+            for k, v in pairs:
                 if k and self.root.get(k) is None:
                     self.root.set(k.lower(), v if v is not None else '')
             return
@@ -135,21 +139,25 @@ class _TreeBuilder(html.parser.HTMLParser):
                     self._stack = [self.root, child]
                     return
             elem = ET.SubElement(self.root, tag)
-            for k, v in attrs:
+            pairs = attrs.items() if type(attrs) is dict else attrs
+            for k, v in pairs:
                 if k:
                     elem.set(k.lower(), v if v is not None else '')
             self._stack = [self.root, elem]
             return
-        elem = ET.Element(tag)
-        if attrs:
-            # both tokenizers hand over lowercased attr names
-            # (html.parser lowercases them itself; _fast_feed lowers in
-            # the attr loop), so write the attrib dict directly —
-            # first-wins like get/set did
-            attrib = elem.attrib
-            for k, v in attrs:
-                if k and k not in attrib:
-                    attrib[k] = v if v is not None else ''
+        if type(attrs) is dict:
+            # C-level dict copy into the new element
+            elem = ET.Element(tag, attrs) if attrs else ET.Element(tag)
+        else:
+            elem = ET.Element(tag)
+            if attrs:
+                # html.parser hands over lowercased attr names, so
+                # write the attrib dict directly — first-wins like
+                # get/set did
+                attrib = elem.attrib
+                for k, v in attrs:
+                    if k and k not in attrib:
+                        attrib[k] = v if v is not None else ''
         if self._stack[-1] is self.root:
             self._ensure_container(tag)  # may replace self._stack
         stack = self._stack
@@ -286,17 +294,21 @@ _ATTR_CACHE_MAX = 8192
 
 
 def _parse_attrs(attr_text: str):
-    """Attr segment -> (attrs tuple, self_closing flag), memoized.
+    """Attr segment -> (first-wins attr dict, self_closing), memoized.
 
     Self-closing matches html.parser/HTML5: the tag is self-closed only
     when a bare '/' remains AFTER attribute parsing — in '<p a=1/>' the
     slash is part of the unquoted value (open <p> with a='1/'), while
     '<p a="1"/>', '<p a=1 />' and '<br/>' self-close.
+
+    The dict applies the same first-wins duplicate rule as the
+    builder's (k, v)-list path; the builder copies it C-side via
+    ``ET.Element(tag, dict)``. Callers must not mutate it.
     """
     cached = _ATTR_CACHE.get(attr_text)
     if cached is not None:
         return cached
-    attrs = []
+    attrs = {}
     last_end = 0
     if attr_text and not attr_text.isspace():
         for am in _ATTR_RE.finditer(attr_text):
@@ -308,9 +320,11 @@ def _parse_attrs(attr_text: str):
                 v = v[1:-1]
             if '&' in v:
                 v = _unescape(v)
-            attrs.append((k.lower(), v))
+            k = k.lower()
+            if k not in attrs:
+                attrs[k] = v
             last_end = am.end()
-    result = (tuple(attrs), attr_text[last_end:].strip() == '/')
+    result = (attrs, attr_text[last_end:].strip() == '/')
     if len(_ATTR_CACHE) >= _ATTR_CACHE_MAX:
         _ATTR_CACHE.clear()
     _ATTR_CACHE[attr_text] = result
@@ -348,7 +362,7 @@ def _fast_feed(builder: '_TreeBuilder', text: str) -> None:
             attrs, selfclose = _parse_attrs(m.group(2))
             pos = m.end()
             if selfclose:
-                builder.handle_startendtag(name, list(attrs))
+                builder.handle_startendtag(name, attrs)
             else:
                 handle_starttag(name, attrs)
                 if name == 'script':
@@ -419,7 +433,7 @@ def _emit_starttag(builder: '_TreeBuilder', name: str, attr_text: str,
         name = name.lower()
     attrs, selfclose = _parse_attrs(attr_text)
     if selfclose:
-        builder.handle_startendtag(name, list(attrs))
+        builder.handle_startendtag(name, attrs)
         return pos
     builder.handle_starttag(name, attrs)
     if name != 'script':
