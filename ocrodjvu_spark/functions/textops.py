@@ -343,11 +343,23 @@ def oversized_simhash_buckets(docs: DataFrame, max_bucket_size: int,
 
 def doc_shingle_table(docs: DataFrame, id_col='doc_id', text_col='text',
                       n: int = 3) -> DataFrame:
-    """Exploded distinct (doc_id, shingle_hash) pairs."""
+    """Exploded distinct (doc_id, shingle_hash) pairs.
+
+    Explicitly repartitioned by ``id_col`` BEFORE the distinct: a
+    hash partitioning on the id satisfies the clustered-distribution
+    requirement of every downstream keyed operation in this family —
+    the distinct on (id, shingle), the per-doc signature aggregation,
+    and the per-doc size count — so they all share this one exchange
+    instead of chaining a second (id-only) shuffle after a
+    (id, shingle) one. Trade-off: within-doc duplicate shingles travel
+    through the shuffle un-deduped (each doc is one input row, so the
+    duplicates were map-local anyway); measured net win on the bench
+    and strictly fewer shuffles at scale.
+    """
     return docs.select(
         F.col(id_col),
         F.explode(shingle_hashes(tokens(text_col), n)).alias('shingle'),
-    ).distinct()
+    ).repartition(id_col).distinct()
 
 
 def jaccard_pairs(docs: DataFrame, id_col='doc_id', text_col='text',
