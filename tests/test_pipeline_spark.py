@@ -167,14 +167,15 @@ def test_word_spans_order(spark):
 
 
 def test_packed_spans_match_struct_spans(spark):
-    # emit_spans='packed' (one delimited string per page, JVM-side
-    # decode) must reproduce the struct path byte-for-byte on the
-    # synthetic corpus — it is the documented low-Arrow-volume knob
+    # the packed word-span modes ('words'/'packed': one delimited
+    # string per page, JVM-side decode) must reproduce the FULL struct
+    # path (emit_spans=True, word_spans filters to word zones)
+    # byte-for-byte on the synthetic corpus
     from ocrodjvu_spark.sources import transcripts as T
     df = T.synthesize_transcripts(spark, '/root/testdata/sf0.001') \
         .limit(200)
     a = pipeline.word_spans(
-        pipeline.extract_turns(df, emit_spans='words', emit_sexpr=False))
+        pipeline.extract_turns(df, emit_spans=True, emit_sexpr=False))
     b = pipeline.word_spans(
         pipeline.extract_turns(df, emit_spans='packed', emit_sexpr=False))
     assert a.columns == b.columns
@@ -223,7 +224,7 @@ def test_packed_spans_separator_bytes_in_word_text(spark):
     packed = pipeline.word_spans(
         pipeline.extract_turns(df, emit_spans='packed')).collect()
     struct = pipeline.word_spans(
-        pipeline.extract_turns(df, emit_spans='words')).collect()
+        pipeline.extract_turns(df, emit_spans=True)).collect()
     assert sorted(map(tuple, packed)) == sorted(map(tuple, struct))
     assert [r.word for r in sorted(packed, key=lambda r: r.word_idx)] \
         == ['a', 'b', 'c']
