@@ -29,7 +29,7 @@ SF0001 = '/root/testdata/sf0.001'
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full hOCR extraction over the sf0.001 transcripts."""
     df = T.synthesize_transcripts(spark, SF0001)
-    return pipeline.extract_turns(df).select(
+    return pipeline.extract_turns(df, emit_spans=False).select(
         'conv_id', 'turn_idx', 'dialect', 'error',
         'extracted_text', 'extracted_sexpr',
     )
@@ -695,9 +695,11 @@ def _q_conversation_reassembly(spark, sf_dir):
 
 
 def _q_extraction_metrics(spark, sf_dir):
-    # sidecar metrics rollup (lineage/metrics table content)
+    # sidecar metrics rollup (lineage/metrics table content); the
+    # metrics read spans/text/error but never the sexpr — elide it at
+    # the UDF (same output, less Arrow transfer)
     df = T.synthesize_transcripts(spark, sf_dir)
-    extracted = pipeline.extract_turns(df)
+    extracted = pipeline.extract_turns(df, emit_sexpr=False)
     return pipeline.extraction_metrics(extracted).select(
         'conv_id', 'n_turns', 'n_errors', 'n_spans', 'n_chars')
 
@@ -1742,8 +1744,10 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
 
 def _q_simhash(spark, sf_dir):
     docs = T.load_table(spark, sf_dir, 'documents')
-    return docs.select(
-        'doc_id', textops.simhash64(textops.tokens('text')).alias('simhash'))
+    # explode+aggregate form: bit-exact with the column form
+    # (test-pinned) but codegen'd instead of interpreted lambdas
+    return (textops.simhash_table(docs)
+            .select('doc_id', F.col('sim').alias('simhash')))
 
 
 def _q_dedup_simhash_pairs(spark, sf_dir):

@@ -8,6 +8,24 @@ def _docs(spark, texts):
         [(i, t) for i, t in enumerate(texts)], 'doc_id long, text string')
 
 
+def test_simhash_table_matches_column_form(spark):
+    # the explode+aggregate fingerprint (codegen'd vote sums) must be
+    # bit-exact with the higher-order-fold column form, including the
+    # null-text (NULL sim via join-back), empty, whitespace-only and
+    # single-token edges
+    docs = spark.createDataFrame(
+        [(1, 'alpha beta gamma'), (2, 'alpha beta zeta'),
+         (3, None), (4, ''), (5, '   '), (6, 'one'),
+         (7, 'a b  c'), (8, 'x' * 300), (9, 'répé tition tëst')],
+        'doc_id long, text string')
+    table = sorted(map(tuple, textops.simhash_table(docs).collect()))
+    column = sorted(map(tuple, docs.select(
+        'doc_id',
+        textops.simhash64(textops.tokens('text')).alias('sim'),
+    ).collect()))
+    assert table == column
+
+
 def test_jaccard_max_df_keeps_exact_scores(spark):
     base = 'alpha beta gamma delta epsilon zeta eta theta'
     docs = _docs(spark, [
