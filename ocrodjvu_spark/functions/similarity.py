@@ -29,12 +29,32 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast('double'))
 
 
+#: the corpus embedding width; ``dot`` takes a codegen fast path for it
+EMBED_DIM = 64
+
+
 def dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
+    """Float dot product, identical to the left-assoc zip_with fold.
+
+    For ``EMBED_DIM``-sized inputs (the corpus width) the product-sum
+    is emitted as a flat 64-term element_at chain — whole-stage
+    codegen, same left-associative addition order as the fold, so
+    bit-identical floats (verified result-equal on the gates). Any
+    other length (or NULL, where size() is NULL) falls back to the
+    generic higher-order fold.
+    """
+    flat = None
+    for i in range(1, EMBED_DIM + 1):
+        term = F.element_at(a, i) * F.element_at(b, i)
+        flat = term if flat is None else flat + term
+    fold = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    return F.when(
+        (F.size(a) == EMBED_DIM) & (F.size(b) == EMBED_DIM), flat
+    ).otherwise(fold)
 
 
 def norm(a: Column) -> Column:
