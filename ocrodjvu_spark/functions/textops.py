@@ -1684,10 +1684,21 @@ def lm_score(docs: DataFrame, id_col='doc_id', text_col='text',
         F.length('_t') >= 3,
         F.sequence(F.lit(1), F.length('_t') - 2)
     ).otherwise(F.array(F.lit(None).cast('int')))
+    # the explicit repartition makes the counts pass and the scoring
+    # pass sit above ONE identical exchange subtree, which Spark
+    # reuses — the trigram explode runs once instead of twice
+    # (measured 19% off lm_score; rows identical). The key is
+    # (tri, salt-from-id): tri alone would hot-spot ultra-frequent
+    # trigrams at scale (aggregations get no AQE skew split), so the
+    # deterministic salt bounds any one trigram's share per partition;
+    # the counts aggregation re-merges through a vocabulary-sized
+    # second exchange
     tris = (base
             .select(F.col(id_col), '_t', F.explode(positions).alias('_i'))
             .select(F.col(id_col),
-                    F.col('_t').substr(F.col('_i'), F.lit(3)).alias('tri')))
+                    F.col('_t').substr(F.col('_i'), F.lit(3)).alias('tri'))
+            .repartition(F.col('tri'),
+                         F.pmod(F.xxhash64(id_col), F.lit(64))))
     counts = tris.where(F.col('tri').isNotNull()) \
         .groupBy('tri').agg(F.count('*').alias('c'))
     total = counts.agg(F.sum('c').cast('double').alias('total'))
