@@ -46,17 +46,29 @@ def pack_word_spans(zone) -> str:
     packed path byte-equivalent to the struct path, where ``''`` and
     NULL are distinct values. A page with no words packs to ''.
     """
-    recs = []
-    for _, _, _, x0, y0, x1, y1, text in flatten_word_zones(zone):
-        head = f'{x0}{SPAN_FS}{y0}{SPAN_FS}{x1}{SPAN_FS}{y1}'
-        if text is None:
-            recs.append(head)
-            continue
-        t = text
-        if SPAN_RS in t or SPAN_FS in t:
-            t = t.replace(SPAN_RS, '�').replace(SPAN_FS, '�')
-        recs.append(f'{head}{SPAN_FS}{t}')
+    recs: List[str] = []
+    _pack_walk(zone, recs)
     return SPAN_RS.join(recs)
+
+
+def _pack_walk(z: Zone, recs: List[str]) -> None:
+    """Single fused preorder walk emitting one packed record per word
+    zone — same visit order, leaf rule and coordinate formatting as
+    ``flatten_word_zones`` + the packing loop it replaces (pinned by
+    the packed-vs-struct equivalence tests)."""
+    if z.type == ZONE_WORD:
+        leaf = ''.join(c for c in z.children if isinstance(c, str)) or None
+        x0, y0, x1, y1 = z.bbox
+        head = f'{int(x0)}{SPAN_FS}{int(y0)}{SPAN_FS}{int(x1)}{SPAN_FS}{int(y1)}'
+        if leaf is None:
+            recs.append(head)
+        else:
+            if SPAN_RS in leaf or SPAN_FS in leaf:
+                leaf = leaf.replace(SPAN_RS, '�').replace(SPAN_FS, '�')
+            recs.append(f'{head}{SPAN_FS}{leaf}')
+    for child in z.children:
+        if isinstance(child, Zone):
+            _pack_walk(child, recs)
 
 
 def flatten_zone(zone: Zone) -> List[tuple]:
