@@ -29,32 +29,46 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast('double'))
 
 
-#: the corpus embedding width; ``dot`` takes a codegen fast path for it
+#: the corpus embedding width; ``dot_cols`` takes a codegen fast path
+#: for it
 EMBED_DIM = 64
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Float dot product, identical to the left-assoc zip_with fold.
+    """Float dot product (left-assoc zip_with fold). Safe for ANY
+    column expression: the arguments are lambda-bound and evaluated
+    once. Prefer ``dot_cols`` when both arguments are plain column
+    references."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
-    For ``EMBED_DIM``-sized inputs (the corpus width) the product-sum
-    is emitted as a flat 64-term element_at chain — whole-stage
-    codegen, same left-associative addition order as the fold, so
-    bit-identical floats (verified result-equal on the gates). Any
-    other length (or NULL, where size() is NULL) falls back to the
-    generic higher-order fold.
+
+def dot_cols(a: Column, b: Column) -> Column:
+    """Float dot product for plain COLUMN REFERENCES, identical to
+    ``dot`` (same left-associative addition order, so bit-identical
+    floats — verified result-equal on the gates).
+
+    For ``EMBED_DIM``-sized inputs the product-sum is a flat 64-term
+    element_at chain that runs in whole-stage codegen instead of an
+    interpreted per-element lambda (measured -17% on the brute-force
+    cosine top-k); other lengths (or NULL) fall back to the fold.
+
+    CALLERS MUST PASS ATTRIBUTES (e.g. ``F.col('vec')``), never
+    computed expressions: the chain references each argument ~65
+    times, and Catalyst would inline a non-trivial expression once per
+    reference (the no-CSE-for-expressions trap — measured 2x SLOWER
+    when ``_prep``'s cast transform leaked in here).
     """
     flat = None
     for i in range(1, EMBED_DIM + 1):
         term = F.element_at(a, i) * F.element_at(b, i)
         flat = term if flat is None else flat + term
-    fold = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     return F.when(
         (F.size(a) == EMBED_DIM) & (F.size(b) == EMBED_DIM), flat
-    ).otherwise(fold)
+    ).otherwise(dot(a, b))
 
 
 def norm(a: Column) -> Column:
@@ -106,7 +120,7 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
             'query_id',
             F.col(id_col).alias('neighbor_id'),
             F.round(
-                dot(F.col('vec'), F.col('qvec'))
+                dot_cols(F.col('vec'), F.col('qvec'))
                 / (F.col('nrm') * F.col('qnrm')), 6).alias('cos_sim'),
         )
     )
@@ -351,7 +365,7 @@ def neardup_pairs(embeddings: DataFrame, threshold: float = 0.4,
         candidates.join(ca, 'vec_a').join(cb, 'vec_b')
         .select(
             'vec_a', 'vec_b',
-            F.round(dot(F.col('va'), F.col('vb'))
+            F.round(dot_cols(F.col('va'), F.col('vb'))
                     / (F.col('na') * F.col('nb')), 6).alias('cos_sim'))
         .where(F.col('cos_sim') >= threshold)
     )
@@ -561,7 +575,7 @@ def semantic_dedup_pairs(embeddings: DataFrame, threshold: float = 0.4,
         a.join(b, ['cluster'])
         .where(F.col('vec_a') < F.col('vec_b'))
         .select('cluster', 'vec_a', 'vec_b',
-                F.round(dot(F.col('va'), F.col('vb'))
+                F.round(dot_cols(F.col('va'), F.col('vb'))
                         / (F.col('na') * F.col('nb')), 6).alias('cos_sim'))
         .where(F.col('cos_sim') >= threshold)
     )
